@@ -1,0 +1,90 @@
+"""Index and search configuration.
+
+Mirrors the reference's two-layer flag system (IndexConfiguration,
+/root/reference/src/common/configuration.hh:56-113) as plain dataclasses.
+Defaults follow the reference harness: M=32, ef_construction=500, k=10
+(/root/reference/scripts/config.py:8-9).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+METRIC_L2 = 0  # squared L2, matching reference distance.hh:80-118
+METRIC_IP = 1  # 1 - <a,b>, matching reference distance.hh:139
+
+_METRIC_NAMES = {"l2": METRIC_L2, "ip": METRIC_IP}
+
+
+def metric_id(metric: str | int) -> int:
+    if isinstance(metric, int):
+        if metric not in (METRIC_L2, METRIC_IP):
+            raise ValueError(f"unknown metric id {metric}")
+        return metric
+    try:
+        return _METRIC_NAMES[metric.lower()]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; expected 'l2' or 'ip'") from None
+
+
+@dataclasses.dataclass(frozen=True)
+class HNSWParams:
+    """Build-time parameters of the graph.
+
+    Reference semantics (/root/reference/src/hnsw/hnsw.hh:25-38):
+    M_max = M for upper layers, M_max0 = 2M for layer 0,
+    m_L = 1/ln(M) for the geometric level draw.
+    """
+
+    M: int = 32
+    ef_construction: int = 500
+    metric: str = "l2"
+    seed: int = 42
+
+    @property
+    def M_max(self) -> int:
+        return self.M
+
+    @property
+    def M_max0(self) -> int:
+        return 2 * self.M
+
+    @property
+    def m_L(self) -> float:
+        return 1.0 / math.log(self.M)
+
+    @property
+    def metric_id(self) -> int:
+        return metric_id(self.metric)
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchParams:
+    """Query-time parameters.
+
+    ef: beam width of the layer-0 best-first search
+    (reference hnsw.hh:253-307); k: result count; max_steps bounds the
+    fixed-shape traversal loop (a query terminates early when its beam has
+    no unexpanded candidate, matching the reference termination rule at
+    hnsw.hh:424-426).
+    """
+
+    k: int = 10
+    ef: int = 128
+    max_steps: int = 0  # 0 -> auto (2*ef + 8)
+    visited_size: int = 0  # 0 -> auto; power-of-two hash table slots/query
+    probes: int = 8  # linear-probe length in the visited hash set
+
+    def resolved(self) -> "SearchParams":
+        ms = self.max_steps or (2 * self.ef + 8)
+        vs = self.visited_size or _next_pow2(max(4096, 64 * self.ef))
+        if vs & (vs - 1):
+            raise ValueError("visited_size must be a power of two")
+        if self.k > self.ef:
+            raise ValueError("k must be <= ef")
+        return dataclasses.replace(self, max_steps=ms, visited_size=vs)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << (x - 1).bit_length()

@@ -1,0 +1,68 @@
+"""Brute-force k-NN oracle and recall@k.
+
+Recall is the reference's correctness oracle
+(/root/reference/src/compute_node.cc:578-600): for each query, the fraction
+of returned ids that appear in the true top-k. Brute force runs as chunked
+matmuls so it can use the MXU (or CPU BLAS) for large sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from shine_tpu.config import METRIC_IP, metric_id
+
+
+def brute_force_knn(
+    base: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    *,
+    metric: str | int = "l2",
+    chunk: int = 65536,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k. Returns (ids (q,k) int32, dists (q,k) float32).
+
+    L2 is squared; IP distance is 1 - <a,b>, matching the reference
+    conventions (/root/reference/src/hnsw/distance.hh:80-151,139).
+    Ties break by ascending id like the reference heap
+    (/root/reference/src/hnsw/heap.hh:53-57).
+    """
+    mid = metric_id(metric)
+    q = queries.astype(np.float32)
+    nq = q.shape[0]
+    n = base.shape[0]
+    k = min(k, n)
+    best_d = np.full((nq, k), np.inf, dtype=np.float32)
+    best_i = np.full((nq, k), -1, dtype=np.int64)
+    qn = (q * q).sum(axis=1, keepdims=True)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        blk = base[lo:hi].astype(np.float32)
+        dots = q @ blk.T
+        if mid == METRIC_IP:
+            d = 1.0 - dots
+        else:
+            bn = (blk * blk).sum(axis=1)
+            d = qn - 2.0 * dots + bn[None, :]
+        ids = np.arange(lo, hi, dtype=np.int64)[None, :].repeat(nq, axis=0)
+        all_d = np.concatenate([best_d, d], axis=1)
+        all_i = np.concatenate([best_i, ids], axis=1)
+        # stable top-k with (dist, id) ordering
+        part = np.argpartition(all_d, k - 1, axis=1)[:, :k]
+        pd = np.take_along_axis(all_d, part, axis=1)
+        pi = np.take_along_axis(all_i, part, axis=1)
+        order = np.lexsort((pi, pd), axis=1)
+        best_d = np.take_along_axis(pd, order, axis=1)
+        best_i = np.take_along_axis(pi, order, axis=1)
+    return best_i.astype(np.int32), best_d
+
+
+def recall_at_k(found_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> float:
+    """Mean |found[:k] ∩ gt[:k]| / k over queries."""
+    found = found_ids[:, :k]
+    gt = gt_ids[:, :k]
+    hits = 0
+    for f, g in zip(found, gt):
+        hits += len(set(f.tolist()) & set(g.tolist()))
+    return hits / (gt.shape[0] * k)

@@ -1,0 +1,248 @@
+"""Batched HNSW search on TPU.
+
+The reference hides per-READ RDMA latency by interleaving coroutines
+(/root/reference/src/hnsw/scheduler.hh); the TPU design replaces latency
+hiding with *batching*: B queries advance together through fixed-shape,
+masked traversal steps under one `jax.jit`, so every neighbor expansion is a
+single HBM gather + MXU distance tile instead of B pointer chases
+(SURVEY.md §5.8).
+
+Pipeline per query batch (reference knn, hnsw.hh:253-307):
+  1. greedy descent through upper layers (search_for_one, hnsw.hh:331-393)
+  2. ef-bounded best-first beam on layer 0 (search_level, hnsw.hh:406-476)
+  3. top-k extraction
+All loops are `lax.while_loop`s over fixed-shape state with per-query active
+masks; a query that terminates early idles (masked) until the batch drains.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shine_tpu.config import METRIC_L2, HNSWParams, SearchParams
+from shine_tpu.graph.soa import GraphSoA
+from shine_tpu.ops.beam import (
+    Beam,
+    beam_frontier,
+    beam_init,
+    beam_mark_expanded,
+    beam_merge,
+)
+from shine_tpu.ops.distance import candidate_distance, squared_norms
+from shine_tpu.ops.hashset import hashset_check_insert, hashset_init
+
+
+class DeviceGraph(NamedTuple):
+    """Device-resident SoA graph (a pytree — jit/shard_map friendly)."""
+
+    vectors: jnp.ndarray  # (N, d) f32
+    vec_sqnorms: jnp.ndarray  # (N,) f32 (zeros for IP)
+    neighbors0: jnp.ndarray  # (N, 2M) i32
+    upper_row: jnp.ndarray  # (N,) i32
+    upper_neighbors: jnp.ndarray  # (U, L, M) i32
+    entry_point: jnp.ndarray  # () i32
+
+    @property
+    def n(self) -> int:
+        return self.vectors.shape[0]
+
+
+def device_graph(graph: GraphSoA) -> tuple[DeviceGraph, int]:
+    """Upload a host graph; returns (device pytree, static top_level)."""
+    vecs = jnp.asarray(graph.vectors, dtype=jnp.float32)
+    sq = (
+        squared_norms(vecs)
+        if graph.params.metric_id == METRIC_L2
+        else jnp.zeros((graph.n,), jnp.float32)
+    )
+    return (
+        DeviceGraph(
+            vectors=vecs,
+            vec_sqnorms=sq,
+            neighbors0=jnp.asarray(graph.neighbors0),
+            upper_row=jnp.asarray(graph.upper_row),
+            upper_neighbors=jnp.asarray(graph.upper_neighbors),
+            entry_point=jnp.asarray(graph.entry_point, dtype=jnp.int32),
+        ),
+        graph.top_level,
+    )
+
+
+def _gather_vecs(g: DeviceGraph, ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather vector rows + squared norms for (possibly -1) ids."""
+    safe = jnp.maximum(ids, 0)
+    return g.vectors[safe], g.vec_sqnorms[safe]
+
+
+def _dist_to(g: DeviceGraph, q: jnp.ndarray, ids: jnp.ndarray, metric: int) -> jnp.ndarray:
+    """(B, K) distances from each query to its candidate ids; inf where id<0."""
+    vecs, sq = _gather_vecs(g, ids)
+    d = candidate_distance(q, vecs, metric, cand_sqnorm=sq)
+    return jnp.where(ids >= 0, d, jnp.inf)
+
+
+def _lex_better(d_new, i_new, d_old, i_old):
+    """(dist, id) lexicographic improvement — the reference tie-break
+    (heap.hh:53-57)."""
+    return (d_new < d_old) | ((d_new == d_old) & (i_new < i_old))
+
+
+def _greedy_descent(
+    g: DeviceGraph,
+    q: jnp.ndarray,  # (B, d)
+    cur_id: jnp.ndarray,  # (B,)
+    cur_dist: jnp.ndarray,  # (B,)
+    level: int,
+    metric: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy 1-NN walk on one upper level for the whole batch."""
+
+    def cond(state):
+        _, _, moved = state
+        return jnp.any(moved)
+
+    def body(state):
+        cid, cdist, moved = state
+        rows = jnp.maximum(g.upper_row[jnp.maximum(cid, 0)], 0)
+        nbrs = g.upper_neighbors[rows, level - 1]  # (B, M)
+        nbrs = jnp.where(moved[:, None], nbrs, -1)  # idle queries gather nothing
+        d = _dist_to(g, q, nbrs, metric)
+        j = jnp.argmin(d, axis=1)
+        bd = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+        bi = jnp.take_along_axis(nbrs, j[:, None], axis=1)[:, 0]
+        better = _lex_better(bd, bi, cdist, cid) & moved
+        return (
+            jnp.where(better, bi, cid),
+            jnp.where(better, bd, cdist),
+            better,
+        )
+
+    init = (cur_id, cur_dist, jnp.ones_like(cur_id, dtype=jnp.bool_))
+    cid, cdist, _ = jax.lax.while_loop(cond, body, init)
+    return cid, cdist
+
+
+class _BeamState(NamedTuple):
+    beam: Beam
+    table: jnp.ndarray
+    step: jnp.ndarray
+    hops: jnp.ndarray  # (B,) expansions per query (distcomp-style counter)
+
+
+def _beam_search_l0(
+    g: DeviceGraph,
+    q: jnp.ndarray,  # (B, d)
+    ep_id: jnp.ndarray,  # (B,)
+    ep_dist: jnp.ndarray,  # (B,)
+    sp: SearchParams,
+    metric: int,
+) -> tuple[Beam, jnp.ndarray]:
+    B = q.shape[0]
+    beam = beam_init(B, sp.ef)
+    table = hashset_init(B, sp.visited_size)
+    table, _ = hashset_check_insert(table, ep_id[:, None], probes=sp.probes)
+    beam = beam_merge(beam, ep_dist[:, None], ep_id[:, None])
+
+    def cond(s: _BeamState):
+        _, _, active = beam_frontier(s.beam)
+        return jnp.any(active) & (s.step < sp.max_steps)
+
+    def body(s: _BeamState):
+        slot, fid, active = beam_frontier(s.beam)
+        beam = beam_mark_expanded(s.beam, slot, active)
+        nbrs = g.neighbors0[jnp.maximum(fid, 0)]  # (B, 2M)
+        nbrs = jnp.where(active[:, None], nbrs, -1)
+        table, is_new = hashset_check_insert(s.table, nbrs, probes=sp.probes)
+        cand = jnp.where(is_new, nbrs, -1)
+        d = _dist_to(g, q, cand, metric)
+        beam = beam_merge(beam, d, cand)
+        return _BeamState(beam, table, s.step + 1, s.hops + active)
+
+    init = _BeamState(beam, table, jnp.int32(0), jnp.zeros(B, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    return out.beam, out.hops
+
+
+@partial(
+    jax.jit,
+    static_argnames=("top_level", "search_params", "metric", "with_stats"),
+)
+def batched_search(
+    g: DeviceGraph,
+    queries: jnp.ndarray,  # (B, d)
+    *,
+    top_level: int,
+    search_params: SearchParams,
+    metric: int = METRIC_L2,
+    with_stats: bool = False,
+):
+    """k-NN for a batch of queries. Returns (ids (B,k), dists (B,k)[, hops])."""
+    sp = search_params.resolved()
+    q = queries.astype(jnp.float32)
+    B = q.shape[0]
+    ep = jnp.broadcast_to(g.entry_point, (B,)).astype(jnp.int32)
+    ep_dist = _dist_to(g, q, ep[:, None], metric)[:, 0]
+    for level in range(top_level, 0, -1):
+        ep, ep_dist = _greedy_descent(g, q, ep, ep_dist, level, metric)
+    beam, hops = _beam_search_l0(g, q, ep, ep_dist, sp, metric)
+    ids = beam.ids[:, : sp.k]
+    dists = beam.dists[:, : sp.k]
+    if with_stats:
+        return ids, dists, hops
+    return ids, dists
+
+
+class HNSWIndex:
+    """Single-chip index: host build (native C++) + device batched search.
+
+    The flagship model of the framework — the TPU stand-in for the
+    reference's ComputeNode+HNSW pair in the one-CN configuration.
+    """
+
+    def __init__(self, graph: GraphSoA):
+        self.graph = graph
+        self.device, self.top_level = device_graph(graph)
+        self.metric = graph.params.metric_id
+
+    @classmethod
+    def build(
+        cls, vectors: np.ndarray, params: HNSWParams | None = None, **kw
+    ) -> "HNSWIndex":
+        from shine_tpu.graph.soa import build_graph
+
+        return cls(build_graph(vectors, params or HNSWParams(), **kw))
+
+    def search(
+        self,
+        queries: np.ndarray,
+        search_params: SearchParams | None = None,
+        *,
+        batch_size: int = 1024,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Search an arbitrary number of queries in fixed-size batches
+        (padding the tail so only one program is compiled per batch size)."""
+        sp = (search_params or SearchParams()).resolved()
+        nq, d = queries.shape
+        out_i = np.empty((nq, sp.k), dtype=np.int32)
+        out_d = np.empty((nq, sp.k), dtype=np.float32)
+        for lo in range(0, nq, batch_size):
+            hi = min(lo + batch_size, nq)
+            chunk = queries[lo:hi]
+            if hi - lo < batch_size:
+                pad = np.zeros((batch_size - (hi - lo), d), chunk.dtype)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            ids, dd = batched_search(
+                self.device,
+                jnp.asarray(chunk),
+                top_level=self.top_level,
+                search_params=sp,
+                metric=self.metric,
+            )
+            out_i[lo:hi] = np.asarray(ids)[: hi - lo]
+            out_d[lo:hi] = np.asarray(dd)[: hi - lo]
+        return out_i, out_d

@@ -1,0 +1,90 @@
+"""End-to-end single-chip tests: native build + batched TPU-style search vs
+the brute-force oracle and the native host search (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from shine_tpu.config import HNSWParams, SearchParams
+from shine_tpu.graph import build_graph, host_search
+from shine_tpu.io import brute_force_knn, recall_at_k, synthetic_dataset
+from shine_tpu.models import HNSWIndex
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(n=5000, dim=32, num_queries=100, seed=7)
+
+
+@pytest.fixture(scope="module")
+def graph(ds):
+    g = build_graph(ds.base, HNSWParams(M=16, ef_construction=100), threads=8)
+    g.validate()
+    return g
+
+
+def test_host_search_recall(ds, graph):
+    ids, dists = host_search(graph, ds.queries, 10, 64)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r > 0.95, r
+    assert np.all(np.diff(dists, axis=1) >= 0)
+
+
+def test_batched_search_recall(ds, graph):
+    idx = HNSWIndex(graph)
+    ids, dists = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r > 0.95, r
+    assert np.all(np.diff(dists, axis=1) >= -1e-5)
+    assert ids.min() >= 0
+
+
+def test_batched_matches_host_closely(ds, graph):
+    """The fixed-width beam is the reference search with the candidate queue
+    truncated to the top-ef set; at ef >> k results should agree with the
+    host oracle almost everywhere."""
+    idx = HNSWIndex(graph)
+    h_ids, _ = host_search(graph, ds.queries, 10, 128)
+    t_ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=128), batch_size=128)
+    overlap = recall_at_k(t_ids, h_ids, 10)
+    assert overlap > 0.97, overlap
+
+
+def test_search_ip_metric():
+    ds = synthetic_dataset(n=3000, dim=24, num_queries=64, seed=3, metric="ip")
+    g = build_graph(ds.base, HNSWParams(M=16, ef_construction=100, metric="ip"))
+    idx = HNSWIndex(g)
+    ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.93
+
+
+def test_tail_batch_padding(ds, graph):
+    idx = HNSWIndex(graph)
+    ids_a, _ = idx.search(ds.queries[:70], SearchParams(k=5, ef=32), batch_size=64)
+    ids_b, _ = idx.search(ds.queries[:70], SearchParams(k=5, ef=32), batch_size=128)
+    np.testing.assert_array_equal(ids_a, ids_b)
+
+
+def test_exactness_on_tiny_graph():
+    """With ef >= n the beam search must return the exact top-k."""
+    ds = synthetic_dataset(n=200, dim=8, num_queries=32, seed=1)
+    g = build_graph(ds.base, HNSWParams(M=8, ef_construction=64))
+    idx = HNSWIndex(g)
+    ids, dists = idx.search(ds.queries, SearchParams(k=10, ef=256), batch_size=32)
+    gt_ids, gt_dists = brute_force_knn(ds.base, ds.queries, 10)
+    assert recall_at_k(ids, gt_ids, 10) == pytest.approx(1.0)
+    np.testing.assert_allclose(dists, gt_dists, rtol=5e-3, atol=5e-2)
+
+
+def test_build_determinism(ds):
+    g1 = build_graph(ds.base[:2000], HNSWParams(M=8, ef_construction=50), threads=1)
+    g2 = build_graph(ds.base[:2000], HNSWParams(M=8, ef_construction=50), threads=1)
+    np.testing.assert_array_equal(g1.levels, g2.levels)
+    np.testing.assert_array_equal(g1.neighbors0, g2.neighbors0)
+    assert g1.entry_point == g2.entry_point
+
+
+def test_level_distribution(graph):
+    """Geometric level draw with m_L = 1/ln(M): P(level >= 1) ~ 1/M."""
+    frac = (graph.levels >= 1).mean()
+    M = graph.params.M
+    assert 0.3 / M < frac < 3.0 / M
