@@ -1,3 +1,11 @@
+from shine_tpu.models.build import device_build_graph, init_build_state, insert_round
 from shine_tpu.models.hnsw import DeviceGraph, HNSWIndex, batched_search
 
-__all__ = ["DeviceGraph", "HNSWIndex", "batched_search"]
+__all__ = [
+    "DeviceGraph",
+    "HNSWIndex",
+    "batched_search",
+    "device_build_graph",
+    "init_build_state",
+    "insert_round",
+]

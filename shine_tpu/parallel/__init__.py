@@ -1,0 +1,16 @@
+from shine_tpu.parallel.mesh import SHARD_AXIS, shard_mesh
+from shine_tpu.parallel.sharded import (
+    ShardedGraph,
+    ShardedIndex,
+    make_sharded_search,
+    shard_graph,
+)
+
+__all__ = [
+    "SHARD_AXIS",
+    "shard_mesh",
+    "ShardedGraph",
+    "ShardedIndex",
+    "make_sharded_search",
+    "shard_graph",
+]

@@ -1,0 +1,408 @@
+"""Multi-chip sharded HNSW search (SPMD over a 1-D device mesh).
+
+Replaces the reference's disaggregated CN/MN split
+(/root/reference/src/compute_node.cc, src/memory_node.hh): every chip holds
+one row-range shard of the layer-0 graph (the MN role) and advances one
+slice of the query batch (the CN role). The reference's one-sided RDMA READ
+of a remote node (src/rdma/rdma_reads.hh:9-38) becomes two ICI collectives
+per traversal step:
+
+  1. frontier neighborlists: `all_gather` the (tiny, int32) frontier ids,
+     the owning shard gathers its `neighbors0` rows, `psum_scatter` routes
+     each row back to the requesting chip;
+  2. candidate distances: the query set is replicated once up front, so the
+     *owner* of each candidate row computes the distance locally and only a
+     float per candidate crosses ICI — vectors never move (d x less ICI
+     traffic than shipping rows, the moral equivalent of the reference
+     keeping computation on CNs but data on MNs, inverted for TPU where
+     FLOPs are free and bandwidth is not).
+
+Upper layers are replicated on every chip (they are ~N/(M-1) rows under the
+geometric level draw, hnsw.hh:309-321) so greedy descent
+(hnsw.hh:331-393) runs with zero communication — the TPU analogue of the
+reference's hot-vertex cache holding the upper layers (SURVEY.md §7.1).
+
+Global node ids are plain rows; owner shard = id // rows_per_shard,
+mirroring the reference RemotePtr's (16-bit MN | 48-bit offset) split
+(src/remote_pointer.hh:7-29).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from shine_tpu.config import METRIC_L2, SearchParams
+from shine_tpu.graph.soa import GraphSoA
+from shine_tpu.ops.beam import beam_frontier, beam_init, beam_mark_expanded, beam_merge
+from shine_tpu.ops.distance import DIST_PRECISION, squared_norms
+from shine_tpu.ops.hashset import hashset_check_insert, hashset_init
+from shine_tpu.parallel.mesh import SHARD_AXIS
+
+
+class ShardedGraph(NamedTuple):
+    """Device-resident sharded index (a pytree).
+
+    Sharded over the mesh (leading dim = global row, row-sharded):
+      vectors (N', d), vec_sqnorms (N',), neighbors0 (N', 2M)
+    Replicated upper-layer structure (u-indices are rows of this table):
+      upper_ids (U,) global id of each upper node, -1 pad
+      upper_vecs (U, d), upper_sqnorms (U,)
+      upper_adj (U, L, M)*u-indices* (not global ids), -1 pad
+      entry_u () u-index of the entry point
+    """
+
+    vectors: jnp.ndarray
+    vec_sqnorms: jnp.ndarray
+    neighbors0: jnp.ndarray
+    upper_ids: jnp.ndarray
+    upper_vecs: jnp.ndarray
+    upper_sqnorms: jnp.ndarray
+    upper_adj: jnp.ndarray
+    entry_u: jnp.ndarray
+
+    @property
+    def n_padded(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def top_level(self) -> int:
+        return self.upper_adj.shape[1]
+
+
+def _pad_rows(a: np.ndarray, n_to: int, fill) -> np.ndarray:
+    if a.shape[0] == n_to:
+        return a
+    pad = np.full((n_to - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def build_upper_tables(graph: GraphSoA) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(upper_ids (U,), upper_adj (U, L, M) in u-indices, entry_u).
+
+    Rebases the upper-layer adjacency from global ids onto the compact
+    upper-node table so descent never touches the sharded arrays.
+    """
+    upper_ids = np.where(graph.levels >= 1)[0].astype(np.int32)
+    u_of_global = np.full(graph.n, -1, dtype=np.int32)
+    u_of_global[upper_ids] = np.arange(len(upper_ids), dtype=np.int32)
+    rows = graph.upper_row[upper_ids]  # rows into upper_neighbors
+    adj_global = graph.upper_neighbors[rows]  # (U, L, M) global ids
+    adj_u = np.where(
+        adj_global >= 0, u_of_global[np.clip(adj_global, 0, graph.n - 1)], -1
+    ).astype(np.int32)
+    entry_u = u_of_global[graph.entry_point]
+    assert entry_u >= 0
+    return upper_ids, adj_u, entry_u
+
+
+def shard_graph(graph: GraphSoA, mesh: Mesh) -> ShardedGraph:
+    """Pad to the shard grid and place arrays on the mesh."""
+    S = mesh.devices.size
+    n = graph.n
+    rows = -(-n // S)  # ceil
+    n_pad = rows * S
+    vectors = _pad_rows(graph.vectors, n_pad, 0.0)
+    sq = (graph.vectors.astype(np.float32) ** 2).sum(axis=1)
+    if graph.params.metric_id != METRIC_L2:
+        sq = np.zeros_like(sq)
+    sq = _pad_rows(sq.astype(np.float32), n_pad, np.inf)
+    nbrs0 = _pad_rows(graph.neighbors0, n_pad, -1)
+
+    upper_ids, adj_u, entry_u = build_upper_tables(graph)
+    upper_vecs = graph.vectors[upper_ids]
+    upper_sq = (upper_vecs.astype(np.float32) ** 2).sum(axis=1)
+    if graph.params.metric_id != METRIC_L2:
+        upper_sq = np.zeros_like(upper_sq)
+
+    row_sh = NamedSharding(mesh, P(SHARD_AXIS))
+    rep = NamedSharding(mesh, P())
+    dev = partial(jax.device_put)
+    return ShardedGraph(
+        vectors=dev(jnp.asarray(vectors), row_sh),
+        vec_sqnorms=dev(jnp.asarray(sq), row_sh),
+        neighbors0=dev(jnp.asarray(nbrs0), row_sh),
+        upper_ids=dev(jnp.asarray(upper_ids), rep),
+        upper_vecs=dev(jnp.asarray(upper_vecs, dtype=jnp.float32), rep),
+        upper_sqnorms=dev(jnp.asarray(upper_sq, dtype=jnp.float32), rep),
+        upper_adj=dev(jnp.asarray(adj_u), rep),
+        entry_u=dev(jnp.asarray(entry_u, dtype=jnp.int32), rep),
+    )
+
+
+def _upper_descent(g: ShardedGraph, q, qn, metric: int) -> jnp.ndarray:
+    """Greedy 1-NN walk down the replicated upper levels for a local query
+    slice (B_loc, d). Returns the layer-0 entry id (global) per query.
+    Zero communication (reference search_for_one, hnsw.hh:331-393)."""
+
+    def dist_u(u_ids):  # (B, K) u-indices -> distances
+        safe = jnp.maximum(u_ids, 0)
+        vecs = g.upper_vecs[safe]
+        dots = jnp.einsum(
+            "bd,bkd->bk", q, vecs, precision=DIST_PRECISION,
+            preferred_element_type=jnp.float32,
+        )
+        d = (
+            1.0 - dots
+            if metric != METRIC_L2
+            else qn[:, None] - 2.0 * dots + g.upper_sqnorms[safe]
+        )
+        return jnp.where(u_ids >= 0, d, jnp.inf)
+
+    B = q.shape[0]
+    cur = jnp.broadcast_to(g.entry_u, (B,)).astype(jnp.int32)
+    cur_d = dist_u(cur[:, None])[:, 0]
+    top = g.upper_adj.shape[1]
+    for level in range(top, 0, -1):
+
+        def cond(state):
+            return jnp.any(state[2])
+
+        def body(state, level=level):
+            cid, cdist, moved = state
+            nbrs = g.upper_adj[jnp.maximum(cid, 0), level - 1]  # (B, M)
+            nbrs = jnp.where(moved[:, None], nbrs, -1)
+            d = dist_u(nbrs)
+            j = jnp.argmin(d, axis=1)
+            bd = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+            bi = jnp.take_along_axis(nbrs, j[:, None], axis=1)[:, 0]
+            # (dist, global id) lexicographic tie-break (heap.hh:53-57)
+            bg = jnp.where(bi >= 0, g.upper_ids[jnp.maximum(bi, 0)], jnp.int32(2**31 - 1))
+            cg = g.upper_ids[jnp.maximum(cid, 0)]
+            better = ((bd < cdist) | ((bd == cdist) & (bg < cg))) & moved
+            return (
+                jnp.where(better, bi, cid),
+                jnp.where(better, bd, cdist),
+                better,
+            )
+
+        cur, cur_d, _ = jax.lax.while_loop(
+            cond, body, (cur, cur_d, jnp.ones(B, jnp.bool_))
+        )
+    return g.upper_ids[cur]
+
+
+def _owned_neighbor_rows(g: ShardedGraph, ids_all, rows_per_shard):
+    """Shard-local: neighbor rows for the globally-gathered frontier ids
+    this shard owns; zeros elsewhere (summed away by psum_scatter)."""
+    my = jax.lax.axis_index(SHARD_AXIS)
+    local = ids_all - my * rows_per_shard
+    mine = (ids_all >= 0) & (local >= 0) & (local < rows_per_shard)
+    rows = g.neighbors0[jnp.clip(local, 0, rows_per_shard - 1)]
+    # -1 pad must not leak a bogus 0 through the sum: map not-mine -> 0,
+    # and encode "no neighbor" as 0 contribution with a +1 bias
+    return jnp.where(mine[..., None], rows + 1, 0)
+
+
+def _owned_distances(g: ShardedGraph, q_all, qn_all, ids_all, rows_per_shard, metric):
+    """Shard-local distances for candidate ids this shard owns (0 elsewhere).
+
+    q_all is the replicated full query batch; position b of ids_all belongs
+    to query b, so the owner needs no extra routing information.
+    """
+    my = jax.lax.axis_index(SHARD_AXIS)
+    local = ids_all - my * rows_per_shard
+    mine = (ids_all >= 0) & (local >= 0) & (local < rows_per_shard)
+    safe = jnp.clip(local, 0, rows_per_shard - 1)
+    vecs = g.vectors[safe]  # (B, K, d)
+    dots = jnp.einsum(
+        "bd,bkd->bk", q_all, vecs, precision=DIST_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == METRIC_L2:
+        d = qn_all[:, None] - 2.0 * dots + g.vec_sqnorms[safe]
+    else:
+        d = 1.0 - dots
+    return jnp.where(mine, d, 0.0)
+
+
+class _ShardState(NamedTuple):
+    beam_d: jnp.ndarray
+    beam_i: jnp.ndarray
+    beam_e: jnp.ndarray
+    table: jnp.ndarray
+    step: jnp.ndarray
+    hops: jnp.ndarray
+
+
+def _sharded_search_spmd(
+    g: ShardedGraph,
+    queries,  # (B_loc, d) local slice
+    *,
+    sp: SearchParams,
+    metric: int,
+    rows_per_shard: int,
+    num_shards: int,
+):
+    """The shard_map body: every chip runs this over its query slice."""
+    q = queries.astype(jnp.float32)
+    B_loc = q.shape[0]
+    qn = squared_norms(q) if metric == METRIC_L2 else jnp.zeros(B_loc, jnp.float32)
+
+    # replicate the query batch once; per-step exchanges are then int32/f32
+    # lanes only (see module docstring)
+    q_all = jax.lax.all_gather(q, SHARD_AXIS).reshape(num_shards * B_loc, -1)
+    qn_all = jax.lax.all_gather(qn, SHARD_AXIS).reshape(num_shards * B_loc)
+
+    ep = _upper_descent(g, q, qn, metric)  # (B_loc,) global ids
+
+    # entry distance via the owner-compute exchange
+    ep_all = jax.lax.all_gather(ep, SHARD_AXIS).reshape(-1, 1)
+    ep_d = jax.lax.psum_scatter(
+        _owned_distances(g, q_all, qn_all, ep_all, rows_per_shard, metric),
+        SHARD_AXIS,
+        scatter_dimension=0,
+        tiled=True,
+    )[:, 0]
+
+    beam = beam_init(B_loc, sp.ef)
+    table = hashset_init(B_loc, sp.visited_size)
+    table, _ = hashset_check_insert(table, ep[:, None], probes=sp.probes)
+    beam = beam_merge(beam, ep_d[:, None], ep[:, None])
+
+    def cond(s: _ShardState):
+        from shine_tpu.ops.beam import Beam
+
+        _, _, active = beam_frontier(Beam(s.beam_d, s.beam_i, s.beam_e))
+        any_active = jax.lax.psum(jnp.any(active).astype(jnp.int32), SHARD_AXIS)
+        return (any_active > 0) & (s.step < sp.max_steps)
+
+    def body(s: _ShardState):
+        from shine_tpu.ops.beam import Beam
+
+        beam = Beam(s.beam_d, s.beam_i, s.beam_e)
+        slot, fid, active = beam_frontier(beam)
+        beam = beam_mark_expanded(beam, slot, active)
+        fid = jnp.where(active, fid, -1)
+
+        # exchange 1: frontier neighborlists from the owning shards
+        fid_all = jax.lax.all_gather(fid, SHARD_AXIS).reshape(-1)  # (B,)
+        nbr_rows = _owned_neighbor_rows(g, fid_all, rows_per_shard)  # (B, 2M)
+        nbrs = (
+            jax.lax.psum_scatter(
+                nbr_rows, SHARD_AXIS, scatter_dimension=0, tiled=True
+            )
+            - 1
+        )  # undo +1 bias: 0 -> -1 (pad / inactive)
+
+        table, is_new = hashset_check_insert(s.table, nbrs, probes=sp.probes)
+        cand = jnp.where(is_new, nbrs, -1)
+
+        # exchange 2: candidate distances computed at the owners
+        cand_all = jax.lax.all_gather(cand, SHARD_AXIS).reshape(
+            num_shards * B_loc, -1
+        )
+        d_all = _owned_distances(g, q_all, qn_all, cand_all, rows_per_shard, metric)
+        d = jax.lax.psum_scatter(
+            d_all, SHARD_AXIS, scatter_dimension=0, tiled=True
+        )
+        d = jnp.where(cand >= 0, d, jnp.inf)
+
+        beam = beam_merge(beam, d, cand)
+        return _ShardState(
+            beam.dists, beam.ids, beam.expanded, table, s.step + 1, s.hops + active
+        )
+
+    init = _ShardState(
+        beam.dists,
+        beam.ids,
+        beam.expanded,
+        table,
+        jnp.int32(0),
+        jnp.zeros(B_loc, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.beam_i[:, : sp.k], out.beam_d[:, : sp.k], out.hops
+
+
+def make_sharded_search(mesh: Mesh, sp: SearchParams, metric: int, n_padded: int):
+    """Build the jitted SPMD search for a given mesh/params (compiled once
+    per (batch shape, params))."""
+    S = mesh.devices.size
+    sp = sp.resolved()
+    rows_per_shard = n_padded // S
+
+    @jax.jit
+    def run(g: ShardedGraph, queries: jnp.ndarray):
+        fn = jax.shard_map(
+            partial(
+                _sharded_search_spmd,
+                sp=sp,
+                metric=metric,
+                rows_per_shard=rows_per_shard,
+                num_shards=S,
+            ),
+            mesh=mesh,
+            in_specs=(
+                ShardedGraph(
+                    vectors=P(SHARD_AXIS),
+                    vec_sqnorms=P(SHARD_AXIS),
+                    neighbors0=P(SHARD_AXIS),
+                    upper_ids=P(),
+                    upper_vecs=P(),
+                    upper_sqnorms=P(),
+                    upper_adj=P(),
+                    entry_u=P(),
+                ),
+                P(SHARD_AXIS),
+            ),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+            check_vma=False,
+        )
+        return fn(g, queries)
+
+    return run
+
+
+class ShardedIndex:
+    """Multi-chip index: host/native build + SPMD sharded search.
+
+    The TPU stand-in for the full CN+MN cluster (compute_node.cc +
+    memory_node.hh): `mesh` plays the cluster, shards play MNs, query
+    slices play CNs.
+    """
+
+    def __init__(self, graph: GraphSoA, mesh: Mesh):
+        self.graph = graph
+        self.mesh = mesh
+        self.device = shard_graph(graph, mesh)
+        self.metric = graph.params.metric_id
+        self._runs: dict = {}
+
+    def search(
+        self,
+        queries: np.ndarray,
+        search_params: SearchParams | None = None,
+        *,
+        batch_size: int = 4096,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        sp = (search_params or SearchParams()).resolved()
+        S = self.mesh.devices.size
+        batch_size = -(-batch_size // S) * S
+        nq, d = queries.shape
+        out_i = np.empty((nq, sp.k), dtype=np.int32)
+        out_d = np.empty((nq, sp.k), dtype=np.float32)
+        key = (sp, batch_size)
+        if key not in self._runs:
+            self._runs[key] = make_sharded_search(
+                self.mesh, sp, self.metric, self.device.n_padded
+            )
+        run = self._runs[key]
+        qsh = NamedSharding(self.mesh, P(SHARD_AXIS))
+        for lo in range(0, nq, batch_size):
+            hi = min(lo + batch_size, nq)
+            chunk = queries[lo:hi].astype(np.float32)
+            if hi - lo < batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - (hi - lo), d), np.float32)]
+                )
+            ids, dd, _ = run(self.device, jax.device_put(jnp.asarray(chunk), qsh))
+            out_i[lo:hi] = np.asarray(ids)[: hi - lo]
+            out_d[lo:hi] = np.asarray(dd)[: hi - lo]
+        return out_i, out_d

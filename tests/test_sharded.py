@@ -1,0 +1,76 @@
+"""Multi-chip sharded search on the virtual 8-device CPU mesh (SURVEY.md §4:
+deterministic single-host multi-shard tests via
+xla_force_host_platform_device_count)."""
+
+import jax
+import numpy as np
+import pytest
+
+from shine_tpu.config import HNSWParams, SearchParams
+from shine_tpu.graph import build_graph
+from shine_tpu.io import recall_at_k
+from shine_tpu.models import HNSWIndex
+from shine_tpu.parallel import ShardedIndex, shard_mesh
+from shine_tpu.parallel.sharded import build_upper_tables
+
+
+@pytest.fixture(scope="module")
+def ds():
+    from shine_tpu.io import synthetic_dataset
+
+    return synthetic_dataset(n=4000, dim=32, num_queries=128, seed=11)
+
+
+@pytest.fixture(scope="module")
+def graph(ds):
+    return build_graph(ds.base, HNSWParams(M=16, ef_construction=100), threads=8)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_upper_tables_roundtrip(graph):
+    upper_ids, adj_u, entry_u = build_upper_tables(graph)
+    assert (graph.levels[upper_ids] >= 1).all()
+    assert upper_ids[entry_u] == graph.entry_point
+    # every u-index edge maps back to a global edge in the original table
+    U = len(upper_ids)
+    assert adj_u.max() < U
+    valid = adj_u >= 0
+    back = np.where(valid, upper_ids[np.clip(adj_u, 0, U - 1)], -1)
+    rows = graph.upper_row[upper_ids]
+    np.testing.assert_array_equal(
+        np.where(valid, back, -1), np.where(valid, graph.upper_neighbors[rows], -1)
+    )
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_recall(ds, graph, n_shards):
+    mesh = shard_mesh(n_shards)
+    idx = ShardedIndex(graph, mesh)
+    ids, dists = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r > 0.95, r
+    assert np.all(np.diff(dists, axis=1) >= -1e-5)
+
+
+def test_sharded_matches_single_chip(ds, graph):
+    """Sharding is a pure layout change: results must equal the single-chip
+    batched search (same beam, same tie-breaks)."""
+    sp = SearchParams(k=10, ef=64)
+    single = HNSWIndex(graph)
+    s_ids, _ = single.search(ds.queries, sp, batch_size=64)
+    mesh = shard_mesh(4)
+    sharded = ShardedIndex(graph, mesh)
+    m_ids, _ = sharded.search(ds.queries, sp, batch_size=64)
+    agree = (s_ids == m_ids).mean()
+    assert agree > 0.999, agree
+
+
+def test_sharded_tail_padding(ds, graph):
+    mesh = shard_mesh(8)
+    idx = ShardedIndex(graph, mesh)
+    ids_a, _ = idx.search(ds.queries[:50], SearchParams(k=5, ef=32), batch_size=64)
+    ids_b, _ = idx.search(ds.queries[:50], SearchParams(k=5, ef=32), batch_size=128)
+    np.testing.assert_array_equal(ids_a, ids_b)
