@@ -64,26 +64,28 @@ class SearchParams:
     """Query-time parameters.
 
     ef: beam width of the layer-0 best-first search
-    (reference hnsw.hh:253-307); k: result count; max_steps bounds the
-    fixed-shape traversal loop (a query terminates early when its beam has
-    no unexpanded candidate, matching the reference termination rule at
+    (reference hnsw.hh:253-307); k: result count; frontier: how many
+    unexpanded beam entries are expanded per traversal step (the batching
+    analogue of the reference's in-flight coroutines, scheduler.hh:42-96 —
+    1 is strict best-first, larger trades extra distance computations for
+    ~frontier x fewer sequential steps); max_steps bounds the fixed-shape
+    traversal loop (a query terminates early when its beam has no
+    unexpanded candidate, matching the reference termination rule at
     hnsw.hh:424-426).
     """
 
     k: int = 10
     ef: int = 128
-    max_steps: int = 0  # 0 -> auto (2*ef + 8)
-    visited_size: int = 0  # 0 -> auto; power-of-two hash table slots/query
-    probes: int = 8  # linear-probe length in the visited hash set
+    frontier: int = 4
+    max_steps: int = 0  # 0 -> auto
 
     def resolved(self) -> "SearchParams":
-        ms = self.max_steps or (2 * self.ef + 8)
-        vs = self.visited_size or _next_pow2(max(4096, 64 * self.ef))
-        if vs & (vs - 1):
-            raise ValueError("visited_size must be a power of two")
+        if self.frontier < 1:
+            raise ValueError("frontier must be >= 1")
+        ms = self.max_steps or (2 * ((self.ef + 31) // self.frontier) + 8)
         if self.k > self.ef:
             raise ValueError("k must be <= ef")
-        return dataclasses.replace(self, max_steps=ms, visited_size=vs)
+        return dataclasses.replace(self, max_steps=ms)
 
 
 def _next_pow2(x: int) -> int:

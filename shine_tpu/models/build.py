@@ -50,9 +50,13 @@ import numpy as np
 
 from shine_tpu.config import METRIC_L2, HNSWParams
 from shine_tpu.graph.soa import GraphSoA
-from shine_tpu.ops.beam import beam_frontier, beam_init, beam_mark_expanded, beam_merge
+from shine_tpu.ops.beam import (
+    beam_frontier_multi,
+    beam_init,
+    beam_mark_expanded,
+    beam_merge,
+)
 from shine_tpu.ops.distance import DIST_PRECISION, squared_norms
-from shine_tpu.ops.hashset import hashset_check_insert, hashset_init
 
 
 class BuildState(NamedTuple):
@@ -189,48 +193,51 @@ def select_heuristic(
 
 
 def _search_level(
-    st: BuildState, q, qn, ep_ids, ep_dists, level, ef, visited_size, probes, metric
+    st: BuildState, q, qn, ep_ids, ep_dists, level, ef, frontier, metric
 ):
     """Best-first beam on one level of the current graph. level is a traced
-    int32 (0 = layer0). Returns a Beam of the ef closest."""
+    int32 (0 = layer0). Returns a Beam of the ef closest. Visited-set-free:
+    dedup happens in beam_merge (ops/beam.py)."""
     B = q.shape[0]
+    E = frontier
     beam = beam_init(B, ef)
-    table = hashset_init(B, visited_size)
-    table, _ = hashset_check_insert(table, ep_ids[:, None], probes=probes)
     beam = beam_merge(beam, ep_dists[:, None], ep_ids[:, None])
     K0 = st.neighbors0.shape[1]
+    M_up = st.upper_neighbors.shape[2]
 
-    def get_nbrs(fid):
+    def get_nbrs(fids):  # (B, E) -> (B, E, 2M)
+        flat = fids.reshape(-1)
+
         def upper(_):
-            nb = _neighbors_at(st, fid, jnp.maximum(level - 1, 0))
-            pad = jnp.full((B, K0 - nb.shape[1]), -1, nb.dtype)
-            return jnp.concatenate([nb, pad], axis=1)
+            nb = _neighbors_at(st, flat, jnp.maximum(level - 1, 0))
+            nb = nb.reshape(B, E, M_up)
+            pad = jnp.full((B, E, K0 - M_up), -1, nb.dtype)
+            return jnp.concatenate([nb, pad], axis=2)
 
         def l0(_):
-            return st.neighbors0[jnp.maximum(fid, 0)]
+            return st.neighbors0[jnp.maximum(flat, 0)].reshape(B, E, K0)
 
         return jax.lax.cond(level > 0, upper, l0, None)
 
-    max_steps = 2 * ef + 8
+    max_steps = 2 * ((ef + E - 1) // E) + 8
 
     def cond(s):
-        beam, _, step = s
-        _, _, active = beam_frontier(beam)
-        return jnp.any(active) & (step < max_steps)
+        beam, step = s
+        return (~jnp.all(beam.expanded)) & (step < max_steps)
 
     def body(s):
-        beam, table, step = s
-        slot, fid, active = beam_frontier(beam)
-        beam = beam_mark_expanded(beam, slot, active)
-        nbrs = get_nbrs(fid)
-        nbrs = jnp.where(active[:, None] & (nbrs < st.count), nbrs, -1)
-        table, is_new = hashset_check_insert(table, nbrs, probes=probes)
-        cand = jnp.where(is_new, nbrs, -1)
-        d = _dists(st, q, qn, cand, metric)
-        beam = beam_merge(beam, d, cand)
-        return beam, table, step + 1
+        beam, step = s
+        slots, fids, active = beam_frontier_multi(beam, E)
+        beam = beam_mark_expanded(beam, slots, active)
+        nbrs = get_nbrs(fids)
+        nbrs = jnp.where(
+            active[:, :, None] & (nbrs < st.count), nbrs, -1
+        ).reshape(B, -1)
+        d = _dists(st, q, qn, nbrs, metric)
+        beam = beam_merge(beam, d, nbrs)
+        return beam, step + 1
 
-    beam, _, _ = jax.lax.while_loop(cond, body, (beam, table, jnp.int32(0)))
+    beam, _ = jax.lax.while_loop(cond, body, (beam, jnp.int32(0)))
     return beam
 
 
@@ -427,16 +434,14 @@ def _write_own_upper(st: BuildState, ids, sel, n_sel, lvl_m1, participate):
 
 def _link_level(
     st: BuildState, ids, q, qn, ep, ep_d, lvl, participate, M_out, metric,
-    ef, visited_size, probes, max_add,
+    ef, frontier, max_add,
 ):
     """Search + select + write own adjacency + reverse edges for one level.
 
     lvl is traced (0 = layer 0). Returns (st, next ep, next ep_d)."""
     B = q.shape[0]
     ep_in = jnp.where(participate, ep, -1)
-    beam = _search_level(
-        st, q, qn, ep_in, ep_d, lvl, ef, visited_size, probes, metric
-    )
+    beam = _search_level(st, q, qn, ep_in, ep_d, lvl, ef, frontier, metric)
     cand = jnp.where(participate[:, None], beam.ids, -1)
     cvecs = st.vectors[jnp.maximum(cand, 0)]
     csq = st.vec_sqnorms[jnp.maximum(cand, 0)]
@@ -490,15 +495,14 @@ def _link_level(
 
 @partial(
     jax.jit,
-    static_argnames=("ef", "visited_size", "probes", "max_add", "metric", "B_up"),
+    static_argnames=("ef", "frontier", "max_add", "metric", "B_up"),
 )
 def insert_round(
     st: BuildState,
     batch_ids: jnp.ndarray,  # (B,) = count..count+B-1, -1 pad allowed
     *,
     ef: int,
-    visited_size: int,
-    probes: int,
+    frontier: int,
     max_add: int,
     metric: int,
     B_up: int,
@@ -538,7 +542,7 @@ def insert_round(
             jnp.any(participate),
             lambda c: _link_level(
                 c[0], up_ids, uq, uqn, c[1], c[2], lvl, participate,
-                M_up, metric, ef, visited_size, probes, max_add,
+                M_up, metric, ef, frontier, max_add,
             ),
             lambda c: c,
             (s, e, ed),
@@ -556,7 +560,7 @@ def insert_round(
     M_l0 = M_up  # reference writes M selected neighbors at every level
     st, _, _ = _link_level(
         st, batch_ids, q, qn, ep, ep_d, jnp.int32(0), valid,
-        M_l0, metric, ef, visited_size, probes, max_add,
+        M_l0, metric, ef, frontier, max_add,
     )
 
     # --- entry point / top level update (deterministic CAS replacement) ---
@@ -592,7 +596,6 @@ def device_build_graph(
     n = vectors.shape[0]
     st = init_build_state(vectors, params, level_cap=level_cap)
     ef = ef or params.ef_construction
-    visited_size = 1 << max(12, (64 * ef - 1).bit_length())
     metric = params.metric_id
 
     count = 1
@@ -606,8 +609,7 @@ def device_build_graph(
             st,
             jnp.asarray(ids),
             ef=ef,
-            visited_size=visited_size,
-            probes=8,
+            frontier=4,
             max_add=2 * params.M,
             metric=metric,
             B_up=B_up,

@@ -28,13 +28,12 @@ from shine_tpu.config import METRIC_L2, HNSWParams, SearchParams
 from shine_tpu.graph.soa import GraphSoA
 from shine_tpu.ops.beam import (
     Beam,
-    beam_frontier,
+    beam_frontier_multi,
     beam_init,
     beam_mark_expanded,
     beam_merge,
 )
 from shine_tpu.ops.distance import candidate_distance, squared_norms
-from shine_tpu.ops.hashset import hashset_check_insert, hashset_init
 
 
 class DeviceGraph(NamedTuple):
@@ -129,7 +128,6 @@ def _greedy_descent(
 
 class _BeamState(NamedTuple):
     beam: Beam
-    table: jnp.ndarray
     step: jnp.ndarray
     hops: jnp.ndarray  # (B,) expansions per query (distcomp-style counter)
 
@@ -143,27 +141,23 @@ def _beam_search_l0(
     metric: int,
 ) -> tuple[Beam, jnp.ndarray]:
     B = q.shape[0]
+    E = sp.frontier
     beam = beam_init(B, sp.ef)
-    table = hashset_init(B, sp.visited_size)
-    table, _ = hashset_check_insert(table, ep_id[:, None], probes=sp.probes)
     beam = beam_merge(beam, ep_dist[:, None], ep_id[:, None])
 
     def cond(s: _BeamState):
-        _, _, active = beam_frontier(s.beam)
-        return jnp.any(active) & (s.step < sp.max_steps)
+        return (~jnp.all(s.beam.expanded)) & (s.step < sp.max_steps)
 
     def body(s: _BeamState):
-        slot, fid, active = beam_frontier(s.beam)
-        beam = beam_mark_expanded(s.beam, slot, active)
-        nbrs = g.neighbors0[jnp.maximum(fid, 0)]  # (B, 2M)
-        nbrs = jnp.where(active[:, None], nbrs, -1)
-        table, is_new = hashset_check_insert(s.table, nbrs, probes=sp.probes)
-        cand = jnp.where(is_new, nbrs, -1)
-        d = _dist_to(g, q, cand, metric)
-        beam = beam_merge(beam, d, cand)
-        return _BeamState(beam, table, s.step + 1, s.hops + active)
+        slots, fids, active = beam_frontier_multi(s.beam, E)
+        beam = beam_mark_expanded(s.beam, slots, active)
+        nbrs = g.neighbors0[jnp.maximum(fids, 0)]  # (B, E, 2M)
+        nbrs = jnp.where(active[:, :, None], nbrs, -1).reshape(B, -1)
+        d = _dist_to(g, q, nbrs, metric)
+        beam = beam_merge(beam, d, nbrs)
+        return _BeamState(beam, s.step + 1, s.hops + active.sum(axis=1))
 
-    init = _BeamState(beam, table, jnp.int32(0), jnp.zeros(B, jnp.int32))
+    init = _BeamState(beam, jnp.int32(0), jnp.zeros(B, jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
     return out.beam, out.hops
 

@@ -50,6 +50,41 @@ def pairwise_distance(
     return qn[:, None] - 2.0 * dots + pn[None, :]
 
 
+def rerank_topk(
+    vectors: jnp.ndarray,  # (N, d) f32
+    sqnorms: jnp.ndarray,  # (N,) f32
+    queries: jnp.ndarray,  # (..., d) f32
+    cand_ids: jnp.ndarray,  # (..., K) i32, -1 pad
+    k: int,
+    metric: int = METRIC_L2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact f32 re-ranking of K candidates down to k.
+
+    The recall-recovery step after a bf16 MXU scan: bf16 rounding can
+    reorder near-ties, so scans over-retrieve K = O(4k) and this picks the
+    true top-k at full precision. Returns (dists (..., k), ids (..., k))
+    sorted ascending with the (dist, id) tie-break (reference
+    heap.hh:53-57)."""
+    q = queries.astype(jnp.float32)
+    safe = jnp.maximum(cand_ids, 0)
+    cv = vectors[safe]
+    dots = jnp.einsum(
+        "...d,...kd->...k", q, cv, precision=DIST_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == METRIC_IP:
+        d = 1.0 - dots
+    else:
+        qn = jnp.sum(q * q, axis=-1)
+        d = qn[..., None] - 2.0 * dots + sqnorms[safe]
+    d = jnp.where(cand_ids >= 0, d, jnp.inf)
+    key_i = jnp.where(cand_ids < 0, jnp.int32(2**31 - 1), cand_ids)
+    d, _, ids = jax.lax.sort(
+        (d, key_i, cand_ids), dimension=-1, num_keys=2
+    )
+    return d[..., :k], ids[..., :k]
+
+
 def candidate_distance(
     queries: jnp.ndarray,  # (B, d)
     cand_vecs: jnp.ndarray,  # (B, K, d) gathered candidate rows

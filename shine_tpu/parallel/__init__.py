@@ -1,4 +1,6 @@
 from shine_tpu.parallel.mesh import SHARD_AXIS, shard_mesh
+from shine_tpu.parallel.placement import Placement, kmeans
+from shine_tpu.parallel.router import QueryRouter
 from shine_tpu.parallel.sharded import (
     ShardedGraph,
     ShardedIndex,
@@ -8,6 +10,9 @@ from shine_tpu.parallel.sharded import (
 
 __all__ = [
     "SHARD_AXIS",
+    "Placement",
+    "kmeans",
+    "QueryRouter",
     "shard_mesh",
     "ShardedGraph",
     "ShardedIndex",

@@ -40,9 +40,13 @@ from jax.sharding import PartitionSpec as P
 
 from shine_tpu.config import METRIC_L2, SearchParams
 from shine_tpu.graph.soa import GraphSoA
-from shine_tpu.ops.beam import beam_frontier, beam_init, beam_mark_expanded, beam_merge
+from shine_tpu.ops.beam import (
+    beam_frontier_multi,
+    beam_init,
+    beam_mark_expanded,
+    beam_merge,
+)
 from shine_tpu.ops.distance import DIST_PRECISION, squared_norms
-from shine_tpu.ops.hashset import hashset_check_insert, hashset_init
 from shine_tpu.parallel.mesh import SHARD_AXIS
 
 
@@ -226,7 +230,6 @@ class _ShardState(NamedTuple):
     beam_d: jnp.ndarray
     beam_i: jnp.ndarray
     beam_e: jnp.ndarray
-    table: jnp.ndarray
     step: jnp.ndarray
     hops: jnp.ndarray
 
@@ -261,38 +264,35 @@ def _sharded_search_spmd(
         tiled=True,
     )[:, 0]
 
+    E = sp.frontier
     beam = beam_init(B_loc, sp.ef)
-    table = hashset_init(B_loc, sp.visited_size)
-    table, _ = hashset_check_insert(table, ep[:, None], probes=sp.probes)
     beam = beam_merge(beam, ep_d[:, None], ep[:, None])
 
     def cond(s: _ShardState):
-        from shine_tpu.ops.beam import Beam
-
-        _, _, active = beam_frontier(Beam(s.beam_d, s.beam_i, s.beam_e))
-        any_active = jax.lax.psum(jnp.any(active).astype(jnp.int32), SHARD_AXIS)
-        return (any_active > 0) & (s.step < sp.max_steps)
+        done = jnp.all(s.beam_e)
+        all_done = jax.lax.psum(done.astype(jnp.int32), SHARD_AXIS)
+        return (all_done < num_shards) & (s.step < sp.max_steps)
 
     def body(s: _ShardState):
         from shine_tpu.ops.beam import Beam
 
         beam = Beam(s.beam_d, s.beam_i, s.beam_e)
-        slot, fid, active = beam_frontier(beam)
-        beam = beam_mark_expanded(beam, slot, active)
-        fid = jnp.where(active, fid, -1)
+        slots, fids, active = beam_frontier_multi(beam, E)  # (B_loc, E)
+        beam = beam_mark_expanded(beam, slots, active)
 
         # exchange 1: frontier neighborlists from the owning shards
-        fid_all = jax.lax.all_gather(fid, SHARD_AXIS).reshape(-1)  # (B,)
-        nbr_rows = _owned_neighbor_rows(g, fid_all, rows_per_shard)  # (B, 2M)
+        fid_all = jax.lax.all_gather(fids, SHARD_AXIS).reshape(-1, E)  # (B, E)
+        nbr_rows = _owned_neighbor_rows(g, fid_all, rows_per_shard)  # (B, E, 2M)
         nbrs = (
             jax.lax.psum_scatter(
-                nbr_rows, SHARD_AXIS, scatter_dimension=0, tiled=True
+                nbr_rows.reshape(fid_all.shape[0], -1),
+                SHARD_AXIS,
+                scatter_dimension=0,
+                tiled=True,
             )
             - 1
-        )  # undo +1 bias: 0 -> -1 (pad / inactive)
-
-        table, is_new = hashset_check_insert(s.table, nbrs, probes=sp.probes)
-        cand = jnp.where(is_new, nbrs, -1)
+        )  # (B_loc, E*2M); undo +1 bias: 0 -> -1 (pad / inactive)
+        cand = nbrs
 
         # exchange 2: candidate distances computed at the owners
         cand_all = jax.lax.all_gather(cand, SHARD_AXIS).reshape(
@@ -306,14 +306,14 @@ def _sharded_search_spmd(
 
         beam = beam_merge(beam, d, cand)
         return _ShardState(
-            beam.dists, beam.ids, beam.expanded, table, s.step + 1, s.hops + active
+            beam.dists, beam.ids, beam.expanded, s.step + 1,
+            s.hops + active.sum(axis=1),
         )
 
     init = _ShardState(
         beam.dists,
         beam.ids,
         beam.expanded,
-        table,
         jnp.int32(0),
         jnp.zeros(B_loc, jnp.int32),
     )

@@ -1,0 +1,72 @@
+"""MXU-native index family: exact brute force (FlatIndex) and clustered
+IVF (IVFIndex) — recall vs the numpy oracle."""
+
+import numpy as np
+import pytest
+
+from shine_tpu.io import brute_force_knn, recall_at_k, synthetic_dataset
+from shine_tpu.models.flat import FlatIndex
+from shine_tpu.models.ivf import IVFIndex
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(n=6000, dim=32, num_queries=200, seed=13)
+
+
+def test_flat_exact_f32(ds):
+    idx = FlatIndex(ds.base)
+    ids, dists = idx.search(ds.queries, 10, chunk=2048, use_bf16=False)
+    assert recall_at_k(ids, ds.ground_truth, 10) == pytest.approx(1.0)
+    assert np.all(np.diff(dists, axis=1) >= -1e-5)
+
+
+def test_flat_bf16_reranked(ds):
+    idx = FlatIndex(ds.base)
+    ids, _ = idx.search(ds.queries, 10, chunk=2048, use_bf16=True)
+    # bf16 scan + f32 re-rank: near-exact
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.99
+
+
+def test_flat_ip_metric():
+    ds = synthetic_dataset(n=3000, dim=24, num_queries=64, seed=4, metric="ip")
+    idx = FlatIndex(ds.base, metric="ip")
+    ids, _ = idx.search(ds.queries, 10, chunk=1024, use_bf16=False)
+    assert recall_at_k(ids, ds.ground_truth, 10) == pytest.approx(1.0)
+
+
+def test_flat_tail_chunk(ds):
+    """N not divisible by chunk: tail must be masked, not read OOB."""
+    idx = FlatIndex(ds.base[:5000])
+    gt, _ = brute_force_knn(ds.base[:5000], ds.queries, 10)
+    ids, _ = idx.search(ds.queries, 10, chunk=4096, use_bf16=False)
+    assert recall_at_k(ids, gt, 10) == pytest.approx(1.0)
+
+
+def test_ivf_recall(ds):
+    idx = IVFIndex(ds.base, num_clusters=64, seed=7)
+    ids, dists = idx.search(ds.queries, 10, probes=8, tile=64)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r > 0.9, r
+    assert np.all(np.diff(dists, axis=1) >= -1e-2)
+
+
+def test_ivf_more_probes_higher_recall(ds):
+    idx = IVFIndex(ds.base, num_clusters=64, seed=7)
+    r = []
+    for p in (2, 8, 32):
+        ids, _ = idx.search(ds.queries, 10, probes=p, tile=64)
+        r.append(recall_at_k(ids, ds.ground_truth, 10))
+    assert r[0] <= r[1] <= r[2]
+    assert r[2] > 0.99
+
+
+def test_ivf_layout_partition(ds):
+    """Every base row appears exactly once across cluster blocks."""
+    idx = IVFIndex(ds.base, num_clusters=32, seed=7)
+    ids = np.asarray(idx.data.block_ids)
+    real = ids[ids >= 0]
+    assert sorted(real.tolist()) == list(range(len(ds.base)))
+    # capacity respected
+    per = (ids >= 0).sum(axis=1)
+    assert per.max() <= idx.data.cap

@@ -172,3 +172,77 @@ def test_u8bin_widens(tmp_path, rng):
     got = read_bin(p)
     assert got.dtype == np.float32
     np.testing.assert_array_equal(got, arr.astype(np.float32))
+
+
+class TestBeamDedupMultiFrontier:
+    def test_merge_dedups_duplicate_candidates(self):
+        import jax.numpy as jnp
+        from shine_tpu.ops.beam import beam_init, beam_merge
+
+        beam = beam_init(1, 4)
+        beam = beam_merge(
+            beam,
+            jnp.array([[1.0, 1.0, 2.0, 2.0]]),
+            jnp.array([[7, 7, 9, 9]], dtype=jnp.int32),
+        )
+        assert beam.ids[0].tolist() == [7, 9, -1, -1]
+
+    def test_merge_keeps_expanded_flag_of_duplicate(self):
+        """Re-discovering an already-expanded in-beam node must not reset
+        its expanded flag (the no-revisit guarantee)."""
+        import jax.numpy as jnp
+        from shine_tpu.ops.beam import beam_init, beam_mark_expanded, beam_merge
+
+        beam = beam_init(1, 4)
+        beam = beam_merge(
+            beam, jnp.array([[1.0]]), jnp.array([[7]], dtype=jnp.int32)
+        )
+        beam = beam_mark_expanded(
+            beam, jnp.array([0], dtype=jnp.int32), jnp.array([True])
+        )
+        beam = beam_merge(
+            beam, jnp.array([[1.0, 3.0]]), jnp.array([[7, 8]], dtype=jnp.int32)
+        )
+        assert beam.ids[0].tolist() == [7, 8, -1, -1]
+        assert bool(beam.expanded[0, 0])  # 7 stays expanded
+        assert not bool(beam.expanded[0, 1])
+
+    def test_evicted_node_cannot_reenter(self):
+        """Monotone beam: once evicted, a node is worse than the ef-th
+        entry forever, so merging it again must not displace anything."""
+        import jax.numpy as jnp
+        from shine_tpu.ops.beam import beam_init, beam_merge
+
+        beam = beam_init(1, 2)
+        beam = beam_merge(
+            beam, jnp.array([[1.0, 2.0, 9.0]]), jnp.array([[1, 2, 3]], dtype=jnp.int32)
+        )  # 3 evicted
+        beam = beam_merge(beam, jnp.array([[9.0]]), jnp.array([[3]], dtype=jnp.int32))
+        assert beam.ids[0].tolist() == [1, 2]
+
+    def test_frontier_multi_picks_nearest_unexpanded(self):
+        import jax.numpy as jnp
+        from shine_tpu.ops.beam import Beam, beam_frontier_multi
+
+        beam = Beam(
+            dists=jnp.array([[1.0, 2.0, 3.0, 4.0]]),
+            ids=jnp.array([[10, 11, 12, 13]], dtype=jnp.int32),
+            expanded=jnp.array([[True, False, True, False]]),
+        )
+        slots, fids, active = beam_frontier_multi(beam, 2)
+        assert slots[0].tolist() == [1, 3]
+        assert fids[0].tolist() == [11, 13]
+        assert active[0].tolist() == [True, True]
+
+    def test_frontier_multi_partial(self):
+        import jax.numpy as jnp
+        from shine_tpu.ops.beam import Beam, beam_frontier_multi
+
+        beam = Beam(
+            dists=jnp.array([[1.0, 2.0]]),
+            ids=jnp.array([[10, 11]], dtype=jnp.int32),
+            expanded=jnp.array([[True, False]]),
+        )
+        _, fids, active = beam_frontier_multi(beam, 4)
+        assert fids[0].tolist() == [11, -1, -1, -1]
+        assert active[0].tolist() == [True, False, False, False]
