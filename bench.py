@@ -1,16 +1,22 @@
-"""Headline benchmark: single-chip batched k-NN search QPS at recall@10>=0.95.
+"""Headline benchmark: single-chip k-NN QPS at the reference's recall
+operating point (recall@10 >= 0.95, scripts/datasets.py:12-20).
 
 Mirrors the reference's primary metric `queries.queries_per_sec` = total
-queries / query wall time (/root/reference/src/compute_node.cc:554-556) at
-its recall operating point (~95% recall@10, scripts/datasets.py:12-20).
+queries / query wall time (/root/reference/src/compute_node.cc:554-556).
+
+The flagship index is the MXU-native FlatIndex (exact, recall 1.0): on TPU
+a dense bf16 distance scan + f32 re-rank outruns graph traversal up to
+~10M rows/chip (see shine_tpu/models/flat.py). The HNSW path (reference
+parity) and IVF (clustered pruning) are measured too and reported on
+stderr; the headline line is the best QPS among configs meeting the recall
+floor.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is QPS relative to the BASELINE.md north-star of 100k QPS/chip
 at recall@10 = 0.95.
 
-Env knobs: SHINE_BENCH_N (base size), SHINE_BENCH_D (dim),
-SHINE_BENCH_Q (queries), SHINE_BENCH_EF, SHINE_BENCH_BATCH.
-The built graph is cached under .bench_cache/ so repeat runs skip the build.
+Env knobs: SHINE_BENCH_N, SHINE_BENCH_D, SHINE_BENCH_Q, SHINE_BENCH_EF,
+SHINE_BENCH_BATCH, SHINE_BENCH_SKIP_HNSW=1.
 """
 
 from __future__ import annotations
@@ -34,8 +40,25 @@ from shine_tpu.io import (  # noqa: E402
     synthetic_dataset,
 )
 from shine_tpu.models import HNSWIndex  # noqa: E402
+from shine_tpu.models.flat import FlatIndex  # noqa: E402
+from shine_tpu.models.ivf import IVFIndex  # noqa: E402
 
 BASELINE_QPS = 100_000.0  # BASELINE.md north-star: >=100k QPS/chip @ r@10=0.95
+RECALL_FLOOR = 0.95
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def time_search(fn, nq: int, reps: int = 3) -> tuple[float, np.ndarray]:
+    ids, _ = fn()  # compile + warmup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ids, _ = fn()
+        best = min(best, time.perf_counter() - t0)
+    return nq / best, ids
 
 
 def main() -> None:
@@ -44,46 +67,66 @@ def main() -> None:
     nq = int(os.environ.get("SHINE_BENCH_Q", 10_000))
     ef = int(os.environ.get("SHINE_BENCH_EF", 96))
     batch = int(os.environ.get("SHINE_BENCH_BATCH", 2048))
-    params = HNSWParams(M=16, ef_construction=200)
+    skip_hnsw = os.environ.get("SHINE_BENCH_SKIP_HNSW", "") == "1"
 
-    ds = synthetic_dataset(
-        n=n, dim=d, num_queries=nq, seed=7, gt_k=10, compute_gt=True
+    ds = synthetic_dataset(n=n, dim=d, num_queries=nq, seed=7, gt_k=10)
+    results = []  # (name, qps, recall)
+
+    # --- flagship: exact MXU brute force ---
+    flat = FlatIndex(ds.base)
+    qps, ids = time_search(
+        lambda: flat.search(ds.queries, 10, batch_size=batch), nq
     )
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-    ckpt = index_path(cache_dir, ds.name, params)
-    if os.path.exists(ckpt):
-        graph = load_graph(ckpt)
-    else:
-        t0 = time.perf_counter()
-        graph = build_graph(ds.base, params)
-        build_s = time.perf_counter() - t0
-        print(f"# built {n}x{d} in {build_s:.1f}s", file=sys.stderr)
-        save_graph(graph, ckpt)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    log(f"# flat: qps={qps:.0f} recall@10={r:.4f}")
+    results.append(("flat", qps, r))
 
-    index = HNSWIndex(graph)
-    sp = SearchParams(k=10, ef=ef)
+    # --- IVF (clustered pruning) ---
+    try:
+        ivf = IVFIndex(ds.base, seed=7)
+        for probes in (8, 16, 32):
+            qps, ids = time_search(
+                lambda p=probes: ivf.search(ds.queries, 10, probes=p, tile=256), nq
+            )
+            r = recall_at_k(ids, ds.ground_truth, 10)
+            log(f"# ivf p={probes}: qps={qps:.0f} recall@10={r:.4f}")
+            results.append((f"ivf{probes}", qps, r))
+    except Exception as e:  # keep the bench robust
+        log(f"# ivf failed: {e!r}")
 
-    # compile + warmup
-    index.search(ds.queries[:batch], sp, batch_size=batch)
+    # --- HNSW (reference-parity path) ---
+    if not skip_hnsw:
+        try:
+            params = HNSWParams(M=16, ef_construction=200)
+            cache_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
+            )
+            ckpt = index_path(cache_dir, ds.name, params)
+            if os.path.exists(ckpt):
+                graph = load_graph(ckpt)
+            else:
+                graph = build_graph(ds.base, params)
+                save_graph(graph, ckpt)
+            hnsw = HNSWIndex(graph)
+            sp = SearchParams(k=10, ef=ef, frontier=8)
+            qps, ids = time_search(
+                lambda: hnsw.search(ds.queries, sp, batch_size=batch), nq
+            )
+            r = recall_at_k(ids, ds.ground_truth, 10)
+            log(f"# hnsw ef={ef}: qps={qps:.0f} recall@10={r:.4f}")
+            results.append(("hnsw", qps, r))
+        except Exception as e:
+            log(f"# hnsw failed: {e!r}")
 
-    best_qps = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ids, _ = index.search(ds.queries, sp, batch_size=batch)
-        dt = time.perf_counter() - t0
-        best_qps = max(best_qps, nq / dt)
-    recall = recall_at_k(ids, ds.ground_truth, 10)
-    print(
-        f"# recall@10={recall:.4f} qps={best_qps:.0f} n={n} d={d} ef={ef}",
-        file=sys.stderr,
-    )
+    ok = [x for x in results if x[2] >= RECALL_FLOOR]
+    name, qps, r = max(ok or results, key=lambda x: x[1])
     print(
         json.dumps(
             {
-                "metric": f"qps_per_chip@recall10={recall:.3f}",
-                "value": round(best_qps, 1),
+                "metric": f"qps_per_chip[{name}]@recall10={r:.3f}",
+                "value": round(qps, 1),
                 "unit": "queries/s",
-                "vs_baseline": round(best_qps / BASELINE_QPS, 3),
+                "vs_baseline": round(qps / BASELINE_QPS, 3),
             }
         )
     )

@@ -1,0 +1,203 @@
+"""Command-line entry point.
+
+The reference's single `shine` binary with boost::program_options flags
+(/root/reference/src/main.cc, src/common/configuration.hh:56-113) becomes
+`python -m shine_tpu` — one process drives the whole mesh (there is no
+CN/MN role split on TPU; `--shards` sizes the device mesh). Flag names
+follow the reference where the concept carries over:
+
+  --data-path --query-suffix --ip-dist -k -m --ef-construction
+  --ef-search --store-index --load-index --no-recall --label --seed
+  --cache --cache-ratio --routing
+
+TPU-specific: --index {hnsw,flat,ivf}, --shards, --batch, --frontier,
+--probes, --zipf, --num-queries, --synthetic N:D.
+
+Output: the run's Statistics JSON document on stdout (statistics.hh:14-62
+schema) — consumable by scripts/collect_results.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="shine_tpu")
+    src = p.add_argument_group("dataset")
+    src.add_argument("--data-path", help="dataset dir (base.fbin, queries/...)")
+    src.add_argument("--synthetic", help="N:D synthetic dataset instead of files")
+    src.add_argument("--query-suffix", default="query")
+    src.add_argument("--num-queries", type=int, default=0, help="cap query count")
+    src.add_argument("--zipf", type=float, default=0.0, help="Zipf alpha workload")
+    src.add_argument("--warmup", type=int, default=0, help="warmup queries")
+    idx = p.add_argument_group("index")
+    idx.add_argument("--index", choices=("hnsw", "flat", "ivf"), default="hnsw")
+    idx.add_argument("-m", type=int, default=32, help="HNSW M")
+    idx.add_argument("--ef-construction", type=int, default=500)
+    idx.add_argument("--ip-dist", action="store_true", help="inner-product metric")
+    idx.add_argument("--seed", type=int, default=42)
+    idx.add_argument("--store-index", help="path to save the built index")
+    idx.add_argument("--load-index", help="path to load a prebuilt index")
+    idx.add_argument("--device-build", action="store_true",
+                     help="build HNSW on device (batched insert rounds)")
+    q = p.add_argument_group("query")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--ef-search", type=int, default=128)
+    q.add_argument("--frontier", type=int, default=4)
+    q.add_argument("--probes", type=int, default=16, help="IVF probes")
+    q.add_argument("--batch", type=int, default=2048)
+    q.add_argument("--no-recall", action="store_true")
+    run = p.add_argument_group("run")
+    run.add_argument("--shards", type=int, default=1, help="device mesh size")
+    run.add_argument("--cache", action="store_true", help="hot-vertex replica")
+    run.add_argument("--cache-ratio", type=float, default=0.1)
+    run.add_argument("--routing", action="store_true", help="affinity routing")
+    run.add_argument("--label", default="")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from shine_tpu.config import HNSWParams, SearchParams
+    from shine_tpu.io import load_dataset, recall_at_k, synthetic_dataset
+    from shine_tpu.io.skew import skewed_workload
+    from shine_tpu.utils import SearchStats, Statistics, Timing
+
+    metric = "ip" if args.ip_dist else "l2"
+    timing = Timing()
+
+    if args.synthetic:
+        n, d = (int(x) for x in args.synthetic.split(":"))
+        ds = synthetic_dataset(
+            n=n, dim=d, num_queries=max(args.num_queries or 1000, 1),
+            metric=metric, seed=args.seed, compute_gt=not args.no_recall,
+        )
+    elif args.data_path:
+        ds = load_dataset(args.data_path, metric=metric, query_suffix=args.query_suffix)
+    else:
+        print("need --data-path or --synthetic", file=sys.stderr)
+        return 2
+
+    queries = ds.queries
+    if args.num_queries:
+        queries = queries[: args.num_queries]
+    warmup_q = None
+    if args.zipf > 0 or args.warmup:
+        warmup_q, queries, _ = skewed_workload(
+            queries, total=len(queries), alpha=args.zipf,
+            warmup=args.warmup, seed=args.seed,
+        )
+
+    stats = Statistics(
+        dataset=ds.name, label=args.label, num_shards=args.shards, zipf=args.zipf
+    )
+    params = HNSWParams(
+        M=args.m, ef_construction=args.ef_construction, metric=metric,
+        seed=args.seed,
+    )
+    sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier)
+    stats.set_params(params, sp)
+
+    mesh = None
+    if args.shards > 1:
+        from shine_tpu.parallel import shard_mesh
+
+        mesh = shard_mesh(args.shards)
+
+    # ---- build / load ----
+    t0 = time.perf_counter()
+    searcher, index_bytes = _build(args, ds, params, mesh, timing)
+    build_s = time.perf_counter() - t0
+    stats.set_build(
+        num_vectors=ds.n, build_seconds=build_s, index_bytes=index_bytes
+    )
+
+    # ---- warmup ----
+    if warmup_q is not None and len(warmup_q):
+        with timing.measure("warmup"):
+            searcher(warmup_q[: args.batch])
+
+    # ---- timed queries ----
+    s = SearchStats()
+    searcher(queries[: args.batch])  # compile
+    with timing.measure("query"):
+        t0 = time.perf_counter()
+        ids = searcher(queries)
+        s.add_batch(
+            len(queries), hops_sum=0, steps=0, cand_lanes=0, row_bytes=0,
+            seconds=time.perf_counter() - t0,
+        )
+    if not args.no_recall and ds.ground_truth is not None:
+        s.recall = recall_at_k(ids, ds.ground_truth, args.k)
+    stats.set_queries(s)
+    stats.timings = timing.as_dict()
+    print(stats.dumps())
+    return 0
+
+
+def _build(args, ds, params, mesh, timing):
+    """Returns (searcher(queries) -> ids, index_size_bytes)."""
+    from shine_tpu.config import SearchParams
+
+    sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier)
+    if args.index == "flat":
+        if mesh is not None:
+            from shine_tpu.parallel import ShardedFlatIndex
+
+            idx = ShardedFlatIndex(ds.base, mesh, metric=params.metric)
+        else:
+            from shine_tpu.models.flat import FlatIndex
+
+            idx = FlatIndex(ds.base, metric=params.metric)
+        return (
+            lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
+            ds.base.nbytes,
+        )
+    if args.index == "ivf":
+        from shine_tpu.models.ivf import IVFIndex
+
+        idx = IVFIndex(ds.base, metric=params.metric, seed=args.seed)
+        return (
+            lambda q: idx.search(q, args.k, probes=args.probes)[0],
+            ds.base.nbytes * 2,
+        )
+    # hnsw
+    from shine_tpu.graph import build_graph
+    from shine_tpu.io import load_graph, save_graph
+
+    if args.load_index:
+        with timing.measure("load_index_buffer"):
+            graph = load_graph(args.load_index)
+    elif args.device_build:
+        from shine_tpu.models import device_build_graph
+
+        graph = device_build_graph(ds.base, params)
+    else:
+        graph = build_graph(ds.base, params)
+    if args.store_index:
+        with timing.measure("store_index_buffer"):
+            save_graph(graph, args.store_index)
+    nbytes = sum(
+        a.nbytes
+        for a in (graph.vectors, graph.levels, graph.neighbors0,
+                  graph.upper_row, graph.upper_neighbors)
+    )
+    if mesh is not None:
+        from shine_tpu.parallel import ShardedIndex
+
+        idx = ShardedIndex(graph, mesh)
+    else:
+        from shine_tpu.models import HNSWIndex
+
+        idx = HNSWIndex(graph)
+    return lambda q: idx.search(q, sp, batch_size=args.batch)[0], nbytes
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -79,8 +79,9 @@ def flat_search(
         else:
             dd = 1.0 - dots
         ids = off + jax.lax.broadcasted_iota(jnp.int32, (B, width), 1)
-        # mask construction padding (rows >= n)
-        dd = jnp.where(ids < data.n, dd, jnp.inf)
+        # mask construction padding: rows >= n, plus inf-sqnorm sentinel
+        # rows (covers the IP metric, whose distance ignores sqnorms)
+        dd = jnp.where((ids < data.n) & jnp.isfinite(bsq)[None, :], dd, jnp.inf)
         all_d = jnp.concatenate([bd, dd], axis=1)
         all_i = jnp.concatenate([bi, ids], axis=1)
         nd, sel = jax.lax.top_k(-all_d, kk)

@@ -1,3 +1,4 @@
+from shine_tpu.parallel.flat_sharded import ShardedFlatIndex
 from shine_tpu.parallel.mesh import SHARD_AXIS, shard_mesh
 from shine_tpu.parallel.placement import Placement, kmeans
 from shine_tpu.parallel.router import QueryRouter
@@ -11,6 +12,7 @@ from shine_tpu.parallel.sharded import (
 __all__ = [
     "SHARD_AXIS",
     "Placement",
+    "ShardedFlatIndex",
     "kmeans",
     "QueryRouter",
     "shard_mesh",

@@ -1,0 +1,40 @@
+"""Row-sharded exact search on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from shine_tpu.io import recall_at_k, synthetic_dataset
+from shine_tpu.models.flat import FlatIndex
+from shine_tpu.parallel import shard_mesh
+from shine_tpu.parallel.flat_sharded import ShardedFlatIndex
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(n=7000, dim=32, num_queries=100, seed=21)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_flat_exact(ds, n_shards):
+    mesh = shard_mesh(n_shards)
+    idx = ShardedFlatIndex(ds.base, mesh)
+    ids, dists = idx.search(ds.queries, 10, chunk=1024, use_bf16=False)
+    assert recall_at_k(ids, ds.ground_truth, 10) == pytest.approx(1.0)
+    assert np.all(np.diff(dists, axis=1) >= -1e-5)
+
+
+def test_sharded_matches_single(ds):
+    mesh = shard_mesh(4)
+    sh = ShardedFlatIndex(ds.base, mesh)
+    si = FlatIndex(ds.base)
+    a, _ = sh.search(ds.queries, 10, chunk=1024, use_bf16=False)
+    b, _ = si.search(ds.queries, 10, chunk=1024, use_bf16=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_flat_ip():
+    ds = synthetic_dataset(n=3000, dim=16, num_queries=50, seed=9, metric="ip")
+    mesh = shard_mesh(8)
+    idx = ShardedFlatIndex(ds.base, mesh, metric="ip")
+    ids, _ = idx.search(ds.queries, 10, chunk=1024, use_bf16=False)
+    assert recall_at_k(ids, ds.ground_truth, 10) == pytest.approx(1.0)
