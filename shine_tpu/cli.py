@@ -191,7 +191,11 @@ def _build(args, ds, params, mesh, timing):
     if mesh is not None:
         from shine_tpu.parallel import ShardedIndex
 
-        idx = ShardedIndex(graph, mesh)
+        cache_cap = (
+            int(args.cache_ratio * ds.n) if args.cache else 0
+        )  # --cache-ratio of the node count, cf. reference cache sizing
+        # (compute_node.cc:43-56)
+        idx = ShardedIndex(graph, mesh, cache_capacity=cache_cap)
     else:
         from shine_tpu.models import HNSWIndex
 

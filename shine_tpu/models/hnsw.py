@@ -33,14 +33,19 @@ from shine_tpu.ops.beam import (
     beam_mark_expanded,
     beam_merge,
 )
-from shine_tpu.ops.distance import candidate_distance, squared_norms
+from shine_tpu.ops.distance import DIST_PRECISION, squared_norms
 
 
 class DeviceGraph(NamedTuple):
-    """Device-resident SoA graph (a pytree — jit/shard_map friendly)."""
+    """Device-resident SoA graph (a pytree — jit/shard_map friendly).
 
-    vectors: jnp.ndarray  # (N, d) f32
-    vec_sqnorms: jnp.ndarray  # (N,) f32 (zeros for IP)
+    vectors_ext packs the squared norm as an extra trailing column
+    ([v | ||v||^2], zeros for IP), so one traversal step needs a single
+    row gather: with q_ext = [-2q | 1] the L2 distance is
+    ||q||^2 + q_ext . v_ext — sqnorms never need a second gather.
+    """
+
+    vectors_ext: jnp.ndarray  # (N, d+1) f32
     neighbors0: jnp.ndarray  # (N, 2M) i32
     upper_row: jnp.ndarray  # (N,) i32
     upper_neighbors: jnp.ndarray  # (U, L, M) i32
@@ -48,7 +53,27 @@ class DeviceGraph(NamedTuple):
 
     @property
     def n(self) -> int:
-        return self.vectors.shape[0]
+        return self.vectors_ext.shape[0]
+
+    @property
+    def vectors(self) -> jnp.ndarray:
+        return self.vectors_ext[:, :-1]
+
+    @property
+    def vec_sqnorms(self) -> jnp.ndarray:
+        return self.vectors_ext[:, -1]
+
+
+def _extend_query(q: jnp.ndarray, metric: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(q_ext (B, d+1), bias (B,)): dist = bias + q_ext . v_ext."""
+    B = q.shape[0]
+    if metric == METRIC_L2:
+        q_ext = jnp.concatenate([-2.0 * q, jnp.ones((B, 1), q.dtype)], axis=1)
+        bias = jnp.sum(q * q, axis=-1)
+    else:
+        q_ext = jnp.concatenate([-q, jnp.zeros((B, 1), q.dtype)], axis=1)
+        bias = jnp.ones((B,), q.dtype)
+    return q_ext, bias
 
 
 def device_graph(graph: GraphSoA) -> tuple[DeviceGraph, int]:
@@ -61,8 +86,7 @@ def device_graph(graph: GraphSoA) -> tuple[DeviceGraph, int]:
     )
     return (
         DeviceGraph(
-            vectors=vecs,
-            vec_sqnorms=sq,
+            vectors_ext=jnp.concatenate([vecs, sq[:, None]], axis=1),
             neighbors0=jnp.asarray(graph.neighbors0),
             upper_row=jnp.asarray(graph.upper_row),
             upper_neighbors=jnp.asarray(graph.upper_neighbors),
@@ -72,17 +96,17 @@ def device_graph(graph: GraphSoA) -> tuple[DeviceGraph, int]:
     )
 
 
-def _gather_vecs(g: DeviceGraph, ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather vector rows + squared norms for (possibly -1) ids."""
+def _dist_ext(
+    g: DeviceGraph, q_ext: jnp.ndarray, bias: jnp.ndarray, ids: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, K) distances via one fused gather + einsum; inf where id<0."""
     safe = jnp.maximum(ids, 0)
-    return g.vectors[safe], g.vec_sqnorms[safe]
-
-
-def _dist_to(g: DeviceGraph, q: jnp.ndarray, ids: jnp.ndarray, metric: int) -> jnp.ndarray:
-    """(B, K) distances from each query to its candidate ids; inf where id<0."""
-    vecs, sq = _gather_vecs(g, ids)
-    d = candidate_distance(q, vecs, metric, cand_sqnorm=sq)
-    return jnp.where(ids >= 0, d, jnp.inf)
+    ve = g.vectors_ext[safe]  # (B, K, d+1)
+    dots = jnp.einsum(
+        "bd,bkd->bk", q_ext, ve, precision=DIST_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(ids >= 0, bias[:, None] + dots, jnp.inf)
 
 
 def _lex_better(d_new, i_new, d_old, i_old):
@@ -93,11 +117,11 @@ def _lex_better(d_new, i_new, d_old, i_old):
 
 def _greedy_descent(
     g: DeviceGraph,
-    q: jnp.ndarray,  # (B, d)
+    q_ext: jnp.ndarray,  # (B, d+1)
+    bias: jnp.ndarray,  # (B,)
     cur_id: jnp.ndarray,  # (B,)
     cur_dist: jnp.ndarray,  # (B,)
     level: int,
-    metric: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy 1-NN walk on one upper level for the whole batch."""
 
@@ -110,7 +134,7 @@ def _greedy_descent(
         rows = jnp.maximum(g.upper_row[jnp.maximum(cid, 0)], 0)
         nbrs = g.upper_neighbors[rows, level - 1]  # (B, M)
         nbrs = jnp.where(moved[:, None], nbrs, -1)  # idle queries gather nothing
-        d = _dist_to(g, q, nbrs, metric)
+        d = _dist_ext(g, q_ext, bias, nbrs)
         j = jnp.argmin(d, axis=1)
         bd = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
         bi = jnp.take_along_axis(nbrs, j[:, None], axis=1)[:, 0]
@@ -134,13 +158,13 @@ class _BeamState(NamedTuple):
 
 def _beam_search_l0(
     g: DeviceGraph,
-    q: jnp.ndarray,  # (B, d)
+    q_ext: jnp.ndarray,  # (B, d+1)
+    bias: jnp.ndarray,  # (B,)
     ep_id: jnp.ndarray,  # (B,)
     ep_dist: jnp.ndarray,  # (B,)
     sp: SearchParams,
-    metric: int,
 ) -> tuple[Beam, jnp.ndarray]:
-    B = q.shape[0]
+    B = q_ext.shape[0]
     E = sp.frontier
     beam = beam_init(B, sp.ef)
     beam = beam_merge(beam, ep_dist[:, None], ep_id[:, None])
@@ -153,7 +177,7 @@ def _beam_search_l0(
         beam = beam_mark_expanded(s.beam, slots, active)
         nbrs = g.neighbors0[jnp.maximum(fids, 0)]  # (B, E, 2M)
         nbrs = jnp.where(active[:, :, None], nbrs, -1).reshape(B, -1)
-        d = _dist_to(g, q, nbrs, metric)
+        d = _dist_ext(g, q_ext, bias, nbrs)
         beam = beam_merge(beam, d, nbrs)
         return _BeamState(beam, s.step + 1, s.hops + active.sum(axis=1))
 
@@ -179,11 +203,12 @@ def batched_search(
     sp = search_params.resolved()
     q = queries.astype(jnp.float32)
     B = q.shape[0]
+    q_ext, bias = _extend_query(q, metric)
     ep = jnp.broadcast_to(g.entry_point, (B,)).astype(jnp.int32)
-    ep_dist = _dist_to(g, q, ep[:, None], metric)[:, 0]
+    ep_dist = _dist_ext(g, q_ext, bias, ep[:, None])[:, 0]
     for level in range(top_level, 0, -1):
-        ep, ep_dist = _greedy_descent(g, q, ep, ep_dist, level, metric)
-    beam, hops = _beam_search_l0(g, q, ep, ep_dist, sp, metric)
+        ep, ep_dist = _greedy_descent(g, q_ext, bias, ep, ep_dist, level)
+    beam, hops = _beam_search_l0(g, q_ext, bias, ep, ep_dist, sp)
     ids = beam.ids[:, : sp.k]
     dists = beam.dists[:, : sp.k]
     if with_stats:

@@ -232,18 +232,30 @@ class _ShardState(NamedTuple):
     beam_e: jnp.ndarray
     step: jnp.ndarray
     hops: jnp.ndarray
+    cache_hits: jnp.ndarray
+    cache_misses: jnp.ndarray
 
 
 def _sharded_search_spmd(
     g: ShardedGraph,
     queries,  # (B_loc, d) local slice
+    replica,  # HotReplica or None (static)
     *,
     sp: SearchParams,
     metric: int,
     rows_per_shard: int,
     num_shards: int,
 ):
-    """The shard_map body: every chip runs this over its query slice."""
+    """The shard_map body: every chip runs this over its query slice.
+
+    With a hot-vertex replica (parallel/hot_cache.py), frontier
+    neighborlists and candidate distances for replica-resident ids are
+    served from local HBM: hit lanes are masked out of the owner-side
+    gathers (the owners skip the HBM work) and filled locally after the
+    exchange — the reference's cache_lookup short-circuit (hnsw.hh:524-548)
+    in SPMD form. Collective payloads stay fixed-shape; hit counters feed
+    cache statistics.
+    """
     q = queries.astype(jnp.float32)
     B_loc = q.shape[0]
     qn = squared_norms(q) if metric == METRIC_L2 else jnp.zeros(B_loc, jnp.float32)
@@ -273,6 +285,19 @@ def _sharded_search_spmd(
         all_done = jax.lax.psum(done.astype(jnp.int32), SHARD_AXIS)
         return (all_done < num_shards) & (s.step < sp.max_steps)
 
+    def local_distances(ids, rows, hit):
+        """Distances for replica-hit candidate lanes (B_loc, K)."""
+        vecs = replica.hot_vecs[rows]
+        dots = jnp.einsum(
+            "bd,bkd->bk", q, vecs, precision=DIST_PRECISION,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == METRIC_L2:
+            d = qn[:, None] - 2.0 * dots + replica.hot_sq[rows]
+        else:
+            d = 1.0 - dots
+        return jnp.where(hit & (ids >= 0), d, jnp.inf)
+
     def body(s: _ShardState):
         from shine_tpu.ops.beam import Beam
 
@@ -280,8 +305,16 @@ def _sharded_search_spmd(
         slots, fids, active = beam_frontier_multi(beam, E)  # (B_loc, E)
         beam = beam_mark_expanded(beam, slots, active)
 
+        if replica is not None:
+            from shine_tpu.parallel.hot_cache import replica_lookup
+
+            f_rows, f_hit = replica_lookup(replica, fids)
+            fids_cold = jnp.where(f_hit, -1, fids)  # owners skip hit lanes
+        else:
+            fids_cold = fids
+
         # exchange 1: frontier neighborlists from the owning shards
-        fid_all = jax.lax.all_gather(fids, SHARD_AXIS).reshape(-1, E)  # (B, E)
+        fid_all = jax.lax.all_gather(fids_cold, SHARD_AXIS).reshape(-1, E)
         nbr_rows = _owned_neighbor_rows(g, fid_all, rows_per_shard)  # (B, E, 2M)
         nbrs = (
             jax.lax.psum_scatter(
@@ -292,22 +325,42 @@ def _sharded_search_spmd(
             )
             - 1
         )  # (B_loc, E*2M); undo +1 bias: 0 -> -1 (pad / inactive)
+        if replica is not None:
+            local_nbrs = replica.hot_neighbors[f_rows]  # (B_loc, E, 2M)
+            nbrs = jnp.where(
+                f_hit[:, :, None],
+                jnp.where(active[:, :, None], local_nbrs, -1),
+                nbrs.reshape(B_loc, E, -1),
+            ).reshape(B_loc, -1)
         cand = nbrs
 
-        # exchange 2: candidate distances computed at the owners
-        cand_all = jax.lax.all_gather(cand, SHARD_AXIS).reshape(
+        if replica is not None:
+            c_rows, c_hit = replica_lookup(replica, cand)
+            cand_cold = jnp.where(c_hit, -1, cand)
+        else:
+            c_hit = jnp.zeros_like(cand, dtype=jnp.bool_)
+            cand_cold = cand
+
+        # exchange 2: cold candidate distances computed at the owners
+        cand_all = jax.lax.all_gather(cand_cold, SHARD_AXIS).reshape(
             num_shards * B_loc, -1
         )
         d_all = _owned_distances(g, q_all, qn_all, cand_all, rows_per_shard, metric)
         d = jax.lax.psum_scatter(
             d_all, SHARD_AXIS, scatter_dimension=0, tiled=True
         )
-        d = jnp.where(cand >= 0, d, jnp.inf)
+        d = jnp.where(cand_cold >= 0, d, jnp.inf)
+        if replica is not None:
+            d_local = local_distances(cand, c_rows, c_hit)
+            d = jnp.where(c_hit, d_local, d)
 
         beam = beam_merge(beam, d, cand)
+        hits = (c_hit & (cand >= 0)).sum(axis=1)
+        misses = (cand_cold >= 0).sum(axis=1)
         return _ShardState(
             beam.dists, beam.ids, beam.expanded, s.step + 1,
             s.hops + active.sum(axis=1),
+            s.cache_hits + hits, s.cache_misses + misses,
         )
 
     init = _ShardState(
@@ -316,43 +369,71 @@ def _sharded_search_spmd(
         beam.expanded,
         jnp.int32(0),
         jnp.zeros(B_loc, jnp.int32),
+        jnp.zeros(B_loc, jnp.int32),
+        jnp.zeros(B_loc, jnp.int32),
     )
     out = jax.lax.while_loop(cond, body, init)
-    return out.beam_i[:, : sp.k], out.beam_d[:, : sp.k], out.hops
+    return (
+        out.beam_i[:, : sp.k],
+        out.beam_d[:, : sp.k],
+        out.hops,
+        out.cache_hits,
+        out.cache_misses,
+    )
 
 
-def make_sharded_search(mesh: Mesh, sp: SearchParams, metric: int, n_padded: int):
+def make_sharded_search(
+    mesh: Mesh, sp: SearchParams, metric: int, n_padded: int,
+    with_cache: bool = False,
+):
     """Build the jitted SPMD search for a given mesh/params (compiled once
     per (batch shape, params))."""
+    from shine_tpu.parallel.hot_cache import HotReplica
+
     S = mesh.devices.size
     sp = sp.resolved()
     rows_per_shard = n_padded // S
+    graph_spec = ShardedGraph(
+        vectors=P(SHARD_AXIS),
+        vec_sqnorms=P(SHARD_AXIS),
+        neighbors0=P(SHARD_AXIS),
+        upper_ids=P(),
+        upper_vecs=P(),
+        upper_sqnorms=P(),
+        upper_adj=P(),
+        entry_u=P(),
+    )
+    out_spec = tuple(P(SHARD_AXIS) for _ in range(5))
+
+    if with_cache:
+        rep_spec = HotReplica(P(), P(), P(), P())
+
+        @jax.jit
+        def run(g: ShardedGraph, queries: jnp.ndarray, replica: HotReplica):
+            fn = jax.shard_map(
+                lambda g_, q_, r_: _sharded_search_spmd(
+                    g_, q_, r_, sp=sp, metric=metric,
+                    rows_per_shard=rows_per_shard, num_shards=S,
+                ),
+                mesh=mesh,
+                in_specs=(graph_spec, P(SHARD_AXIS), rep_spec),
+                out_specs=out_spec,
+                check_vma=False,
+            )
+            return fn(g, queries, replica)
+
+        return run
 
     @jax.jit
     def run(g: ShardedGraph, queries: jnp.ndarray):
         fn = jax.shard_map(
-            partial(
-                _sharded_search_spmd,
-                sp=sp,
-                metric=metric,
-                rows_per_shard=rows_per_shard,
-                num_shards=S,
+            lambda g_, q_: _sharded_search_spmd(
+                g_, q_, None, sp=sp, metric=metric,
+                rows_per_shard=rows_per_shard, num_shards=S,
             ),
             mesh=mesh,
-            in_specs=(
-                ShardedGraph(
-                    vectors=P(SHARD_AXIS),
-                    vec_sqnorms=P(SHARD_AXIS),
-                    neighbors0=P(SHARD_AXIS),
-                    upper_ids=P(),
-                    upper_vecs=P(),
-                    upper_sqnorms=P(),
-                    upper_adj=P(),
-                    entry_u=P(),
-                ),
-                P(SHARD_AXIS),
-            ),
-            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS)),
+            in_specs=(graph_spec, P(SHARD_AXIS)),
+            out_specs=out_spec,
             check_vma=False,
         )
         return fn(g, queries)
@@ -368,11 +449,28 @@ class ShardedIndex:
     slices play CNs.
     """
 
-    def __init__(self, graph: GraphSoA, mesh: Mesh):
+    def __init__(
+        self,
+        graph: GraphSoA,
+        mesh: Mesh,
+        *,
+        cache_capacity: int = 0,
+    ):
         self.graph = graph
         self.mesh = mesh
         self.device = shard_graph(graph, mesh)
         self.metric = graph.params.metric_id
+        self.replica = None
+        if cache_capacity:
+            from shine_tpu.parallel.hot_cache import build_replica, select_hot_ids
+
+            rep = build_replica(graph, select_hot_ids(graph, cache_capacity))
+            reps = NamedSharding(mesh, P())
+            self.replica = jax.tree.map(
+                lambda a: jax.device_put(a, reps), rep
+            )
+        self.cache_hits = 0
+        self.cache_misses = 0
         self._runs: dict = {}
 
     def search(
@@ -391,7 +489,8 @@ class ShardedIndex:
         key = (sp, batch_size)
         if key not in self._runs:
             self._runs[key] = make_sharded_search(
-                self.mesh, sp, self.metric, self.device.n_padded
+                self.mesh, sp, self.metric, self.device.n_padded,
+                with_cache=self.replica is not None,
             )
         run = self._runs[key]
         qsh = NamedSharding(self.mesh, P(SHARD_AXIS))
@@ -402,7 +501,13 @@ class ShardedIndex:
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - (hi - lo), d), np.float32)]
                 )
-            ids, dd, _ = run(self.device, jax.device_put(jnp.asarray(chunk), qsh))
+            qdev = jax.device_put(jnp.asarray(chunk), qsh)
+            if self.replica is not None:
+                ids, dd, _, hits, misses = run(self.device, qdev, self.replica)
+                self.cache_hits += int(np.asarray(hits).sum())
+                self.cache_misses += int(np.asarray(misses).sum())
+            else:
+                ids, dd, _, _, _ = run(self.device, qdev)
             out_i[lo:hi] = np.asarray(ids)[: hi - lo]
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
         return out_i, out_d

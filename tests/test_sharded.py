@@ -74,3 +74,21 @@ def test_sharded_tail_padding(ds, graph):
     ids_a, _ = idx.search(ds.queries[:50], SearchParams(k=5, ef=32), batch_size=64)
     ids_b, _ = idx.search(ds.queries[:50], SearchParams(k=5, ef=32), batch_size=128)
     np.testing.assert_array_equal(ids_a, ids_b)
+
+
+def test_sharded_with_cache_matches(ds, graph):
+    """The hot replica is a pure data-path optimization: results must be
+    identical to the uncached sharded search, and hits must be counted."""
+    from shine_tpu.parallel.sharded import ShardedIndex
+
+    sp = SearchParams(k=10, ef=64)
+    mesh = shard_mesh(4)
+    plain = ShardedIndex(graph, mesh)
+    cached = ShardedIndex(graph, mesh, cache_capacity=1024)
+    a, da = plain.search(ds.queries, sp, batch_size=64)
+    b, db = cached.search(ds.queries, sp, batch_size=64)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)
+    total = cached.cache_hits + cached.cache_misses
+    assert total > 0
+    assert cached.cache_hits / total > 0.2  # hubs are hot
