@@ -195,7 +195,9 @@ def _build(args, ds, params, mesh, timing):
             int(args.cache_ratio * ds.n) if args.cache else 0
         )  # --cache-ratio of the node count, cf. reference cache sizing
         # (compute_node.cc:43-56)
-        idx = ShardedIndex(graph, mesh, cache_capacity=cache_cap)
+        idx = ShardedIndex(
+            graph, mesh, cache_capacity=cache_cap, routing=args.routing
+        )
     else:
         from shine_tpu.models import HNSWIndex
 

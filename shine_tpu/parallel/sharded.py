@@ -455,6 +455,7 @@ class ShardedIndex:
         mesh: Mesh,
         *,
         cache_capacity: int = 0,
+        routing: bool = False,
     ):
         self.graph = graph
         self.mesh = mesh
@@ -469,6 +470,16 @@ class ShardedIndex:
             self.replica = jax.tree.map(
                 lambda a: jax.device_put(a, reps), rep
             )
+        self.router = None
+        if routing:
+            # affinity routing: permute each query batch so slice s holds
+            # queries nearest shard s's region (query_router.hh analogue);
+            # improves replica/local locality, never changes results
+            from shine_tpu.parallel.placement import Placement
+            from shine_tpu.parallel.router import QueryRouter
+
+            self._placement = Placement(graph, mesh.devices.size)
+            self._router_cls = QueryRouter
         self.cache_hits = 0
         self.cache_misses = 0
         self._runs: dict = {}
@@ -484,8 +495,14 @@ class ShardedIndex:
         S = self.mesh.devices.size
         batch_size = -(-batch_size // S) * S
         nq, d = queries.shape
-        out_i = np.empty((nq, sp.k), dtype=np.int32)
-        out_d = np.empty((nq, sp.k), dtype=np.float32)
+        perm = None
+        if getattr(self, "_placement", None) is not None:
+            router = self._router_cls(self._placement, batch_size=batch_size)
+            perm, _ = router.plan(queries)
+            queries, _ = router.apply(queries, perm)
+        nq_eff = len(queries)
+        out_i = np.empty((nq_eff, sp.k), dtype=np.int32)
+        out_d = np.empty((nq_eff, sp.k), dtype=np.float32)
         key = (sp, batch_size)
         if key not in self._runs:
             self._runs[key] = make_sharded_search(
@@ -494,8 +511,8 @@ class ShardedIndex:
             )
         run = self._runs[key]
         qsh = NamedSharding(self.mesh, P(SHARD_AXIS))
-        for lo in range(0, nq, batch_size):
-            hi = min(lo + batch_size, nq)
+        for lo in range(0, nq_eff, batch_size):
+            hi = min(lo + batch_size, nq_eff)
             chunk = queries[lo:hi].astype(np.float32)
             if hi - lo < batch_size:
                 chunk = np.concatenate(
@@ -510,4 +527,9 @@ class ShardedIndex:
                 ids, dd, _, _, _ = run(self.device, qdev)
             out_i[lo:hi] = np.asarray(ids)[: hi - lo]
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
+        if perm is not None:
+            from shine_tpu.parallel.router import QueryRouter
+
+            out_i = QueryRouter.unpermute(out_i, perm, nq)
+            out_d = QueryRouter.unpermute(out_d, perm, nq)
         return out_i, out_d

@@ -92,3 +92,17 @@ def test_sharded_with_cache_matches(ds, graph):
     total = cached.cache_hits + cached.cache_misses
     assert total > 0
     assert cached.cache_hits / total > 0.2  # hubs are hot
+
+
+def test_sharded_with_routing_matches(ds, graph):
+    """Affinity routing permutes batch composition only — results must be
+    identical after unpermutation."""
+    from shine_tpu.parallel.sharded import ShardedIndex
+
+    sp = SearchParams(k=10, ef=64)
+    mesh = shard_mesh(4)
+    plain = ShardedIndex(graph, mesh)
+    routed = ShardedIndex(graph, mesh, routing=True)
+    a, _ = plain.search(ds.queries, sp, batch_size=64)
+    b, _ = routed.search(ds.queries, sp, batch_size=64)
+    np.testing.assert_array_equal(a, b)
