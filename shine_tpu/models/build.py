@@ -432,14 +432,32 @@ def _write_own_upper(st: BuildState, ids, sel, n_sel, lvl_m1, participate):
     return st._replace(upper_neighbors=upper, upper_degree=udeg)
 
 
-def _link_level(
-    st: BuildState, ids, q, qn, ep, ep_d, lvl, participate, M_out, metric,
-    ef, frontier, max_add,
-):
-    """Search + select + write own adjacency + reverse edges for one level.
+class RoundPlan(NamedTuple):
+    """A round's planned writes — pure function of the round-start state.
 
-    lvl is traced (0 = layer 0). Returns (st, next ep, next ep_d)."""
-    B = q.shape[0]
+    Within-round writes are invisible to same-round searches (new ids are
+    >= count and masked out of every traversal), so one insert round
+    factors into plan (searches + selections; the expensive part, data-
+    parallel over the batch) and apply (deterministic writes; cheap,
+    replicable). This is what makes the sharded builder possible: shards
+    plan their batch slices independently, all_gather the plans, and apply
+    identically on replicated state."""
+
+    batch_ids: jnp.ndarray  # (B,)
+    node_level: jnp.ndarray  # (B,)
+    up_ids: jnp.ndarray  # (B_up,)
+    sel_up: jnp.ndarray  # (B_up, L_cap, M_up) -1 where absent
+    n_sel_up: jnp.ndarray  # (B_up, L_cap)
+    sel_l0: jnp.ndarray  # (B, M)
+    n_sel_l0: jnp.ndarray  # (B,)
+
+
+def _plan_level(
+    st: BuildState, ids, q, qn, ep, ep_d, lvl, participate, M_out, metric,
+    ef, frontier,
+):
+    """Search + select for one level (read-only). Returns
+    (sel, n_sel, next_ep, next_ep_d)."""
     ep_in = jnp.where(participate, ep, -1)
     beam = _search_level(st, q, qn, ep_in, ep_d, lvl, ef, frontier, metric)
     cand = jnp.where(participate[:, None], beam.ids, -1)
@@ -448,16 +466,27 @@ def _link_level(
     sel, n_sel = select_heuristic(cand, beam.dists, cvecs, csq, M_out, metric)
     sel = jnp.where(participate[:, None], sel, -1)
     n_sel = jnp.where(participate, n_sel, 0)
+    # next-level entry: the closest found candidate (reference continues
+    # from the best of top_candidates, hnsw.hh:151-175)
+    best_i, best_d = beam.ids[:, 0], beam.dists[:, 0]
+    use = participate & (best_i >= 0)
+    return sel, n_sel, jnp.where(use, best_i, ep), jnp.where(use, best_d, ep_d)
 
+
+def _apply_level(st: BuildState, ids, sel, n_sel, lvl, metric, max_add):
+    """Write one level's planned adjacency: own rows, then reverse edges
+    with deterministic resolution + heuristic re-prune on overflow."""
+    participate = n_sel > 0
     is_l0 = lvl == 0
     st = jax.lax.cond(
         is_l0,
         lambda s: _write_own_l0(s, ids, sel, n_sel, participate),
-        lambda s: _write_own_upper(s, ids, sel, n_sel, jnp.maximum(lvl - 1, 0), participate),
+        lambda s: _write_own_upper(
+            s, ids, sel, n_sel, jnp.maximum(lvl - 1, 0), participate
+        ),
         st,
     )
 
-    # reverse edges (neighbor -> new node), resolved deterministically
     flat_v = sel.reshape(-1)
     flat_u = jnp.broadcast_to(ids[:, None], sel.shape).reshape(-1)
     flat_u = jnp.where(flat_v >= 0, flat_u, -1)
@@ -484,13 +513,116 @@ def _link_level(
         rejected_v = jnp.where(ok, -1, sv)
         return _shrink_overflow(s, over, rejected_v, su, lm1, metric, max_add)
 
-    st = jax.lax.cond(is_l0, rev_l0, rev_upper, st)
+    return jax.lax.cond(is_l0, rev_l0, rev_upper, st)
 
-    # next-level entry: the closest found candidate (reference continues
-    # from the best of top_candidates, hnsw.hh:151-175)
-    best_i, best_d = beam.ids[:, 0], beam.dists[:, 0]
-    use = participate & (best_i >= 0)
-    return st, jnp.where(use, best_i, ep), jnp.where(use, best_d, ep_d)
+
+def plan_round(
+    st: BuildState,
+    batch_ids: jnp.ndarray,  # (B,)
+    *,
+    ef: int,
+    frontier: int,
+    metric: int,
+    B_up: int,
+) -> RoundPlan:
+    """The read-only half of an insert round."""
+    valid = batch_ids >= 0
+    q = st.vectors[jnp.maximum(batch_ids, 0)]
+    qn = st.vec_sqnorms[jnp.maximum(batch_ids, 0)]
+    node_level = jnp.where(valid, st.levels[jnp.maximum(batch_ids, 0)], 0)
+    target = jnp.minimum(node_level, st.entry_level)
+
+    ep, ep_d = _greedy_to_level(st, q, qn, target, metric)
+
+    # upper levels on a compacted sub-batch (most nodes are level 0)
+    is_up = valid & (node_level >= 1)
+    order = jnp.argsort(jnp.where(is_up, batch_ids, jnp.int32(2**31 - 1)))
+    up_pos = order[:B_up]
+    up_ok = is_up[up_pos]
+    up_ids = jnp.where(up_ok, batch_ids[up_pos], -1)
+    uq = q[up_pos]
+    uqn = qn[up_pos]
+    u_target = jnp.where(up_ok, target[up_pos], -1)
+    u_ep = ep[up_pos]
+    u_ep_d = ep_d[up_pos]
+
+    L_cap = st.upper_neighbors.shape[1]
+    M_up = st.upper_neighbors.shape[2]
+    sel_up0 = jnp.full((B_up, L_cap, M_up), -1, jnp.int32)
+    n_sel_up0 = jnp.zeros((B_up, L_cap), jnp.int32)
+
+    def upper_iter(i, carry):
+        sel_up, n_sel_up, e, ed = carry
+        lvl = jnp.int32(L_cap - i)
+        participate = up_ok & (lvl <= u_target) & (lvl >= 1)
+
+        def work(c):
+            sel_up, n_sel_up, e, ed = c
+            sel, n_sel, e2, ed2 = _plan_level(
+                st, up_ids, uq, uqn, e, ed, lvl, participate,
+                M_up, metric, ef, frontier,
+            )
+            sel_up = sel_up.at[:, lvl - 1].set(sel)
+            n_sel_up = n_sel_up.at[:, lvl - 1].set(n_sel)
+            return sel_up, n_sel_up, e2, ed2
+
+        return jax.lax.cond(jnp.any(participate), work, lambda c: c, carry)
+
+    sel_up, n_sel_up, u_ep, u_ep_d = jax.lax.fori_loop(
+        0, L_cap, upper_iter, (sel_up0, n_sel_up0, u_ep, u_ep_d)
+    )
+
+    ep = ep.at[up_pos].set(jnp.where(up_ok, u_ep, ep[up_pos]))
+    ep_d = ep_d.at[up_pos].set(jnp.where(up_ok, u_ep_d, ep_d[up_pos]))
+
+    sel_l0, n_sel_l0, _, _ = _plan_level(
+        st, batch_ids, q, qn, ep, ep_d, jnp.int32(0), valid,
+        M_up, metric, ef, frontier,
+    )
+    return RoundPlan(
+        batch_ids, node_level, up_ids, sel_up, n_sel_up, sel_l0, n_sel_l0
+    )
+
+
+def apply_round(
+    st: BuildState, plan: RoundPlan, *, metric: int, max_add: int
+) -> BuildState:
+    """The write half of an insert round — deterministic in the plan."""
+    L_cap = st.upper_neighbors.shape[1]
+
+    def upper_iter(i, s):
+        lvl = jnp.int32(L_cap - i)
+        return jax.lax.cond(
+            jnp.any(plan.n_sel_up[:, lvl - 1] > 0),
+            lambda s_: _apply_level(
+                s_, plan.up_ids, plan.sel_up[:, lvl - 1],
+                plan.n_sel_up[:, lvl - 1], lvl, metric, max_add,
+            ),
+            lambda s_: s_,
+            s,
+        )
+
+    st = jax.lax.fori_loop(0, L_cap, upper_iter, st)
+    st = _apply_level(
+        st, plan.batch_ids, plan.sel_l0, plan.n_sel_l0, jnp.int32(0),
+        metric, max_add,
+    )
+
+    valid = plan.batch_ids >= 0
+    batch_max = jnp.max(jnp.where(valid, plan.node_level, -1))
+    new_top = batch_max > st.entry_level
+    cand_ep = jnp.min(
+        jnp.where(
+            valid & (plan.node_level == batch_max),
+            plan.batch_ids,
+            jnp.int32(2**31 - 1),
+        )
+    )
+    return st._replace(
+        entry_point=jnp.where(new_top, cand_ep, st.entry_point),
+        entry_level=jnp.maximum(st.entry_level, batch_max),
+        count=st.count + jnp.sum(valid.astype(jnp.int32)),
+    )
 
 
 @partial(
@@ -508,73 +640,61 @@ def insert_round(
     B_up: int,
 ):
     """Insert one batch of nodes against the graph of all earlier rounds."""
-    B = batch_ids.shape[0]
-    valid = batch_ids >= 0
-    q = st.vectors[jnp.maximum(batch_ids, 0)]
-    qn = st.vec_sqnorms[jnp.maximum(batch_ids, 0)]
-    node_level = jnp.where(valid, st.levels[jnp.maximum(batch_ids, 0)], 0)
-    entry_level0 = st.entry_level
-    target = jnp.minimum(node_level, entry_level0)
+    plan = plan_round(
+        st, batch_ids, ef=ef, frontier=frontier, metric=metric, B_up=B_up
+    )
+    return apply_round(st, plan, metric=metric, max_add=max_add)
 
-    ep, ep_d = _greedy_to_level(st, q, qn, target, metric)
 
-    # --- upper levels on a compacted sub-batch (most nodes are level 0) ---
-    is_up = valid & (node_level >= 1)
-    # positions of upper nodes first (stable by id), then pads
-    order = jnp.argsort(jnp.where(is_up, batch_ids, jnp.int32(2**31 - 1)))
-    up_pos = order[:B_up]  # (B_up,) indices into the batch
-    up_ok = is_up[up_pos]
-    up_ids = jnp.where(up_ok, batch_ids[up_pos], -1)
-    uq = q[up_pos]
-    uqn = qn[up_pos]
-    u_target = jnp.where(up_ok, target[up_pos], -1)
-    u_ep = ep[up_pos]
-    u_ep_d = ep_d[up_pos]
+def make_sharded_insert_round(
+    mesh, *, ef: int, frontier: int, max_add: int, metric: int, B_up_loc: int
+):
+    """Data-parallel insert round over a device mesh.
 
-    L_cap = st.upper_neighbors.shape[1]
-    M_up = st.upper_neighbors.shape[2]
+    The batch is sharded over the mesh; every chip *plans* its slice
+    (descent + per-level ef_construction searches — the expensive part,
+    so round throughput scales with chips), the plans are all_gathered,
+    and every chip *applies* the full gathered plan to its replica of the
+    build state. Determinism of apply keeps the replicas bit-identical —
+    the SPMD replacement for the reference's remote-lock concurrent build
+    (rdma_atomics.hh): where CNs raced CAS locks on one shared graph,
+    shards here agree on a deterministic merge instead.
+    """
+    import jax as _jax
+    from jax.sharding import PartitionSpec as P
 
-    def upper_iter(i, carry):
-        s, e, ed = carry
-        lvl = jnp.int32(L_cap - i)
-        participate = up_ok & (lvl <= u_target) & (lvl >= 1)
-        return jax.lax.cond(
-            jnp.any(participate),
-            lambda c: _link_level(
-                c[0], up_ids, uq, uqn, c[1], c[2], lvl, participate,
-                M_up, metric, ef, frontier, max_add,
-            ),
-            lambda c: c,
-            (s, e, ed),
+    from shine_tpu.parallel.mesh import SHARD_AXIS
+
+    S = mesh.devices.size
+
+    def spmd(st: BuildState, batch_ids):
+        plan = plan_round(
+            st, batch_ids, ef=ef, frontier=frontier, metric=metric,
+            B_up=B_up_loc,
         )
+        full = _jax.tree.map(
+            lambda a: _jax.lax.all_gather(a, SHARD_AXIS).reshape(
+                (-1,) + a.shape[1:]
+            ),
+            plan,
+        )
+        return apply_round(st, full, metric=metric, max_add=max_add)
 
-    st, u_ep, u_ep_d = jax.lax.fori_loop(
-        0, L_cap, upper_iter, (st, u_ep, u_ep_d)
-    )
+    @_jax.jit
+    def run(st: BuildState, batch_ids):
+        fn = _jax.shard_map(
+            spmd,
+            mesh=mesh,
+            in_specs=(
+                _jax.tree.map(lambda _: P(), st),
+                P(SHARD_AXIS),
+            ),
+            out_specs=_jax.tree.map(lambda _: P(), st),
+            check_vma=False,
+        )
+        return fn(st, batch_ids)
 
-    # propagate the upper chain's entry back into the full batch
-    ep = ep.at[up_pos].set(jnp.where(up_ok, u_ep, ep[up_pos]))
-    ep_d = ep_d.at[up_pos].set(jnp.where(up_ok, u_ep_d, ep_d[up_pos]))
-
-    # --- layer 0 for the whole batch ---
-    M_l0 = M_up  # reference writes M selected neighbors at every level
-    st, _, _ = _link_level(
-        st, batch_ids, q, qn, ep, ep_d, jnp.int32(0), valid,
-        M_l0, metric, ef, frontier, max_add,
-    )
-
-    # --- entry point / top level update (deterministic CAS replacement) ---
-    batch_max = jnp.max(jnp.where(valid, node_level, -1))
-    new_top = batch_max > entry_level0
-    cand_ep = jnp.min(
-        jnp.where(valid & (node_level == batch_max), batch_ids, jnp.int32(2**31 - 1))
-    )
-    st = st._replace(
-        entry_point=jnp.where(new_top, cand_ep, st.entry_point),
-        entry_level=jnp.maximum(entry_level0, batch_max),
-        count=st.count + jnp.sum(valid.astype(jnp.int32)),
-    )
-    return st
+    return run
 
 
 # ---------------------------------------------------------------------------

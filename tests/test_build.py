@@ -69,3 +69,47 @@ def test_level_draw_matches_geometric():
     lv = draw_levels(200_000, params)
     frac = (lv >= 1).mean()
     assert 0.8 / 16 < frac < 1.25 / 16
+
+
+def test_sharded_insert_round_matches_single(ds):
+    """Data-parallel plan + replicated deterministic apply must produce the
+    same graph as the single-device round (sorted reverse-edge resolution
+    is order-independent)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shine_tpu.models.build import (
+        init_build_state,
+        insert_round,
+        make_sharded_insert_round,
+    )
+    from shine_tpu.parallel import shard_mesh
+
+    params = HNSWParams(M=8, ef_construction=40)
+    base = ds.base[:800]
+    S, B = 4, 64
+    st_a = init_build_state(base, params)
+    st_b = init_build_state(base, params)
+    mesh = shard_mesh(S)
+    run = make_sharded_insert_round(
+        mesh, ef=40, frontier=4, max_add=16, metric=0, B_up_loc=B // S
+    )
+    count = 1
+    while count < 400:
+        b = min(B, 400 - count)
+        ids = np.full(B, -1, dtype=np.int32)
+        ids[:b] = np.arange(count, count + b, dtype=np.int32)
+        st_a = insert_round(
+            st_a, jnp.asarray(ids), ef=40, frontier=4, max_add=16,
+            metric=0, B_up=B,
+        )
+        st_b = run(st_b, jnp.asarray(ids))
+        count += b
+    np.testing.assert_array_equal(
+        np.asarray(st_a.neighbors0), np.asarray(st_b.neighbors0)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_a.upper_neighbors), np.asarray(st_b.upper_neighbors)
+    )
+    assert int(st_a.entry_point) == int(st_b.entry_point)
+    assert int(st_a.count) == int(st_b.count) == 400
