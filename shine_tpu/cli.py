@@ -112,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # ---- build / load ----
     t0 = time.perf_counter()
-    searcher, index_bytes = _build(args, ds, params, mesh, timing)
+    searcher, index_bytes, index_obj = _build(args, ds, params, mesh, timing)
     build_s = time.perf_counter() - t0
     stats.set_build(
         num_vectors=ds.n, build_seconds=build_s, index_bytes=index_bytes
@@ -135,6 +135,9 @@ def main(argv: list[str] | None = None) -> int:
         )
     if not args.no_recall and ds.ground_truth is not None:
         s.recall = recall_at_k(ids, ds.ground_truth, args.k)
+    s.expansions = getattr(index_obj, "last_hops", 0)
+    s.cache_hits = getattr(index_obj, "cache_hits", 0)
+    s.cache_misses = getattr(index_obj, "cache_misses", 0)
     stats.set_queries(s)
     stats.timings = timing.as_dict()
     print(stats.dumps())
@@ -142,7 +145,7 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _build(args, ds, params, mesh, timing):
-    """Returns (searcher(queries) -> ids, index_size_bytes)."""
+    """Returns (searcher(queries) -> ids, index_size_bytes, index_obj)."""
     from shine_tpu.config import SearchParams
 
     sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier)
@@ -158,6 +161,7 @@ def _build(args, ds, params, mesh, timing):
         return (
             lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
             ds.base.nbytes,
+            idx,
         )
     if args.index == "ivf":
         from shine_tpu.models.ivf import IVFIndex
@@ -166,6 +170,7 @@ def _build(args, ds, params, mesh, timing):
         return (
             lambda q: idx.search(q, args.k, probes=args.probes)[0],
             ds.base.nbytes * 2,
+            idx,
         )
     # hnsw
     from shine_tpu.graph import build_graph
@@ -177,7 +182,7 @@ def _build(args, ds, params, mesh, timing):
     elif args.device_build:
         from shine_tpu.models import device_build_graph
 
-        graph = device_build_graph(ds.base, params)
+        graph = device_build_graph(ds.base, params, mesh=mesh)
     else:
         graph = build_graph(ds.base, params)
     if args.store_index:
@@ -202,7 +207,7 @@ def _build(args, ds, params, mesh, timing):
         from shine_tpu.models import HNSWIndex
 
         idx = HNSWIndex(graph)
-    return lambda q: idx.search(q, sp, batch_size=args.batch)[0], nbytes
+    return lambda q: idx.search(q, sp, batch_size=args.batch)[0], nbytes, idx
 
 
 if __name__ == "__main__":

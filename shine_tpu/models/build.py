@@ -709,31 +709,47 @@ def device_build_graph(
     first_batch: int = 32,
     level_cap: int = 12,
     ef: int | None = None,
+    mesh=None,
     progress: "callable | None" = None,
 ) -> GraphSoA:
     """Build the whole index on device with ramped batched insert rounds;
-    returns the same host GraphSoA layout as the native builder."""
+    returns the same host GraphSoA layout as the native builder. With a
+    mesh, rounds run data-parallel over the devices
+    (make_sharded_insert_round)."""
     n = vectors.shape[0]
     st = init_build_state(vectors, params, level_cap=level_cap)
     ef = ef or params.ef_construction
     metric = params.metric_id
+    S = mesh.devices.size if mesh is not None else 1
+    quantum = max(S, 1)
 
+    runs: dict = {}
     count = 1
-    B = min(first_batch, batch_size)
+    B = min(max(first_batch, quantum), batch_size)
     while count < n:
         b = min(B, n - count)
         ids = np.full(B, -1, dtype=np.int32)
         ids[:b] = np.arange(count, count + b, dtype=np.int32)
         B_up = max(8, min(B, 4 * B // max(params.M, 2) + 8))
-        st = insert_round(
-            st,
-            jnp.asarray(ids),
-            ef=ef,
-            frontier=4,
-            max_add=2 * params.M,
-            metric=metric,
-            B_up=B_up,
-        )
+        if mesh is None:
+            st = insert_round(
+                st,
+                jnp.asarray(ids),
+                ef=ef,
+                frontier=4,
+                max_add=2 * params.M,
+                metric=metric,
+                B_up=B_up,
+            )
+        else:
+            B_up_loc = max(8, -(-B_up // S))
+            key = (B, B_up_loc)
+            if key not in runs:
+                runs[key] = make_sharded_insert_round(
+                    mesh, ef=ef, frontier=4, max_add=2 * params.M,
+                    metric=metric, B_up_loc=B_up_loc,
+                )
+            st = runs[key](st, jnp.asarray(ids))
         count += b
         if progress is not None:
             progress(count, n)

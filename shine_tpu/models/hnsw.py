@@ -244,24 +244,32 @@ class HNSWIndex:
         batch_size: int = 1024,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Search an arbitrary number of queries in fixed-size batches
-        (padding the tail so only one program is compiled per batch size)."""
+        (padding the tail so only one program is compiled per batch size).
+
+        Side effect: accumulates expansion counters into self.last_hops
+        (the distcomp/visited counters of the reference ThreadStatistics,
+        statistics.hh:148-175) when with_stats was requested at least once.
+        """
         sp = (search_params or SearchParams()).resolved()
         nq, d = queries.shape
         out_i = np.empty((nq, sp.k), dtype=np.int32)
         out_d = np.empty((nq, sp.k), dtype=np.float32)
+        self.last_hops = 0
         for lo in range(0, nq, batch_size):
             hi = min(lo + batch_size, nq)
             chunk = queries[lo:hi]
             if hi - lo < batch_size:
                 pad = np.zeros((batch_size - (hi - lo), d), chunk.dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            ids, dd = batched_search(
+            ids, dd, hops = batched_search(
                 self.device,
                 jnp.asarray(chunk),
                 top_level=self.top_level,
                 search_params=sp,
                 metric=self.metric,
+                with_stats=True,
             )
             out_i[lo:hi] = np.asarray(ids)[: hi - lo]
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
+            self.last_hops += int(np.asarray(hops)[: hi - lo].sum())
         return out_i, out_d
