@@ -164,9 +164,14 @@ def _build(args, ds, params, mesh, timing):
             idx,
         )
     if args.index == "ivf":
-        from shine_tpu.models.ivf import IVFIndex
+        if mesh is not None:
+            from shine_tpu.parallel import ShardedIVFIndex
 
-        idx = IVFIndex(ds.base, metric=params.metric, seed=args.seed)
+            idx = ShardedIVFIndex(ds.base, mesh, metric=params.metric, seed=args.seed)
+        else:
+            from shine_tpu.models.ivf import IVFIndex
+
+            idx = IVFIndex(ds.base, metric=params.metric, seed=args.seed)
         return (
             lambda q: idx.search(q, args.k, probes=args.probes)[0],
             ds.base.nbytes * 2,

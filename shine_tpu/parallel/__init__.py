@@ -1,4 +1,5 @@
 from shine_tpu.parallel.flat_sharded import ShardedFlatIndex
+from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
 from shine_tpu.parallel.mesh import SHARD_AXIS, shard_mesh
 from shine_tpu.parallel.placement import Placement, kmeans
 from shine_tpu.parallel.router import QueryRouter
@@ -13,6 +14,7 @@ __all__ = [
     "SHARD_AXIS",
     "Placement",
     "ShardedFlatIndex",
+    "ShardedIVFIndex",
     "kmeans",
     "QueryRouter",
     "shard_mesh",

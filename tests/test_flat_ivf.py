@@ -70,3 +70,27 @@ def test_ivf_layout_partition(ds):
     # capacity respected
     per = (ids >= 0).sum(axis=1)
     assert per.max() <= idx.data.cap
+
+
+def test_sharded_ivf_recall(ds):
+    from shine_tpu.parallel import shard_mesh
+    from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
+
+    mesh = shard_mesh(4)
+    idx = ShardedIVFIndex(ds.base, mesh, num_clusters=64, seed=7)
+    ids, dists = idx.search(ds.queries, 10, probes=8, tile=64)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r > 0.9, r
+    assert np.all(np.diff(dists, axis=1) >= -1e-3)
+
+
+def test_sharded_ivf_full_probes_exact(ds):
+    """Probing every cluster must recover the exact top-k (partition is
+    lossless; the f32 re-rank is exact)."""
+    from shine_tpu.parallel import shard_mesh
+    from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
+
+    mesh = shard_mesh(4)
+    idx = ShardedIVFIndex(ds.base, mesh, num_clusters=32, seed=7)
+    ids, _ = idx.search(ds.queries, 10, probes=32, tile=64, rerank=8)
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.99
