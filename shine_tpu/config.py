@@ -78,6 +78,9 @@ class SearchParams:
     ef: int = 128
     frontier: int = 4
     max_steps: int = 0  # 0 -> auto
+    pallas_gather: bool = False  # fetch candidate rows with the pipelined
+    # DMA kernel (ops/pallas_gather.py) instead of XLA gather — for the
+    # in-loop gather cliff documented in docs/TPU_NOTES.md
 
     def resolved(self) -> "SearchParams":
         if self.frontier < 1:

@@ -97,11 +97,20 @@ def device_graph(graph: GraphSoA) -> tuple[DeviceGraph, int]:
 
 
 def _dist_ext(
-    g: DeviceGraph, q_ext: jnp.ndarray, bias: jnp.ndarray, ids: jnp.ndarray
+    g: DeviceGraph, q_ext: jnp.ndarray, bias: jnp.ndarray, ids: jnp.ndarray,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """(B, K) distances via one fused gather + einsum; inf where id<0."""
     safe = jnp.maximum(ids, 0)
-    ve = g.vectors_ext[safe]  # (B, K, d+1)
+    if use_pallas:
+        from shine_tpu.ops.pallas_gather import gather_rows_pallas
+
+        B, K = ids.shape
+        ve = gather_rows_pallas(g.vectors_ext, safe.reshape(-1)).reshape(
+            B, K, -1
+        )
+    else:
+        ve = g.vectors_ext[safe]  # (B, K, d+1)
     dots = jnp.einsum(
         "bd,bkd->bk", q_ext, ve, precision=DIST_PRECISION,
         preferred_element_type=jnp.float32,
@@ -177,7 +186,7 @@ def _beam_search_l0(
         beam = beam_mark_expanded(s.beam, slots, active)
         nbrs = g.neighbors0[jnp.maximum(fids, 0)]  # (B, E, 2M)
         nbrs = jnp.where(active[:, :, None], nbrs, -1).reshape(B, -1)
-        d = _dist_ext(g, q_ext, bias, nbrs)
+        d = _dist_ext(g, q_ext, bias, nbrs, use_pallas=sp.pallas_gather)
         beam = beam_merge(beam, d, nbrs)
         return _BeamState(beam, s.step + 1, s.hops + active.sum(axis=1))
 
