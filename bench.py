@@ -84,9 +84,10 @@ def main() -> None:
     # --- IVF (clustered pruning) ---
     try:
         ivf = IVFIndex(ds.base, seed=7)
-        for probes in (8, 16, 32):
+        for probes in (4, 8, 16):
             qps, ids = time_search(
-                lambda p=probes: ivf.search(ds.queries, 10, probes=p, tile=256), nq
+                lambda p=probes: ivf.search(ds.queries, 10, probes=p, batch_size=batch),
+                nq,
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# ivf p={probes}: qps={qps:.0f} recall@10={r:.4f}")

@@ -30,11 +30,11 @@ def main() -> None:
     idx = FlatIndex(ds.base)
     for batch in (1024, 2048, 4096):
         for chunk in (32768, 65536, 131072):
-            for bf16 in (True, False):
+            for bf16, approx in ((True, False), (False, False), (True, True)):
                 q = jnp.asarray(ds.queries[:batch].astype(np.float32))
                 f = lambda: flat_search(
                     idx.data, q, k=10, chunk=min(chunk, idx.data.vectors.shape[0]),
-                    metric=idx.metric, use_bf16=bf16,
+                    metric=idx.metric, use_bf16=bf16, approx=approx,
                 )
                 dd, ii = f()
                 _ = np.asarray(dd)
@@ -46,7 +46,7 @@ def main() -> None:
                     best = min(best, time.perf_counter() - t0)
                 r = recall_at_k(np.asarray(ii), ds.ground_truth[:batch], 10)
                 print(
-                    f"batch={batch} chunk={chunk} bf16={int(bf16)}: "
+                    f"batch={batch} chunk={chunk} bf16={int(bf16)} approx={int(approx)}: "
                     f"{best * 1e3:.1f} ms, QPS={batch / best:.0f}, recall={r:.4f}",
                     flush=True,
                 )

@@ -173,7 +173,7 @@ def _build(args, ds, params, mesh, timing):
 
             idx = IVFIndex(ds.base, metric=params.metric, seed=args.seed)
         return (
-            lambda q: idx.search(q, args.k, probes=args.probes)[0],
+            lambda q: idx.search(q, args.k, probes=args.probes, batch_size=args.batch)[0],
             ds.base.nbytes * 2,
             idx,
         )

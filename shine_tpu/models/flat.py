@@ -41,7 +41,10 @@ class FlatData(NamedTuple):
 CHUNK_QUANTUM = 1024
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "metric", "use_bf16", "rerank"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "chunk", "metric", "use_bf16", "rerank", "approx"),
+)
 def flat_search(
     data: FlatData,
     queries: jnp.ndarray,  # (B, d)
@@ -51,6 +54,7 @@ def flat_search(
     metric: int = METRIC_L2,
     use_bf16: bool = True,
     rerank: int = 4,
+    approx: bool = False,
 ):
     """Streaming exact top-k. Returns (dists (B, k), ids (B, k)).
 
@@ -84,7 +88,13 @@ def flat_search(
         dd = jnp.where((ids < data.n) & jnp.isfinite(bsq)[None, :], dd, jnp.inf)
         all_d = jnp.concatenate([bd, dd], axis=1)
         all_i = jnp.concatenate([bi, ids], axis=1)
-        nd, sel = jax.lax.top_k(-all_d, kk)
+        if approx:
+            # TPU-optimized approximate top-k (recall_target trades a tiny
+            # chance of dropping a true neighbor for much faster reduction;
+            # the f32 re-rank below keeps ordering exact for survivors)
+            nd, sel = jax.lax.approx_max_k(-all_d, kk, recall_target=0.99)
+        else:
+            nd, sel = jax.lax.top_k(-all_d, kk)
         return -nd, jnp.take_along_axis(all_i, sel, axis=1)
 
     bd = jnp.full((B, kk), jnp.inf, jnp.float32)

@@ -10,15 +10,16 @@ one matmul and then scans only the top-p clusters densely.
 
 Fixed-shape TPU design:
   * clusters are stored as a padded dense (C, cap, d) bf16 tensor
-    (cluster-major rows; -1-id padding) so a probed cluster is one coarse
-    contiguous gather — no per-row scatter/gather;
-  * queries are *sorted by their nearest centroid* and processed in tiles
-    of G; each tile probes one shared top-p cluster set (pooled over the
-    tile's scores). Affinity sorting makes the shared set nearly optimal
-    per query — the same cache-locality trick as the reference's
-    query-to-CN routing (router.py / query_router.hh), reused for probe
-    locality;
-  * stage-2 distances are one (T, G, p*cap) einsum + top-k.
+    (cluster-major rows; -1-id padding; cap targets ~128 rows) so a probed
+    cluster is one coarse contiguous 32-64 KB gather — no per-row
+    scatter/gather;
+  * probing is fully per-query: stage 1 scores all centroids with one
+    (B, C) MXU tile and takes each query's top-p; stage 2 gathers the
+    (B, p, cap, d) probe blocks, computes one (B, p*cap) bf16 distance
+    einsum, top-ks, and exactly re-ranks the survivors in f32. One jit,
+    no host round-trips. (An earlier tile-shared-probe design lost 30+
+    recall points on heterogeneous batches — per-query probe sets are
+    cheap at small caps because the gather stays block-granular.)
 
 Recall is tuned by p (probes) like ef in HNSW.
 """
@@ -159,43 +160,45 @@ def ivf_stage1(data: IVFData, queries: jnp.ndarray, *, metric: int):
     return pairwise_distance(queries.astype(jnp.float32), data.centroids, metric)
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "rerank"))
-def ivf_stage2(
+@partial(jax.jit, static_argnames=("k", "p", "metric", "rerank"))
+def ivf_search(
     data: IVFData,
-    tiles_q: jnp.ndarray,  # (T, G, d) affinity-sorted query tiles
-    probes: jnp.ndarray,  # (T, p) cluster ids per tile
+    queries: jnp.ndarray,  # (B, d)
     *,
     k: int,
+    p: int,
     metric: int,
     rerank: int = 4,
 ):
-    """Dense bf16 scan of each tile's probe clusters, then exact f32
-    re-rank of the rerank*k survivors. Returns (dists, ids) (T, G, k)."""
-    T, G, d = tiles_q.shape
-    p = probes.shape[1]
+    """Per-query probed search: centroid scores -> top-p probes -> dense
+    bf16 scan of the probe blocks -> exact f32 re-rank of the rerank*k
+    survivors. Returns (ids, dists) (B, k)."""
+    q = queries.astype(jnp.float32)
+    B = q.shape[0]
     cap = data.cap
-    q = tiles_q.astype(jnp.float32)
-    qn = jnp.sum(q * q, axis=-1)  # (T, G)
-    blk = data.blocks[probes]  # (T, p, cap, d) coarse gather, bf16
-    sqs = data.block_sq[probes]  # (T, p, cap)
-    ids = data.block_ids[probes]  # (T, p, cap)
+    scores = pairwise_distance(q, data.centroids, metric)  # (B, C)
+    _, probes = jax.lax.top_k(-scores, p)  # (B, p)
+    qn = jnp.sum(q * q, axis=-1)
+    blk = data.blocks[probes]  # (B, p, cap, d) coarse block gather, bf16
+    sqs = data.block_sq[probes]  # (B, p, cap)
+    ids = data.block_ids[probes]
     dots = jnp.einsum(
-        "tgd,tpcd->tgpc",
+        "bd,bpcd->bpc",
         q.astype(jnp.bfloat16),
         blk,
         preferred_element_type=jnp.float32,
     )
     if metric == METRIC_L2:
-        dd = qn[:, :, None, None] - 2.0 * dots + sqs[:, None, :, :]
+        dd = qn[:, None, None] - 2.0 * dots + sqs
     else:
         dd = 1.0 - dots
-    dd = jnp.where(ids[:, None, :, :] >= 0, dd, jnp.inf)
-    dd = dd.reshape(T, G, p * cap)
-    flat_ids = jnp.broadcast_to(ids.reshape(T, 1, p * cap), (T, G, p * cap))
+    dd = jnp.where(ids >= 0, dd, jnp.inf).reshape(B, p * cap)
+    flat_ids = ids.reshape(B, p * cap)
     kk = min(max(rerank, 1) * k, p * cap)
     nd, sel = jax.lax.top_k(-dd, kk)
-    cand = jnp.take_along_axis(flat_ids, sel, axis=2)  # (T, G, kk)
-    return rerank_topk(data.vectors, data.sqnorms, q, cand, k, metric)
+    cand = jnp.take_along_axis(flat_ids, sel, axis=1)  # (B, kk)
+    d_out, i_out = rerank_topk(data.vectors, data.sqnorms, q, cand, k, metric)
+    return i_out, d_out
 
 
 class IVFIndex:
@@ -206,6 +209,7 @@ class IVFIndex:
         vectors: np.ndarray,
         *,
         num_clusters: int | None = None,
+        target_cap: int = 128,
         metric: str | int = "l2",
         train_size: int = 100_000,
         seed: int = 1234,
@@ -213,7 +217,10 @@ class IVFIndex:
         self.metric = metric_id(metric)
         n = vectors.shape[0]
         if num_clusters is None:
-            num_clusters = max(8, int(np.sqrt(n) * 2))
+            # cap ~ target_cap rows per cluster: small enough that per-query
+            # (B, p, cap, d) probe gathers stay HBM-friendly, large enough
+            # for MXU-efficient dense scans
+            num_clusters = max(8, -(-n // target_cap))
         self.data = build_ivf_layout(
             vectors,
             num_clusters,
@@ -229,47 +236,25 @@ class IVFIndex:
         k: int = 10,
         *,
         probes: int = 8,
-        tile: int = 256,
+        batch_size: int = 2048,
+        rerank: int = 4,
     ) -> tuple[np.ndarray, np.ndarray]:
         nq, d = queries.shape
-        q32 = queries.astype(np.float32)
-        scores = np.asarray(ivf_stage1(self.data, jnp.asarray(q32), metric=self.metric))
-        C = self.data.num_clusters
-        top1 = np.argmin(scores, axis=1)
-        order = np.argsort(top1, kind="stable")  # affinity sort
-        T = -(-nq // tile)
-        pad = T * tile - nq
-        order_p = np.concatenate([order, np.full(pad, order[-1] if nq else 0)])
-        tiles_q = q32[order_p].reshape(T, tile, d)
-        # probe budget: every query's top-1 cluster is guaranteed coverage;
-        # remaining slots ranked by the tile's pooled (min) distance
-        tiles_top1 = top1[order_p].reshape(T, tile)
-        tile_scores = scores[order_p].reshape(T, tile, -1).min(axis=1)  # (T, C)
-        distinct = [np.unique(t) for t in tiles_top1]
-        p = min(
-            max(probes, max(len(u) for u in distinct) + probes // 2),
-            C,
-        )
-        probe_ids = np.empty((T, p), dtype=np.int32)
-        for t in range(T):
-            u = distinct[t]
-            rest = np.argsort(tile_scores[t], kind="stable")
-            rest = rest[~np.isin(rest, u)]
-            sel = np.concatenate([u, rest])[:p]
-            if len(sel) < p:
-                sel = np.concatenate([sel, np.full(p - len(sel), sel[0])])
-            probe_ids[t] = sel
-        dd, ii = ivf_stage2(
-            self.data,
-            jnp.asarray(tiles_q),
-            jnp.asarray(probe_ids),
-            k=k,
-            metric=self.metric,
-        )
-        dd = np.asarray(dd).reshape(T * tile, k)
-        ii = np.asarray(ii).reshape(T * tile, k)
-        out_d = np.empty((nq, k), np.float32)
+        p = min(probes, self.data.num_clusters)
+        batch_size = min(batch_size, max(nq, 1))
         out_i = np.empty((nq, k), np.int32)
-        out_d[order] = dd[:nq]  # first nq rows map 1:1 onto `order`
-        out_i[order] = ii[:nq]
+        out_d = np.empty((nq, k), np.float32)
+        for lo in range(0, nq, batch_size):
+            hi = min(lo + batch_size, nq)
+            q = queries[lo:hi].astype(np.float32)
+            if hi - lo < batch_size:
+                q = np.concatenate(
+                    [q, np.zeros((batch_size - (hi - lo), d), np.float32)]
+                )
+            ii, dd = ivf_search(
+                self.data, jnp.asarray(q), k=k, p=p, metric=self.metric,
+                rerank=rerank,
+            )
+            out_i[lo:hi] = np.asarray(ii)[: hi - lo]
+            out_d[lo:hi] = np.asarray(dd)[: hi - lo]
         return out_i, out_d

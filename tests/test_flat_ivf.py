@@ -45,7 +45,7 @@ def test_flat_tail_chunk(ds):
 
 def test_ivf_recall(ds):
     idx = IVFIndex(ds.base, num_clusters=64, seed=7)
-    ids, dists = idx.search(ds.queries, 10, probes=8, tile=64)
+    ids, dists = idx.search(ds.queries, 10, probes=8)
     r = recall_at_k(ids, ds.ground_truth, 10)
     assert r > 0.9, r
     assert np.all(np.diff(dists, axis=1) >= -1e-2)
@@ -55,7 +55,7 @@ def test_ivf_more_probes_higher_recall(ds):
     idx = IVFIndex(ds.base, num_clusters=64, seed=7)
     r = []
     for p in (2, 8, 32):
-        ids, _ = idx.search(ds.queries, 10, probes=p, tile=64)
+        ids, _ = idx.search(ds.queries, 10, probes=p)
         r.append(recall_at_k(ids, ds.ground_truth, 10))
     assert r[0] <= r[1] <= r[2]
     assert r[2] > 0.99
@@ -78,7 +78,7 @@ def test_sharded_ivf_recall(ds):
 
     mesh = shard_mesh(4)
     idx = ShardedIVFIndex(ds.base, mesh, num_clusters=64, seed=7)
-    ids, dists = idx.search(ds.queries, 10, probes=8, tile=64)
+    ids, dists = idx.search(ds.queries, 10, probes=8)
     r = recall_at_k(ids, ds.ground_truth, 10)
     assert r > 0.9, r
     assert np.all(np.diff(dists, axis=1) >= -1e-3)
@@ -92,5 +92,5 @@ def test_sharded_ivf_full_probes_exact(ds):
 
     mesh = shard_mesh(4)
     idx = ShardedIVFIndex(ds.base, mesh, num_clusters=32, seed=7)
-    ids, _ = idx.search(ds.queries, 10, probes=32, tile=64, rerank=8)
+    ids, _ = idx.search(ds.queries, 10, probes=32, rerank=8)
     assert recall_at_k(ids, ds.ground_truth, 10) > 0.99
