@@ -99,3 +99,28 @@ def _find(root: str, stem: str) -> str:
         if os.path.exists(p):
             return p
     raise FileNotFoundError(f"no {stem}.* under {root}")
+
+
+# Per-dataset search configuration tuned for ~95% recall@10, mirroring the
+# reference registry (/root/reference/scripts/datasets.py:12-20). Metric and
+# ef carry over; set `path` to the dataset root when data is available.
+DATASET_REGISTRY: dict[str, dict] = {
+    "sift1m": {"dim": 128, "metric": "l2", "ef_search": 100},
+    "turing1m": {"dim": 100, "metric": "l2", "ef_search": 100},
+    "turing100m": {"dim": 100, "metric": "l2", "ef_search": 150},
+    "tti10m": {"dim": 200, "metric": "ip", "ef_search": 250},
+    "tti100m": {"dim": 200, "metric": "ip", "ef_search": 250},
+    "deep100m": {"dim": 96, "metric": "l2", "ef_search": 100},
+    "spacev100m": {"dim": 100, "metric": "l2", "ef_search": 100},
+    "bigann100m": {"dim": 128, "metric": "l2", "ef_search": 80},
+    "gist1m": {"dim": 960, "metric": "l2", "ef_search": 128},
+}
+
+
+def dataset_defaults(name: str) -> dict:
+    try:
+        return DATASET_REGISTRY[name.lower()]
+    except KeyError:
+        raise KeyError(
+            f"unknown dataset {name!r}; known: {sorted(DATASET_REGISTRY)}"
+        ) from None

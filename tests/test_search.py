@@ -88,3 +88,29 @@ def test_level_distribution(graph):
     frac = (graph.levels >= 1).mean()
     M = graph.params.M
     assert 0.3 / M < frac < 3.0 / M
+
+
+def test_high_dim_gist_class():
+    """960-d vectors (GIST1M class, BASELINE.md): shapes must stay valid
+    through the fused (d+1)-column gather and the flat scan."""
+    from shine_tpu.models.flat import FlatIndex
+
+    ds = synthetic_dataset(n=1200, dim=960, num_queries=32, seed=15)
+    g = build_graph(ds.base, HNSWParams(M=8, ef_construction=40))
+    idx = HNSWIndex(g)
+    ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=32)
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.9
+    fl = FlatIndex(ds.base)
+    fids, _ = fl.search(ds.queries, 10, chunk=1024, use_bf16=True)
+    assert recall_at_k(fids, ds.ground_truth, 10) > 0.99
+
+
+def test_dataset_registry():
+    from shine_tpu.io.datasets import dataset_defaults
+
+    assert dataset_defaults("SIFT1M")["ef_search"] == 100
+    assert dataset_defaults("tti10m")["metric"] == "ip"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        dataset_defaults("nope")
