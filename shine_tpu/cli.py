@@ -20,11 +20,8 @@ schema) — consumable by scripts/collect_results.py.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import time
-
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:

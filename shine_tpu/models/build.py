@@ -56,7 +56,7 @@ from shine_tpu.ops.beam import (
     beam_mark_expanded,
     beam_merge,
 )
-from shine_tpu.ops.distance import DIST_PRECISION, squared_norms
+from shine_tpu.ops.distance import DIST_PRECISION
 
 
 class BuildState(NamedTuple):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shine_tpu.config import METRIC_IP, METRIC_L2, metric_id
+from shine_tpu.config import METRIC_L2, metric_id
 
 
 class FlatData(NamedTuple):

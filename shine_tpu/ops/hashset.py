@@ -15,7 +15,6 @@ merge still orders by (dist, id)).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

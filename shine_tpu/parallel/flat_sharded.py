@@ -11,8 +11,6 @@ added chips divide the scan time with a fixed, tiny merge cost.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
