@@ -81,10 +81,17 @@ class SearchParams:
     pallas_gather: bool = False  # fetch candidate rows with the pipelined
     # DMA kernel (ops/pallas_gather.py) instead of XLA gather — for the
     # in-loop gather cliff documented in docs/TPU_NOTES.md
+    entry_mode: str = "dense"  # "dense": one (B, U) MXU tile over the
+    # upper-level vertices seeds the layer-0 beam with the global best
+    # entries (strictly better than greedy descent, no descent loops);
+    # "descent": the reference's greedy per-level walk (hnsw.hh:331-393)
+    entry_seeds: int = 2  # beam seeds taken from the dense entry stage
 
     def resolved(self) -> "SearchParams":
         if self.frontier < 1:
             raise ValueError("frontier must be >= 1")
+        if self.entry_mode not in ("dense", "descent"):
+            raise ValueError("entry_mode must be 'dense' or 'descent'")
         ms = self.max_steps or (2 * ((self.ef + 31) // self.frontier) + 8)
         if self.k > self.ef:
             raise ValueError("k must be <= ef")

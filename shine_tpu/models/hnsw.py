@@ -50,6 +50,8 @@ class DeviceGraph(NamedTuple):
     upper_row: jnp.ndarray  # (N,) i32
     upper_neighbors: jnp.ndarray  # (U, L, M) i32
     entry_point: jnp.ndarray  # () i32
+    upper_ids: jnp.ndarray  # (U,) i32 — global id of each upper vertex
+    upper_vecs_ext: jnp.ndarray  # (U, d+1) f32 — dense entry stage
 
     @property
     def n(self) -> int:
@@ -84,13 +86,19 @@ def device_graph(graph: GraphSoA) -> tuple[DeviceGraph, int]:
         if graph.params.metric_id == METRIC_L2
         else jnp.zeros((graph.n,), jnp.float32)
     )
+    vectors_ext = jnp.concatenate([vecs, sq[:, None]], axis=1)
+    upper_ids = np.where(graph.levels >= 1)[0].astype(np.int32)
+    if len(upper_ids) == 0:
+        upper_ids = np.array([graph.entry_point], dtype=np.int32)
     return (
         DeviceGraph(
-            vectors_ext=jnp.concatenate([vecs, sq[:, None]], axis=1),
+            vectors_ext=vectors_ext,
             neighbors0=jnp.asarray(graph.neighbors0),
             upper_row=jnp.asarray(graph.upper_row),
             upper_neighbors=jnp.asarray(graph.upper_neighbors),
             entry_point=jnp.asarray(graph.entry_point, dtype=jnp.int32),
+            upper_ids=jnp.asarray(upper_ids),
+            upper_vecs_ext=vectors_ext[jnp.asarray(upper_ids)],
         ),
         graph.top_level,
     )
@@ -173,10 +181,23 @@ def _beam_search_l0(
     ep_dist: jnp.ndarray,  # (B,)
     sp: SearchParams,
 ) -> tuple[Beam, jnp.ndarray]:
+    return _beam_search_l0_seeded(
+        g, q_ext, bias, ep_id[:, None], ep_dist[:, None], sp
+    )
+
+
+def _beam_search_l0_seeded(
+    g: DeviceGraph,
+    q_ext: jnp.ndarray,  # (B, d+1)
+    bias: jnp.ndarray,  # (B,)
+    seed_ids: jnp.ndarray,  # (B, m)
+    seed_d: jnp.ndarray,  # (B, m)
+    sp: SearchParams,
+) -> tuple[Beam, jnp.ndarray]:
     B = q_ext.shape[0]
     E = sp.frontier
     beam = beam_init(B, sp.ef)
-    beam = beam_merge(beam, ep_dist[:, None], ep_id[:, None])
+    beam = beam_merge(beam, seed_d, seed_ids)
 
     def cond(s: _BeamState):
         return (~jnp.all(s.beam.expanded)) & (s.step < sp.max_steps)
@@ -213,11 +234,28 @@ def batched_search(
     q = queries.astype(jnp.float32)
     B = q.shape[0]
     q_ext, bias = _extend_query(q, metric)
-    ep = jnp.broadcast_to(g.entry_point, (B,)).astype(jnp.int32)
-    ep_dist = _dist_ext(g, q_ext, bias, ep[:, None])[:, 0]
-    for level in range(top_level, 0, -1):
-        ep, ep_dist = _greedy_descent(g, q_ext, bias, ep, ep_dist, level)
-    beam, hops = _beam_search_l0(g, q_ext, bias, ep, ep_dist, sp)
+    if sp.entry_mode == "dense":
+        # dense entry: one (B, U) MXU tile over the upper-level vertices
+        # finds the *globally* nearest entry — a strictly better seed than
+        # the reference's greedy descent (which can stop at a local
+        # optimum), at negligible MXU cost (U ~ N/M rows). The descent
+        # loops (and their per-iteration overhead) disappear entirely.
+        dots = jax.lax.dot_general(
+            q_ext, g.upper_vecs_ext, (((1,), (1,)), ((), ())),
+            precision=DIST_PRECISION, preferred_element_type=jnp.float32,
+        )  # (B, U)
+        du = bias[:, None] + dots
+        m = min(sp.entry_seeds, g.upper_ids.shape[0])
+        nd, sel = jax.lax.top_k(-du, m)
+        seed_ids = g.upper_ids[sel]  # (B, m)
+        seed_d = -nd
+        beam, hops = _beam_search_l0_seeded(g, q_ext, bias, seed_ids, seed_d, sp)
+    else:
+        ep = jnp.broadcast_to(g.entry_point, (B,)).astype(jnp.int32)
+        ep_dist = _dist_ext(g, q_ext, bias, ep[:, None])[:, 0]
+        for level in range(top_level, 0, -1):
+            ep, ep_dist = _greedy_descent(g, q_ext, bias, ep, ep_dist, level)
+        beam, hops = _beam_search_l0(g, q_ext, bias, ep, ep_dist, sp)
     ids = beam.ids[:, : sp.k]
     dists = beam.dists[:, : sp.k]
     if with_stats:

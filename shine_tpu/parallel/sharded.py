@@ -265,20 +265,33 @@ def _sharded_search_spmd(
     q_all = jax.lax.all_gather(q, SHARD_AXIS).reshape(num_shards * B_loc, -1)
     qn_all = jax.lax.all_gather(qn, SHARD_AXIS).reshape(num_shards * B_loc)
 
-    ep = _upper_descent(g, q, qn, metric)  # (B_loc,) global ids
-
-    # entry distance via the owner-compute exchange
-    ep_all = jax.lax.all_gather(ep, SHARD_AXIS).reshape(-1, 1)
-    ep_d = jax.lax.psum_scatter(
-        _owned_distances(g, q_all, qn_all, ep_all, rows_per_shard, metric),
-        SHARD_AXIS,
-        scatter_dimension=0,
-        tiled=True,
-    )[:, 0]
-
     E = sp.frontier
     beam = beam_init(B_loc, sp.ef)
-    beam = beam_merge(beam, ep_d[:, None], ep[:, None])
+    if sp.entry_mode == "dense":
+        # dense entry over the replicated upper vertices — zero
+        # communication, globally-best seeds (cf. models/hnsw.py)
+        dots = jax.lax.dot_general(
+            q, g.upper_vecs, (((1,), (1,)), ((), ())),
+            precision=DIST_PRECISION, preferred_element_type=jnp.float32,
+        )
+        if metric == METRIC_L2:
+            du = qn[:, None] - 2.0 * dots + g.upper_sqnorms[None, :]
+        else:
+            du = 1.0 - dots
+        m = min(sp.entry_seeds, g.upper_ids.shape[0])
+        nd, sel = jax.lax.top_k(-du, m)
+        beam = beam_merge(beam, -nd, g.upper_ids[sel])
+    else:
+        ep = _upper_descent(g, q, qn, metric)  # (B_loc,) global ids
+        # entry distance via the owner-compute exchange
+        ep_all = jax.lax.all_gather(ep, SHARD_AXIS).reshape(-1, 1)
+        ep_d = jax.lax.psum_scatter(
+            _owned_distances(g, q_all, qn_all, ep_all, rows_per_shard, metric),
+            SHARD_AXIS,
+            scatter_dimension=0,
+            tiled=True,
+        )[:, 0]
+        beam = beam_merge(beam, ep_d[:, None], ep[:, None])
 
     def cond(s: _ShardState):
         done = jnp.all(s.beam_e)
