@@ -72,7 +72,21 @@ def main() -> None:
     ds = synthetic_dataset(n=n, dim=d, num_queries=nq, seed=7, gt_k=10)
     results = []  # (name, qps, recall)
 
-    # --- flagship: exact MXU brute force ---
+    # --- flagship: fused block-max scan (pallas) ---
+    try:
+        from shine_tpu.models.flat import FastFlatIndex
+
+        fast = FastFlatIndex(ds.base)
+        qps, ids = time_search(
+            lambda: fast.search(ds.queries, 10, kb=64, batch_size=batch), nq
+        )
+        r = recall_at_k(ids, ds.ground_truth, 10)
+        log(f"# fastflat: qps={qps:.0f} recall@10={r:.4f}")
+        results.append(("fastflat", qps, r))
+    except Exception as e:
+        log(f"# fastflat failed: {e!r}")
+
+    # --- exact MXU brute force (streaming XLA scan) ---
     flat = FlatIndex(ds.base)
     qps, ids = time_search(
         lambda: flat.search(ds.queries, 10, batch_size=batch), nq

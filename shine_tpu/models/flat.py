@@ -177,3 +177,112 @@ class FlatIndex:
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
         return out_i, out_d
+
+
+class FastFlatIndex:
+    """Near-exact brute force via the fused block-max Pallas scan
+    (ops/pallas_scan.py): ~64x less HBM traffic than the streaming scan.
+
+    Recall is ~0.997 at k=10 (two true neighbors sharing one 128-row block
+    can shadow each other; rows are shuffled at build so block membership
+    is independent of id order). kb (candidate blocks per query) trades
+    recall for re-rank cost.
+    """
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        metric: str | int = "l2",
+        *,
+        tn: int = 1024,  # v1/interpret chunk rows (v2 fixes its own TN)
+        shuffle: bool = True,
+        seed: int = 0,
+        interpret: bool = False,
+    ):
+        from shine_tpu.ops.pallas_scan import pack_ext_table
+        from shine_tpu.ops.pallas_scan2 import group_rows  # noqa: F401
+
+        self.metric = metric_id(metric)
+        v = np.ascontiguousarray(vectors, dtype=np.float32)
+        n, d = v.shape
+        self.perm = None
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            self.perm = rng.permutation(n).astype(np.int32)
+            v = v[self.perm]
+        quantum = 4096  # lcm of v1 tiles and v2's TN
+        n_pad = -(-n // quantum) * quantum
+        ext = pack_ext_table(v, self.metric, n_pad)
+        self.ext = jnp.asarray(ext, dtype=jnp.bfloat16)
+        self.vectors = jnp.asarray(v)
+        sq = (v * v).sum(-1) if self.metric == METRIC_L2 else np.zeros(n, np.float32)
+        self.sqnorms = jnp.asarray(sq.astype(np.float32))
+        self.n, self.dim, self.tn = n, d, tn
+        self.dp = ext.shape[1]
+        self.interpret = interpret
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        *,
+        kb: int = 64,
+        batch_size: int = 4096,
+        tq: int = 256,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        out_i, out_d = _fast_flat_search_host(self, queries, k, kb, batch_size, tq)
+        if self.perm is not None:
+            out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
+        return out_i, out_d
+
+
+@partial(jax.jit, static_argnames=("k", "kb", "tq", "tn", "metric", "interpret"))
+def fast_flat_search(
+    ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, metric, interpret=False
+):
+    from shine_tpu.ops.distance import rerank_topk
+
+    if interpret:
+        from shine_tpu.ops.pallas_scan import blockmax_scan
+
+        m1, a1, m2, a2 = blockmax_scan(ext, q_ext, tq=tq, tn=tn, interpret=True)
+        nb = m1.shape[1]
+        kb_eff = min(kb, nb)
+        _, sel = jax.lax.top_k(m1, kb_eff)
+        cand1 = jnp.take_along_axis(a1, sel, axis=1)  # block best rows
+        cand2 = jnp.take_along_axis(a2, sel, axis=1)  # runner-ups
+        cand = jnp.concatenate([cand1, cand2], axis=1)
+    else:
+        from shine_tpu.ops.pallas_scan2 import blockmax_scan2
+
+        m1, a1 = blockmax_scan2(ext, q_ext, tq=tq)
+        nb = m1.shape[1]
+        kb_eff = min(2 * kb, nb)  # 32-row blocks: take 2x blocks, 1 row each
+        _, sel = jax.lax.top_k(m1, kb_eff)
+        cand = jnp.take_along_axis(a1, sel, axis=1)
+    cand = jnp.where(cand < vectors.shape[0], cand, -1)
+    return rerank_topk(vectors, sqnorms, q, cand, k, metric)
+
+
+def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq):
+    nq, d = queries.shape
+    from shine_tpu.ops.pallas_scan import pack_ext_query
+
+    batch_size = max(tq, -(-min(batch_size, max(nq, 1)) // tq) * tq)
+    out_i = np.empty((nq, k), np.int32)
+    out_d = np.empty((nq, k), np.float32)
+    for lo in range(0, nq, batch_size):
+        hi = min(lo + batch_size, nq)
+        q = queries[lo:hi].astype(np.float32)
+        if hi - lo < batch_size:
+            q = np.concatenate([q, np.zeros((batch_size - (hi - lo), d), np.float32)])
+        qj = jnp.asarray(q)
+        q_ext = pack_ext_query(qj, idx.dp).astype(jnp.bfloat16)
+        dd, ii = fast_flat_search(
+            idx.ext, idx.vectors, idx.sqnorms, q_ext, qj,
+            k=k, kb=kb, tq=tq, tn=idx.tn, metric=idx.metric,
+            interpret=idx.interpret,
+        )
+        out_d[lo:hi] = np.asarray(dd)[: hi - lo]
+        out_i[lo:hi] = np.asarray(ii)[: hi - lo]
+    return out_i, out_d

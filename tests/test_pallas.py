@@ -43,3 +43,43 @@ def test_gather_rows_bf16(table, rng):
         np.asarray(out.astype(jnp.float32)),
         np.asarray(t16.astype(jnp.float32))[np.asarray(ids)],
     )
+
+
+def test_blockmax_scan2_interpret(rng):
+    """v2 fused scan (strided 32-row blocks, manual DMA) vs numpy."""
+    import jax.numpy as jnp
+
+    from shine_tpu.ops.pallas_scan2 import TN, blockmax_scan2
+
+    ext = jnp.asarray(
+        rng.normal(size=(2 * TN, 256)).astype(np.float32), dtype=jnp.bfloat16
+    )
+    q = jnp.asarray(
+        rng.normal(size=(128, 256)).astype(np.float32), dtype=jnp.bfloat16
+    )
+    m1, a1 = blockmax_scan2(ext, q, tq=128, interpret=True)
+    sc = np.asarray(q, dtype=np.float32) @ np.asarray(ext, dtype=np.float32).T
+    scr = sc.reshape(128, 2, 32, 128)
+    want_m = scr.max(axis=2).reshape(128, -1)
+    np.testing.assert_allclose(np.asarray(m1), want_m, rtol=2e-2, atol=1e-1)
+    # argmax rows: member m of block lane in chunk c -> c*TN + m*128 + lane
+    am = scr.argmax(axis=2)  # (128, 2, 128)
+    want_r = (
+        np.arange(2)[None, :, None] * TN
+        + am * 128
+        + np.arange(128)[None, None, :]
+    ).reshape(128, -1)
+    got = np.asarray(a1)
+    agree = (got == want_r).mean()
+    assert agree > 0.999, agree  # ties may differ
+
+
+def test_fast_flat_index_interpret():
+    from shine_tpu.io import recall_at_k, synthetic_dataset
+    from shine_tpu.models.flat import FastFlatIndex
+
+    ds = synthetic_dataset(n=5000, dim=32, num_queries=128, seed=3)
+    idx = FastFlatIndex(ds.base, tn=1024, interpret=True)
+    ids, dd = idx.search(ds.queries, 10, kb=64, tq=128)
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.98
+    assert np.all(np.diff(dd, axis=1) >= -1e-3)
