@@ -133,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
     if not args.no_recall and ds.ground_truth is not None:
         s.recall = recall_at_k(ids, ds.ground_truth, args.k)
     s.expansions = getattr(index_obj, "last_hops", 0)
+    if s.expansions:
+        s.distance_computations = s.expansions * params.M_max0
+        s.hbm_gather_bytes = s.distance_computations * 4 * (ds.dim + 1)
     s.cache_hits = getattr(index_obj, "cache_hits", 0)
     s.cache_misses = getattr(index_obj, "cache_misses", 0)
     stats.set_queries(s)

@@ -89,3 +89,73 @@ def gather_rows_pallas(
         interpret=interpret,
     )(ids_pad, table)
     return out[:R]
+
+
+def _gather_kernel_flat(ids_ref, table_ref, out_ref, sems, *, blk: int, dp: int):
+    """1-D table variant: row r lives at [r*dp, (r+1)*dp) of a flat array.
+
+    Dodges the (8, 128) tiled-slice constraint that forbids single-row
+    slices of a 2-D HBM memref (docs/TPU_NOTES.md): 1-D HBM buffers allow
+    dynamic-offset slices.
+    """
+    i = pl.program_id(0)
+    base = i * blk
+
+    def mk(j):
+        idx = ids_ref[base + j]
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(idx * dp, dp)],
+            out_ref.at[j],
+            sems.at[j % _OUTSTANDING],
+        )
+
+    for j in range(min(_OUTSTANDING, blk)):
+        mk(j).start()
+
+    def body(j, _):
+        @pl.when(j + _OUTSTANDING < blk)
+        def _():
+            mk(j + _OUTSTANDING).start()
+
+        mk(j).wait()
+        return _
+
+    jax.lax.fori_loop(0, blk, body, None)
+
+
+@partial(jax.jit, static_argnames=("blk", "interpret"))
+def gather_rows_pallas_flat(
+    table: jnp.ndarray,  # (N, d); d should be a multiple of 128
+    ids: jnp.ndarray,  # (R,) int32 in [0, N)
+    *,
+    blk: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """table[ids] via row DMAs over a flattened 1-D view of the table."""
+    (R,) = ids.shape
+    N, dp = table.shape
+    R_pad = -(-R // blk) * blk
+    ids_pad = (
+        jnp.concatenate([ids, jnp.zeros((R_pad - R,), jnp.int32)])
+        if R_pad != R
+        else ids
+    )
+    ids_pad = jnp.clip(ids_pad, 0, N - 1)
+    flat = table.reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R_pad // blk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (blk, dp), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_OUTSTANDING,))],
+    )
+    out = pl.pallas_call(
+        partial(_gather_kernel_flat, blk=blk, dp=dp),
+        out_shape=jax.ShapeDtypeStruct((R_pad, dp), table.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ids_pad, flat)
+    return out[:R]
