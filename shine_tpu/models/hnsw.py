@@ -57,29 +57,30 @@ class DeviceGraph(NamedTuple):
     def n(self) -> int:
         return self.vectors_ext.shape[0]
 
-    @property
-    def vectors(self) -> jnp.ndarray:
-        return self.vectors_ext[:, :-1]
-
-    @property
-    def vec_sqnorms(self) -> jnp.ndarray:
-        return self.vectors_ext[:, -1]
+    # NOTE: the ext row may carry zero padding beyond column d+1 (lane_pad)
 
 
-def _extend_query(q: jnp.ndarray, metric: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(q_ext (B, d+1), bias (B,)): dist = bias + q_ext . v_ext."""
-    B = q.shape[0]
+def _extend_query(
+    q: jnp.ndarray, metric: int, width: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(q_ext (B, width), bias (B,)): dist = bias + q_ext . v_ext."""
+    B, d = q.shape
+    pad = jnp.zeros((B, width - d - 1), q.dtype)
     if metric == METRIC_L2:
-        q_ext = jnp.concatenate([-2.0 * q, jnp.ones((B, 1), q.dtype)], axis=1)
+        q_ext = jnp.concatenate([-2.0 * q, jnp.ones((B, 1), q.dtype), pad], axis=1)
         bias = jnp.sum(q * q, axis=-1)
     else:
-        q_ext = jnp.concatenate([-q, jnp.zeros((B, 1), q.dtype)], axis=1)
+        q_ext = jnp.concatenate([-q, jnp.zeros((B, 1), q.dtype), pad], axis=1)
         bias = jnp.ones((B,), q.dtype)
     return q_ext, bias
 
 
-def device_graph(graph: GraphSoA) -> tuple[DeviceGraph, int]:
-    """Upload a host graph; returns (device pytree, static top_level)."""
+def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGraph, int]:
+    """Upload a host graph; returns (device pytree, static top_level).
+
+    lane_pad pads the ext row width to a 128-lane multiple so the 1-D
+    Pallas row-DMA gather can fetch it (required for
+    SearchParams(pallas_gather=True))."""
     vecs = jnp.asarray(graph.vectors, dtype=jnp.float32)
     sq = (
         squared_norms(vecs)
@@ -87,6 +88,15 @@ def device_graph(graph: GraphSoA) -> tuple[DeviceGraph, int]:
         else jnp.zeros((graph.n,), jnp.float32)
     )
     vectors_ext = jnp.concatenate([vecs, sq[:, None]], axis=1)
+    if lane_pad:
+        dp = -(-vectors_ext.shape[1] // 128) * 128
+        vectors_ext = jnp.concatenate(
+            [
+                vectors_ext,
+                jnp.zeros((graph.n, dp - vectors_ext.shape[1]), jnp.float32),
+            ],
+            axis=1,
+        )
     upper_ids = np.where(graph.levels >= 1)[0].astype(np.int32)
     if len(upper_ids) == 0:
         upper_ids = np.array([graph.entry_point], dtype=np.int32)
@@ -111,10 +121,10 @@ def _dist_ext(
     """(B, K) distances via one fused gather + einsum; inf where id<0."""
     safe = jnp.maximum(ids, 0)
     if use_pallas:
-        from shine_tpu.ops.pallas_gather import gather_rows_pallas
+        from shine_tpu.ops.pallas_gather import gather_rows_pallas_flat
 
         B, K = ids.shape
-        ve = gather_rows_pallas(g.vectors_ext, safe.reshape(-1)).reshape(
+        ve = gather_rows_pallas_flat(g.vectors_ext, safe.reshape(-1)).reshape(
             B, K, -1
         )
     else:
@@ -233,7 +243,11 @@ def batched_search(
     sp = search_params.resolved()
     q = queries.astype(jnp.float32)
     B = q.shape[0]
-    q_ext, bias = _extend_query(q, metric)
+    if sp.pallas_gather and g.vectors_ext.shape[1] % 128:
+        raise ValueError(
+            "pallas_gather needs a lane-padded graph: HNSWIndex(..., pallas=True)"
+        )
+    q_ext, bias = _extend_query(q, metric, g.vectors_ext.shape[1])
     if sp.entry_mode == "dense":
         # dense entry: one (B, U) MXU tile over the upper-level vertices
         # finds the *globally* nearest entry — a strictly better seed than
@@ -270,9 +284,9 @@ class HNSWIndex:
     reference's ComputeNode+HNSW pair in the one-CN configuration.
     """
 
-    def __init__(self, graph: GraphSoA):
+    def __init__(self, graph: GraphSoA, *, pallas: bool = False):
         self.graph = graph
-        self.device, self.top_level = device_graph(graph)
+        self.device, self.top_level = device_graph(graph, lane_pad=pallas)
         self.metric = graph.params.metric_id
 
     @classmethod
