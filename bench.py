@@ -69,7 +69,20 @@ def main() -> None:
     batch = int(os.environ.get("SHINE_BENCH_BATCH", 2048))
     skip_hnsw = os.environ.get("SHINE_BENCH_SKIP_HNSW", "") == "1"
 
-    ds = synthetic_dataset(n=n, dim=d, num_queries=nq, seed=7, gt_k=10)
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    ds_cache = os.path.join(cache_dir, f"ds_{n}x{d}_q{nq}.npz")
+    if os.path.exists(ds_cache):
+        z = np.load(ds_cache)
+        from shine_tpu.io import Dataset
+
+        ds = Dataset(z["base"], z["queries"], z["gt"], name=f"synth-{n}x{d}")
+        log("# dataset loaded from cache")
+    else:
+        ds = synthetic_dataset(n=n, dim=d, num_queries=nq, seed=7, gt_k=10)
+        np.savez(ds_cache, base=ds.base, queries=ds.queries, gt=ds.ground_truth)
     results = []  # (name, qps, recall)
 
     # --- flagship: fused block-max scan (pallas) ---
@@ -113,9 +126,6 @@ def main() -> None:
     if not skip_hnsw:
         try:
             params = HNSWParams(M=16, ef_construction=200)
-            cache_dir = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
-            )
             ckpt = index_path(cache_dir, ds.name, params)
             if os.path.exists(ckpt):
                 graph = load_graph(ckpt)
