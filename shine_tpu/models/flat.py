@@ -221,24 +221,66 @@ class FastFlatIndex:
         self.dp = ext.shape[1]
         self.interpret = interpret
 
+    def preload(self, queries: np.ndarray, *, batch_size: int = 4096):
+        """Stage queries in HBM once (the reference stages queries in CN
+        RAM before its timed runs, compute_node.cc:277-319; the dev-tunnel
+        here moves ~20 MB/s so this matters doubly)."""
+        nq, d = queries.shape
+        nq_pad = -(-nq // batch_size) * batch_size
+        q_all = np.zeros((nq_pad, d), np.float32)
+        q_all[:nq] = queries.astype(np.float32)
+        q_dev = jnp.asarray(q_all)
+        q_dev.block_until_ready()
+        return q_dev, nq
+
     def search(
         self,
         queries: np.ndarray,
         k: int = 10,
         *,
-        kb: int = 64,
+        kb: int = 32,
         batch_size: int = 4096,
-        tq: int = 256,
+        tq: int = 512,
+        cls: int = 1024,
+        preloaded=None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        out_i, out_d = _fast_flat_search_host(self, queries, k, kb, batch_size, tq)
+        out_i, out_d = _fast_flat_search_host(
+            self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded
+        )
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
         return out_i, out_d
 
 
-@partial(jax.jit, static_argnames=("k", "kb", "tq", "tn", "metric", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret"
+    ),
+)
+def fast_flat_search_at(
+    ext, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric, batch,
+    interpret=False,
+):
+    """One fused program: slice the preloaded queries, pack the extended
+    query, scan, select, re-rank — a single dispatch per batch."""
+    from shine_tpu.ops.pallas_scan import pack_ext_query
+
+    qj = jax.lax.dynamic_slice_in_dim(q_dev, lo, batch, 0)
+    q_ext = pack_ext_query(qj, ext.shape[1]).astype(jnp.bfloat16)
+    return fast_flat_search(
+        ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
+        metric=metric, interpret=interpret,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "kb", "tq", "tn", "cls", "metric", "interpret"),
+)
 def fast_flat_search(
-    ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, metric, interpret=False
+    ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, cls, metric,
+    interpret=False,
 ):
     from shine_tpu.ops.distance import rerank_topk
 
@@ -253,36 +295,54 @@ def fast_flat_search(
         cand2 = jnp.take_along_axis(a2, sel, axis=1)  # runner-ups
         cand = jnp.concatenate([cand1, cand2], axis=1)
     else:
-        from shine_tpu.ops.pallas_scan2 import blockmax_scan2
+        from shine_tpu.ops.pallas_scan3 import classmax_scan
 
-        m1, a1 = blockmax_scan2(ext, q_ext, tq=tq)
-        nb = m1.shape[1]
-        kb_eff = min(2 * kb, nb)  # 32-row blocks: take 2x blocks, 1 row each
+        m1, a1 = classmax_scan(ext, q_ext, tq=tq, tn=tn, cls=cls)
+        kb_eff = min(kb, m1.shape[1])
         _, sel = jax.lax.top_k(m1, kb_eff)
         cand = jnp.take_along_axis(a1, sel, axis=1)
     cand = jnp.where(cand < vectors.shape[0], cand, -1)
     return rerank_topk(vectors, sqnorms, q, cand, k, metric)
 
 
-def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq):
+def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
+                           preloaded=None):
     nq, d = queries.shape
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
+    if idx.interpret:
+        tq = min(tq, 128)
     batch_size = max(tq, -(-min(batch_size, max(nq, 1)) // tq) * tq)
     out_i = np.empty((nq, k), np.int32)
     out_d = np.empty((nq, k), np.float32)
-    for lo in range(0, nq, batch_size):
-        hi = min(lo + batch_size, nq)
-        q = queries[lo:hi].astype(np.float32)
-        if hi - lo < batch_size:
-            q = np.concatenate([q, np.zeros((batch_size - (hi - lo), d), np.float32)])
-        qj = jnp.asarray(q)
-        q_ext = pack_ext_query(qj, idx.dp).astype(jnp.bfloat16)
-        dd, ii = fast_flat_search(
-            idx.ext, idx.vectors, idx.sqnorms, q_ext, qj,
-            k=k, kb=kb, tq=tq, tn=idx.tn, metric=idx.metric,
-            interpret=idx.interpret,
+    # one host->device upload for the whole query set (the tunnel in this
+    # environment moves ~20 MB/s — per-batch uploads would dominate);
+    # batches are sliced on-device
+    if preloaded is not None:
+        q_dev, nq_real = preloaded
+        assert nq_real == nq and q_dev.shape[0] % batch_size == 0
+        nq_pad = q_dev.shape[0]
+    else:
+        nq_pad = -(-nq // batch_size) * batch_size
+        q_all = np.zeros((nq_pad, d), np.float32)
+        q_all[:nq] = queries.astype(np.float32)
+        q_dev = jnp.asarray(q_all)
+    parts = []
+    for lo in range(0, nq_pad, batch_size):
+        parts.append(
+            fast_flat_search_at(
+                idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
+                k=k, kb=kb, tq=tq, tn=idx.tn, cls=cls, metric=idx.metric,
+                batch=batch_size, interpret=idx.interpret,
+            )
         )
-        out_d[lo:hi] = np.asarray(dd)[: hi - lo]
-        out_i[lo:hi] = np.asarray(ii)[: hi - lo]
+    # batches dispatch asynchronously; one host transfer at the end (the
+    # tunnel round-trip costs ~50-100 ms, so per-batch syncs dominate)
+    if len(parts) == 1:
+        all_d, all_i = parts[0]
+    else:
+        all_d = jnp.concatenate([p[0] for p in parts], axis=0)
+        all_i = jnp.concatenate([p[1] for p in parts], axis=0)
+    out_d[:] = np.asarray(all_d)[:nq]
+    out_i[:] = np.asarray(all_i)[:nq]
     return out_i, out_d

@@ -1,0 +1,115 @@
+"""Fused brute-force scan, v3: running class-max in VMEM.
+
+v2 (pallas_scan2.py) still wrote (B, N/32) block summaries (50 MB) and
+re-read the base once per 64-query tile — measured 40 ms for 4096 x 200k.
+v3 keeps a *running* reduction in VMEM across the whole base sweep: each
+base row belongs to one of CLS (=1024) classes (row % CLS under the
+strided layout), and the kernel maintains, per query, the best (score,
+row) of every class. Outputs shrink to (B, CLS) — independent of N — so
+the query tile can be large (fewer base re-reads) and the host-side
+top-k runs over 1024 columns instead of N/32.
+
+Recall model: a true top-k row is lost only if a better top-k row shares
+its class; expected loss ~ C(k,2)/CLS per query (~0.44% of rows at k=10,
+CLS=1024; rows are shuffled at build). The exact f32 re-rank of the top
+kb class representatives recovers ordering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CLS = 1024  # default row classes = output columns per query
+TN = 2048  # default base rows per DMA chunk
+
+
+def _kernel(q_ref, ext_hbm, m_ref, r_ref, *, n_pad: int, tn: int, cls: int):
+    num_chunks = n_pad // tn
+    members = tn // cls
+
+    def body(buf_ref, sem_ref):
+        def get_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                ext_hbm.at[pl.ds(chunk * tn, tn), :],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+
+        get_dma(0, 0).start()
+        q = q_ref[:]  # (TQ, dp) bf16
+        tq = q.shape[0]
+        # the output refs double as the running state (VMEM-resident for
+        # the whole grid step)
+        m_ref[:] = jnp.full((tq, cls), -3e38, jnp.float32)
+        r_ref[:] = jnp.zeros((tq, cls), jnp.int32)
+
+        def step(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            blk = buf_ref[slot]
+            dots = jax.lax.dot_general(
+                q, blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TQ, TN)
+            dd = dots.reshape(tq, members, cls)  # lane-preserving
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tq, cls), 1)
+            sm = m_ref[:]
+            sr = r_ref[:]
+            for m in range(members):
+                cur = dd[:, m, :]
+                better = cur > sm
+                row = c * tn + m * cls + lane
+                sm = jnp.where(better, cur, sm)
+                sr = jnp.where(better, row, sr)
+            m_ref[:] = sm
+            r_ref[:] = sr
+            return _
+
+        jax.lax.fori_loop(0, num_chunks, step, None)
+
+    pl.run_scoped(
+        body,
+        buf_ref=pltpu.VMEM((2, tn, q_ref.shape[1]), jnp.bfloat16),
+        sem_ref=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("tq", "tn", "cls", "interpret"))
+def classmax_scan(
+    ext: jnp.ndarray,  # (N_pad, dp) bf16, N_pad % tn == 0
+    q_ext: jnp.ndarray,  # (B, dp) bf16, B % tq == 0
+    *,
+    tq: int = 1024,
+    tn: int = TN,
+    cls: int = CLS,
+    interpret: bool = False,
+):
+    """Returns (best (B, cls) f32, rows (B, cls) i32)."""
+    n_pad, dp = ext.shape
+    B = q_ext.shape[0]
+    assert n_pad % tn == 0 and B % tq == 0 and tn % cls == 0
+    spec = pl.BlockSpec((tq, cls), lambda i: (i, 0))
+    return pl.pallas_call(
+        partial(_kernel, n_pad=n_pad, tn=tn, cls=cls),
+        grid=(B // tq,),
+        in_specs=[
+            pl.BlockSpec((tq, dp), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, cls), jnp.float32),
+            jax.ShapeDtypeStruct((B, cls), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_ext, ext)
