@@ -1,3 +1,4 @@
+from shine_tpu.parallel.fastflat_sharded import ShardedFastFlatIndex
 from shine_tpu.parallel.flat_sharded import ShardedFlatIndex
 from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
 from shine_tpu.parallel.mesh import SHARD_AXIS, shard_mesh
@@ -14,6 +15,7 @@ __all__ = [
     "SHARD_AXIS",
     "Placement",
     "ShardedFlatIndex",
+    "ShardedFastFlatIndex",
     "ShardedIVFIndex",
     "kmeans",
     "QueryRouter",

@@ -1,0 +1,157 @@
+"""Multi-chip FastFlat: the class-max scan kernel over a row-sharded base.
+
+Each chip holds a row-range of the packed score table (capacity scales with
+chips), runs the fused class-max sweep (ops/pallas_scan3.py) over its own
+rows, selects its local top-kb candidates, re-ranks them *exactly* in f32
+against its own rows (owners hold the vectors), and one `all_gather` of
+(B, kb) (dist, id) lanes merges the shards — the same tiny merge as
+flat_sharded.py with the v3 kernel underneath.
+
+On the virtual CPU mesh the kernel runs in interpret mode automatically
+(pallas TPU lowering needs the real chip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from shine_tpu.config import METRIC_L2, metric_id
+from shine_tpu.ops.distance import rerank_topk
+from shine_tpu.ops.pallas_scan import pack_ext_query, pack_ext_table
+from shine_tpu.ops.pallas_scan3 import classmax_scan
+from shine_tpu.parallel.mesh import SHARD_AXIS
+
+
+def _make_search(
+    mesh: Mesh, k: int, kb: int, tq: int, cls: int, tn: int, metric: int,
+    rows_per_shard: int, interpret: bool,
+):
+    S = mesh.devices.size
+
+    def spmd(ext, vectors, sqnorms, queries):
+        B = queries.shape[0]
+        q = queries.astype(jnp.float32)
+        q_ext = pack_ext_query(q, ext.shape[1]).astype(jnp.bfloat16)
+        m, r = classmax_scan(
+            ext, q_ext, tq=min(tq, B), tn=tn, cls=cls, interpret=interpret
+        )
+        kb_eff = min(kb, m.shape[1])
+        _, sel = jax.lax.top_k(m, kb_eff)
+        cand_local = jnp.take_along_axis(r, sel, axis=1)  # local rows
+        cand_local = jnp.where(cand_local < vectors.shape[0], cand_local, -1)
+        # exact f32 re-rank against OWNED rows
+        dd, ii = rerank_topk(vectors, sqnorms, q, cand_local, kb_eff, metric)
+        my = jax.lax.axis_index(SHARD_AXIS)
+        gi = jnp.where(ii >= 0, ii + my * rows_per_shard, -1)
+        all_d = jax.lax.all_gather(dd, SHARD_AXIS)  # (S, B, kb)
+        all_i = jax.lax.all_gather(gi, SHARD_AXIS)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(B, S * kb_eff)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, S * kb_eff)
+        key_i = jnp.where(all_i < 0, jnp.int32(2**31 - 1), all_i)
+        md, _, mi = jax.lax.sort((all_d, key_i, all_i), dimension=1, num_keys=2)
+        return md[:, :k], mi[:, :k]
+
+    @jax.jit
+    def run(ext, vectors, sqnorms, queries):
+        fn = jax.shard_map(
+            spmd,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(ext, vectors, sqnorms, queries)
+
+    return run
+
+
+class ShardedFastFlatIndex:
+    """Row-sharded exact-ish k-NN with the fused class-max kernel."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        mesh: Mesh,
+        metric: str | int = "l2",
+        *,
+        tn: int = 1024,
+        shuffle: bool = True,
+        seed: int = 0,
+        interpret: bool | None = None,
+    ):
+        self.metric = metric_id(metric)
+        self.mesh = mesh
+        S = mesh.devices.size
+        v = np.ascontiguousarray(vectors, dtype=np.float32)
+        n, d = v.shape
+        self.perm = None
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            self.perm = rng.permutation(n).astype(np.int32)
+            v = v[self.perm]
+        quantum = 4096 * S
+        n_pad = -(-n // quantum) * quantum
+        ext = pack_ext_table(v, self.metric, n_pad)
+        vpad = np.zeros((n_pad, d), np.float32)
+        vpad[:n] = v
+        sq = (vpad * vpad).sum(-1) if self.metric == METRIC_L2 else np.zeros(
+            n_pad, np.float32
+        )
+        sq[n:] = np.inf
+        row_sh = NamedSharding(mesh, P(SHARD_AXIS))
+        self.ext = jax.device_put(jnp.asarray(ext, jnp.bfloat16), row_sh)
+        self.vectors = jax.device_put(jnp.asarray(vpad), row_sh)
+        self.sqnorms = jax.device_put(jnp.asarray(sq.astype(np.float32)), row_sh)
+        self.n, self.dim, self.tn = n, d, tn
+        self.rows = n_pad // S
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        self._runs: dict = {}
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        *,
+        kb: int = 32,
+        batch_size: int = 4096,
+        tq: int = 512,
+        cls: int = 1024,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        nq, d = queries.shape
+        batch_size = min(batch_size, max(nq, 1))
+        batch_size = max(tq, -(-batch_size // tq) * tq)
+        kb = max(kb, k)
+        key = (k, kb, tq, cls, batch_size)
+        if key not in self._runs:
+            self._runs[key] = _make_search(
+                self.mesh, k, kb, tq, cls, self.tn, self.metric,
+                self.rows, self.interpret,
+            )
+        run = self._runs[key]
+        rep = NamedSharding(self.mesh, P())
+        out_i = np.empty((nq, k), np.int32)
+        out_d = np.empty((nq, k), np.float32)
+        for lo in range(0, nq, batch_size):
+            hi = min(lo + batch_size, nq)
+            q = queries[lo:hi].astype(np.float32)
+            if hi - lo < batch_size:
+                q = np.concatenate(
+                    [q, np.zeros((batch_size - (hi - lo), d), np.float32)]
+                )
+            dd, ii = run(
+                self.ext, self.vectors, self.sqnorms,
+                jax.device_put(jnp.asarray(q), rep),
+            )
+            out_d[lo:hi] = np.asarray(dd)[: hi - lo]
+            out_i[lo:hi] = np.asarray(ii)[: hi - lo]
+        if self.perm is not None:
+            out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
+        return out_i, out_d

@@ -38,3 +38,13 @@ def test_sharded_flat_ip():
     idx = ShardedFlatIndex(ds.base, mesh, metric="ip")
     ids, _ = idx.search(ds.queries, 10, chunk=1024, use_bf16=False)
     assert recall_at_k(ids, ds.ground_truth, 10) == pytest.approx(1.0)
+
+
+def test_sharded_fastflat(ds):
+    from shine_tpu.parallel.fastflat_sharded import ShardedFastFlatIndex
+
+    mesh = shard_mesh(4)
+    idx = ShardedFastFlatIndex(ds.base, mesh)
+    ids, dists = idx.search(ds.queries, 10, tq=128, batch_size=128)
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.97
+    assert np.all(np.diff(dists, axis=1) >= -1e-3)
