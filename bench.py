@@ -115,7 +115,7 @@ def main() -> None:
     # --- IVF (clustered pruning) ---
     try:
         ivf = IVFIndex(ds.base, seed=7)
-        for probes in (4, 8, 16):
+        for probes in (16, 32, 64):
             qps, ids = time_search(
                 lambda p=probes: ivf.search(ds.queries, 10, probes=p, batch_size=batch),
                 nq,

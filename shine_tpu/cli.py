@@ -34,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--zipf", type=float, default=0.0, help="Zipf alpha workload")
     src.add_argument("--warmup", type=int, default=0, help="warmup queries")
     idx = p.add_argument_group("index")
-    idx.add_argument("--index", choices=("hnsw", "flat", "ivf"), default="hnsw")
+    idx.add_argument(
+        "--index", choices=("hnsw", "flat", "fastflat", "ivf"), default="hnsw"
+    )
     idx.add_argument("-m", type=int, default=32, help="HNSW M")
     idx.add_argument("--ef-construction", type=int, default=500)
     idx.add_argument("--ip-dist", action="store_true", help="inner-product metric")
@@ -158,6 +160,20 @@ def _build(args, ds, params, mesh, timing):
             from shine_tpu.models.flat import FlatIndex
 
             idx = FlatIndex(ds.base, metric=params.metric)
+        return (
+            lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
+            ds.base.nbytes,
+            idx,
+        )
+    if args.index == "fastflat":
+        if mesh is not None:
+            from shine_tpu.parallel import ShardedFastFlatIndex
+
+            idx = ShardedFastFlatIndex(ds.base, mesh, metric=params.metric)
+        else:
+            from shine_tpu.models.flat import FastFlatIndex
+
+            idx = FastFlatIndex(ds.base, metric=params.metric)
         return (
             lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
             ds.base.nbytes,
