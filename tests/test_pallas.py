@@ -83,3 +83,13 @@ def test_fast_flat_index_interpret():
     ids, dd = idx.search(ds.queries, 10, kb=64, tq=128)
     assert recall_at_k(ids, ds.ground_truth, 10) > 0.98
     assert np.all(np.diff(dd, axis=1) >= -1e-3)
+
+
+def test_fast_flat_ip_metric():
+    from shine_tpu.io import recall_at_k, synthetic_dataset
+    from shine_tpu.models.flat import FastFlatIndex
+
+    ds = synthetic_dataset(n=4096, dim=32, num_queries=64, seed=5, metric="ip")
+    idx = FastFlatIndex(ds.base, metric="ip", tn=1024, interpret=True)
+    ids, _ = idx.search(ds.queries, 10, kb=64, tq=64)
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.97
