@@ -113,3 +113,12 @@ def test_sharded_insert_round_matches_single(ds):
     )
     assert int(st_a.entry_point) == int(st_b.entry_point)
     assert int(st_a.count) == int(st_b.count) == 400
+
+
+def test_estimate_index_bytes():
+    from shine_tpu.graph.soa import estimate_index_bytes
+
+    params = HNSWParams(M=16)
+    b = estimate_index_bytes(100_000, 128, params)
+    # vector+l0 dominate: ~ (128*4 + 8 + 128)
+    assert 5e7 < b < 1e8
