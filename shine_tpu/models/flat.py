@@ -243,9 +243,13 @@ class FastFlatIndex:
         tq: int = 512,
         cls: int = 1024,
         preloaded=None,
+        with_dists: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """with_dists=False skips the distance download (the dev tunnel
+        moves ~20 MB/s; recall-only callers save a transfer)."""
         out_i, out_d = _fast_flat_search_host(
-            self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded
+            self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
+            with_dists=with_dists,
         )
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
@@ -306,7 +310,7 @@ def fast_flat_search(
 
 
 def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
-                           preloaded=None):
+                           preloaded=None, with_dists=True):
     nq, d = queries.shape
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
@@ -343,6 +347,9 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
     else:
         all_d = jnp.concatenate([p[0] for p in parts], axis=0)
         all_i = jnp.concatenate([p[1] for p in parts], axis=0)
-    out_d[:] = np.asarray(all_d)[:nq]
     out_i[:] = np.asarray(all_i)[:nq]
+    if with_dists:
+        out_d[:] = np.asarray(all_d)[:nq]
+    else:
+        out_d.fill(0)
     return out_i, out_d
