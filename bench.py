@@ -93,7 +93,7 @@ def main() -> None:
         pre = fast.preload(ds.queries, batch_size=batch)
         qps, ids = time_search(
             lambda: fast.search(
-                ds.queries, 10, kb=32, batch_size=batch, preloaded=pre,
+                ds.queries, 10, batch_size=batch, preloaded=pre,
                 with_dists=False,
             ),
             nq,

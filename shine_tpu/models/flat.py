@@ -238,15 +238,20 @@ class FastFlatIndex:
         queries: np.ndarray,
         k: int = 10,
         *,
-        kb: int = 32,
+        kb: int = 0,
         batch_size: int = 4096,
         tq: int = 512,
         cls: int = 1024,
         preloaded=None,
         with_dists: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """with_dists=False skips the distance download (the dev tunnel
+        """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
+        with dimension, so high-dim needs a bigger margin (measured:
+        kb=32 holds 0.992 at d=128; d=960 needs kb=128 for 0.988).
+        with_dists=False skips the distance download (the dev tunnel
         moves ~20 MB/s; recall-only callers save a transfer)."""
+        if kb <= 0:
+            kb = 32 if self.dim < 512 else 128
         out_i, out_d = _fast_flat_search_host(
             self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
             with_dists=with_dists,
