@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     idx.add_argument("--load-index", help="path to load a prebuilt index")
     idx.add_argument("--device-build", action="store_true",
                      help="build HNSW on device (batched insert rounds)")
+    idx.add_argument("--fast-build", action="store_true",
+                     help="build HNSW via the fused kNN scan (fastbuild)")
     q = p.add_argument_group("query")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--ef-search", type=int, default=128)
@@ -204,6 +206,10 @@ def _build(args, ds, params, mesh, timing):
         from shine_tpu.models import device_build_graph
 
         graph = device_build_graph(ds.base, params, mesh=mesh)
+    elif args.fast_build:
+        from shine_tpu.models.fastbuild import fast_build_graph
+
+        graph = fast_build_graph(ds.base, params)
     else:
         graph = build_graph(ds.base, params)
     if args.store_index:

@@ -1,0 +1,250 @@
+"""MXU-speed HNSW construction: exact kNN graph + heuristic pruning.
+
+The reference builds incrementally — every insert runs an ef_construction
+beam search against the partial graph under remote locks
+(/root/reference/src/hnsw/hnsw.hh:40-251). On TPU that traversal is
+gather-bound (docs/TPU_NOTES.md), but the *fused scan* (ops/pallas_scan3)
+computes exact nearest neighbors at MXU rate. So construction flips:
+
+  1. scan the base against itself -> exact 2M-NN per node (seconds at
+     200k x 128 vs ~2 minutes for the sequential native builder here);
+  2. select each node's M diverse neighbors with the reference's
+     heuristic (select_heuristic, hnsw.hh:482-522) — vectorized, batched
+     on device;
+  3. add reverse edges with deterministic nearest-first capping, then
+     re-prune overflowing vertices with the same heuristic (the batched
+     analogue of the reference's shrink-on-overflow, hnsw.hh:180-225);
+  4. upper layers: the same recipe on the level->l subsets (tiny);
+     entry point = the max-level node (lowest id).
+
+Graphs built this way search with the same machinery (models/hnsw.py,
+parallel/sharded.py) and match or beat the incremental builder's recall:
+the kNN stage is exact rather than beam-approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from functools import partial
+
+import jax
+
+from shine_tpu.config import METRIC_L2, HNSWParams
+from shine_tpu.graph.soa import GraphSoA
+from shine_tpu.models.build import draw_levels, select_heuristic
+
+
+@partial(jax.jit, static_argnames=("M_out", "metric"))
+def _select_batch(vdev, sdev, ci, cd, *, M_out, metric):
+    cv = vdev[jnp.maximum(ci, 0)]
+    cs = sdev[jnp.maximum(ci, 0)]
+    return select_heuristic(ci, cd, cv, cs, M_out, metric, fill=True)
+
+
+def _device_select(
+    vectors: np.ndarray,
+    sqn: np.ndarray,
+    node_ids: np.ndarray,  # (B,) query nodes
+    cand: np.ndarray,  # (B, C) candidate ids sorted by (dist, id), -1 pad
+    cand_d: np.ndarray,  # (B, C)
+    M_out: int,
+    metric: int,
+    batch: int = 8192,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched diversity selection on device. Returns (sel (B, M_out),
+    n_sel (B,)). Batches dispatch asynchronously; one transfer at the end
+    (tunnel round trips cost ~50-100 ms each, docs/TPU_NOTES.md). The
+    select program is a module-level jit so it compiles once per
+    (shape, M_out, metric) across all calls."""
+    vdev = jnp.asarray(vectors)
+    sdev = jnp.asarray(sqn)
+    B, C = cand.shape
+    batch = min(batch, B)
+
+    parts = []
+    for lo in range(0, B, batch):
+        hi = min(lo + batch, B)
+        ci = np.full((batch, C), -1, np.int32)
+        ci[: hi - lo] = cand[lo:hi]
+        cdp = np.full((batch, C), np.inf, np.float32)
+        cdp[: hi - lo] = cand_d[lo:hi]
+        parts.append(
+            _select_batch(
+                vdev, sdev, jnp.asarray(ci), jnp.asarray(cdp),
+                M_out=M_out, metric=metric,
+            )
+        )
+    if len(parts) == 1:
+        s_all, n_all = parts[0]
+    else:
+        s_all = jnp.concatenate([p[0] for p in parts], axis=0)
+        n_all = jnp.concatenate([p[1] for p in parts], axis=0)
+    return np.asarray(s_all)[:B], np.asarray(n_all)[:B]
+
+
+def _knn_candidates(
+    vectors: np.ndarray, ids: np.ndarray, k: int, metric: int, interpret: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-ish kNN of the subset `ids` against itself (self excluded).
+    Returns (cand (n, k) as *global* ids, dists (n, k))."""
+    from shine_tpu.models.flat import FastFlatIndex, FlatIndex
+
+    sub = vectors[ids]
+    n = len(ids)
+    if n <= 32768 or interpret:
+        idx = FlatIndex(sub, metric=metric)
+        ii, dd = idx.search(sub, k + 1, batch_size=2048, use_bf16=not interpret)
+    else:
+        idx = FastFlatIndex(sub, metric=metric, interpret=interpret)
+        pre = idx.preload(sub, batch_size=4096)
+        kb = max(k + 17, 48 if sub.shape[1] < 512 else 128)
+        ii, dd = idx.search(
+            sub, k + 1, kb=kb, batch_size=4096, preloaded=pre
+        )
+    # drop self matches: demote them to +inf and re-sort by (dist, id)
+    local = np.arange(n)[:, None]
+    self_hit = ii == local
+    dd = np.where(self_hit, np.inf, dd)
+    ii = np.where(self_hit, -1, ii)
+    order = np.lexsort((np.where(ii < 0, 2**31 - 1, ii), dd), axis=1)
+    ii = np.take_along_axis(ii, order, axis=1)[:, :k]
+    dd = np.take_along_axis(dd, order, axis=1)[:, :k]
+    gi = np.where(ii >= 0, ids[np.maximum(ii, 0)], -1)
+    return gi.astype(np.int32), dd.astype(np.float32)
+
+
+def _reverse_merge(
+    fwd_sel: np.ndarray,  # (n, M) selected forward edges (global ids)
+    fwd_d: np.ndarray,  # (n, M) their distances
+    ids: np.ndarray,  # (n,) global ids of these nodes
+    cap_c: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-vertex candidate sets = forward ∪ incoming, nearest-first capped
+    at cap_c. Returns (cand (n, cap_c) global ids, approximate dists).
+    Deterministic: ties and caps resolve by (dist, id)."""
+    n, M = fwd_sel.shape
+    row_of = np.full(int(ids.max()) + 2, -1, np.int64)
+    row_of[ids] = np.arange(n)
+    # edge list (u -> v): reverse candidate for v is u at the same distance
+    src = np.repeat(ids, M)
+    dst = fwd_sel.reshape(-1)
+    dists = fwd_d.reshape(-1)
+    ok = dst >= 0
+    src, dst, dists = src[ok], dst[ok], dists[ok]
+    rows = row_of[dst]
+    order = np.lexsort((src, dists, rows))
+    rows, src, dists = rows[order], src[order], dists[order]
+    first = np.concatenate([[True], rows[1:] != rows[:-1]])
+    gstart = np.maximum.accumulate(np.where(first, np.arange(len(rows)), 0))
+    rank = np.arange(len(rows)) - gstart
+    # assemble (n, cap_c): forward first, then incoming by rank
+    cand = np.full((n, cap_c + M), -1, np.int32)
+    cd = np.full((n, cap_c + M), np.inf, np.float32)
+    cand[:, :M] = fwd_sel
+    cd[:, :M] = fwd_d
+    keep = rank < cap_c
+    cand[rows[keep], M + rank[keep]] = src[keep]
+    cd[rows[keep], M + rank[keep]] = dists[keep]
+    # dedup (forward may repeat as incoming) + sort by (dist, id)
+    order = np.lexsort((np.where(cand < 0, 2**31 - 1, cand), cd), axis=1)
+    cand = np.take_along_axis(cand, order, axis=1)
+    cd = np.take_along_axis(cd, order, axis=1)
+    dup = np.zeros_like(cand, dtype=bool)
+    dup[:, 1:] = cand[:, 1:] == cand[:, :-1]
+    cand = np.where(dup, -1, cand)
+    cd = np.where(dup, np.inf, cd)
+    order = np.lexsort((np.where(cand < 0, 2**31 - 1, cand), cd), axis=1)
+    cand = np.take_along_axis(cand, order, axis=1)
+    cd = np.take_along_axis(cd, order, axis=1)
+    return cand[:, :cap_c], cd[:, :cap_c]
+
+
+def fast_build_graph(
+    vectors: np.ndarray,
+    params: HNSWParams | None = None,
+    *,
+    level_cap: int = 12,
+    interpret: bool = False,
+) -> GraphSoA:
+    """Construct a GraphSoA at scan speed (see module docstring)."""
+    params = params or HNSWParams()
+    vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+    n, d = vectors.shape
+    metric = params.metric_id
+    M, M0 = params.M_max, params.M_max0
+    sqn = (vectors * vectors).sum(-1).astype(np.float32)
+    if metric != METRIC_L2:
+        sqn = np.zeros(n, np.float32)
+
+    levels = np.minimum(draw_levels(n, params), level_cap)
+    levels[0] = max(levels[0], levels.max())  # deterministic top at node 0
+
+    def build_level(ids: np.ndarray, m_out: int, cap: int):
+        """(adjacency (len(ids), cap) global ids,) for one level."""
+        k = min(2 * m_out, len(ids) - 1)
+        if k <= 0:
+            return np.full((len(ids), cap), -1, np.int32)
+        cand, cd = _knn_candidates(vectors, ids, k, metric, interpret)
+        sel, _ = _device_select(vectors, sqn, ids, cand, cd, m_out, metric)
+        # distances of selected (for reverse capping): recover from cand
+        # (cand is sorted by dist; one vectorized match per candidate col)
+        sel_d = np.full(sel.shape, np.inf, np.float32)
+        for c in range(cand.shape[1]):
+            match = sel == cand[:, c][:, None]
+            np.copyto(sel_d, cd[:, c][:, None], where=match & np.isinf(sel_d))
+        merged, md = _reverse_merge(sel, sel_d, ids, cap_c=cap + m_out)
+        out, n_out = _device_select(
+            vectors, sqn, ids, merged, md, cap, metric
+        )
+        return out
+
+    # layer 0: all nodes; final lists up to 2M wide (reference M_max0)
+    neighbors0 = build_level(np.arange(n, dtype=np.int32), M, M0)
+
+    # connectivity guarantee: every layer-0 component must contain at
+    # least one upper-layer vertex, or descent can never reach it (the
+    # incremental build gets this for free — early inserts bridge the
+    # sparse graph; a pure kNN graph fragments on well-separated
+    # clusters). Promote each uncovered component's lowest id to level 1.
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    src = np.repeat(np.arange(n), neighbors0.shape[1])
+    dst = neighbors0.reshape(-1)
+    ok = dst >= 0
+    adj = csr_matrix(
+        (np.ones(ok.sum(), np.int8), (src[ok], dst[ok])), shape=(n, n)
+    )
+    n_comp, comp = connected_components(adj, directed=True, connection="weak")
+    covered = np.zeros(n_comp, bool)
+    np.logical_or.at(covered, comp[levels >= 1], True)
+    for c in np.where(~covered)[0]:
+        rep = int(np.where(comp == c)[0].min())
+        levels[rep] = max(levels[rep], 1)
+
+    top_level = int(levels.max())
+    upper_row = np.where(levels > 0, np.cumsum(levels > 0) - 1, -1).astype(
+        np.int32
+    )
+    u_cap = max(int(upper_row.max()) + 1, 1)
+    upper_neighbors = np.full((u_cap, max(top_level, 1), M), -1, np.int32)
+    for lvl in range(1, top_level + 1):
+        ids = np.where(levels >= lvl)[0].astype(np.int32)
+        adj = build_level(ids, M, M)
+        upper_neighbors[upper_row[ids], lvl - 1] = adj
+
+    cands = np.where(levels == top_level)[0]
+    entry_point = int(cands.min())
+    return GraphSoA(
+        params=params,
+        vectors=vectors,
+        levels=levels.astype(np.int32),
+        neighbors0=neighbors0,
+        upper_row=upper_row,
+        upper_neighbors=upper_neighbors,
+        entry_point=entry_point,
+        top_level=top_level,
+    )

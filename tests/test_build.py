@@ -122,3 +122,23 @@ def test_estimate_index_bytes():
     b = estimate_index_bytes(100_000, 128, params)
     # vector+l0 dominate: ~ (128*4 + 8 + 128)
     assert 5e7 < b < 1e8
+
+
+def test_fast_build_graph(ds):
+    """Scan-based construction (models/fastbuild.py): valid graph, recall
+    parity with the incremental native builder."""
+    from shine_tpu.models.fastbuild import fast_build_graph
+
+    g = fast_build_graph(
+        ds.base, HNSWParams(M=12, ef_construction=80), interpret=True
+    )
+    g.validate()
+    idx = HNSWIndex(g)
+    ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    native = build_graph(ds.base, HNSWParams(M=12, ef_construction=80))
+    rn = recall_at_k(
+        HNSWIndex(native).search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)[0],
+        ds.ground_truth, 10,
+    )
+    assert r > rn - 0.02, (r, rn)
