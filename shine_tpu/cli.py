@@ -209,7 +209,7 @@ def _build(args, ds, params, mesh, timing):
     elif args.fast_build:
         from shine_tpu.models.fastbuild import fast_build_graph
 
-        graph = fast_build_graph(ds.base, params)
+        graph = fast_build_graph(ds.base, params, mesh=mesh)
     else:
         graph = build_graph(ds.base, params)
     if args.store_index:

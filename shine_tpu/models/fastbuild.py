@@ -86,15 +86,23 @@ def _device_select(
 
 
 def _knn_candidates(
-    vectors: np.ndarray, ids: np.ndarray, k: int, metric: int, interpret: bool
+    vectors: np.ndarray, ids: np.ndarray, k: int, metric: int,
+    interpret: bool, mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact-ish kNN of the subset `ids` against itself (self excluded).
-    Returns (cand (n, k) as *global* ids, dists (n, k))."""
+    Returns (cand (n, k) as *global* ids, dists (n, k)). With a mesh the
+    scan shards over the devices (parallel/fastflat_sharded.py)."""
     from shine_tpu.models.flat import FastFlatIndex, FlatIndex
 
     sub = vectors[ids]
     n = len(ids)
-    if n <= 32768 or interpret:
+    if mesh is not None and n > 32768:
+        from shine_tpu.parallel.fastflat_sharded import ShardedFastFlatIndex
+
+        idx = ShardedFastFlatIndex(sub, mesh, metric=metric)
+        kb = max(k + 17, 48 if sub.shape[1] < 512 else 128)
+        ii, dd = idx.search(sub, k + 1, kb=kb, batch_size=4096)
+    elif n <= 32768 or interpret:
         idx = FlatIndex(sub, metric=metric)
         ii, dd = idx.search(sub, k + 1, batch_size=2048, use_bf16=not interpret)
     else:
@@ -168,6 +176,7 @@ def fast_build_graph(
     *,
     level_cap: int = 12,
     interpret: bool = False,
+    mesh=None,
 ) -> GraphSoA:
     """Construct a GraphSoA at scan speed (see module docstring)."""
     params = params or HNSWParams()
@@ -187,7 +196,7 @@ def fast_build_graph(
         k = min(2 * m_out, len(ids) - 1)
         if k <= 0:
             return np.full((len(ids), cap), -1, np.int32)
-        cand, cd = _knn_candidates(vectors, ids, k, metric, interpret)
+        cand, cd = _knn_candidates(vectors, ids, k, metric, interpret, mesh)
         sel, _ = _device_select(vectors, sqn, ids, cand, cd, m_out, metric)
         # distances of selected (for reverse capping): recover from cand
         # (cand is sorted by dist; one vectorized match per candidate col)

@@ -77,3 +77,13 @@ def test_zipf_skew_shape():
     r = zipf_ranks(100, 0.0, 5000, seed=1)
     c = np.bincount(r, minlength=100)
     assert c.max() < 3 * c.min() + 20
+
+
+def test_cli_fast_build(capsys):
+    doc = run_cli(
+        ["--synthetic", "2000:16", "--index", "hnsw", "-m", "8",
+         "--ef-construction", "50", "--ef-search", "64",
+         "--num-queries", "100", "--fast-build"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.9
