@@ -142,3 +142,33 @@ def test_fast_build_graph(ds):
         ds.ground_truth, 10,
     )
     assert r > rn - 0.02, (r, rn)
+
+
+def test_dynamic_online_insert(ds):
+    """Online insertion (the reference's runtime insert capability): add
+    in chunks, search between additions, recall holds."""
+    from shine_tpu.models.dynamic import DynamicHNSWIndex
+    from shine_tpu.io import brute_force_knn
+
+    base = ds.base[:2000]
+    dyn = DynamicHNSWIndex(
+        base.shape[1], capacity=2500, params=HNSWParams(M=12, ef_construction=80),
+        batch_size=128,
+    )
+    dyn.add(base[:1200])
+    idx = dyn.searcher()
+    idx.graph.validate()
+    gt1, _ = brute_force_knn(base[:1200], ds.queries, 10)
+    ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)
+    assert recall_at_k(ids, gt1, 10) > 0.93
+
+    dyn.add(base[1200:])
+    idx = dyn.searcher()
+    idx.graph.validate()
+    gt2, _ = brute_force_knn(base, ds.queries, 10)
+    ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)
+    assert recall_at_k(ids, gt2, 10) > 0.93
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        dyn.add(np.zeros((1000, base.shape[1]), np.float32))
