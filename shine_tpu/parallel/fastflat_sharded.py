@@ -13,8 +13,6 @@ On the virtual CPU mesh the kernel runs in interpret mode automatically
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
