@@ -149,7 +149,22 @@ def main() -> None:
             log(f"# hnsw failed: {e!r}")
 
     ok = [x for x in results if x[2] >= RECALL_FLOOR]
-    name, qps, r = max(ok or results, key=lambda x: x[1])
+    if not ok:
+        # a headline below the recall floor is a failure, not a result
+        name, qps, r = max(results, key=lambda x: x[1]) if results else ("none", 0.0, 0.0)
+        log(f"# FAIL: no config met recall@10 >= {RECALL_FLOOR}")
+        print(
+            json.dumps(
+                {
+                    "metric": f"qps_per_chip[{name}]@recall10={r:.3f}_BELOW_FLOOR",
+                    "value": round(qps, 1),
+                    "unit": "queries/s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        raise SystemExit(1)
+    name, qps, r = max(ok, key=lambda x: x[1])
     print(
         json.dumps(
             {

@@ -86,14 +86,19 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     queries = ds.queries
+    gt = ds.ground_truth  # kept row-aligned with `queries` through reshaping
     if args.num_queries:
         queries = queries[: args.num_queries]
+        if gt is not None:
+            gt = gt[: args.num_queries]
     warmup_q = None
     if args.zipf > 0 or args.warmup:
-        warmup_q, queries, _ = skewed_workload(
+        warmup_q, queries, pool_idx = skewed_workload(
             queries, total=len(queries), alpha=args.zipf,
             warmup=args.warmup, seed=args.seed,
         )
+        if gt is not None:
+            gt = gt[pool_idx]  # ground truth follows the resampled pool rows
 
     stats = Statistics(
         dataset=ds.name, label=args.label, num_shards=args.shards, zipf=args.zipf
@@ -134,8 +139,8 @@ def main(argv: list[str] | None = None) -> int:
             len(queries), hops_sum=0, steps=0, cand_lanes=0, row_bytes=0,
             seconds=time.perf_counter() - t0,
         )
-    if not args.no_recall and ds.ground_truth is not None:
-        s.recall = recall_at_k(ids, ds.ground_truth, args.k)
+    if not args.no_recall and gt is not None:
+        s.recall = recall_at_k(ids, gt, args.k)
     s.expansions = getattr(index_obj, "last_hops", 0)
     if s.expansions:
         s.distance_computations = s.expansions * params.M_max0

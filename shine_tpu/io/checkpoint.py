@@ -112,8 +112,8 @@ def save_graph_sharded(graph: GraphSoA, directory: str, num_shards: int) -> None
 
 
 def load_graph_sharded(directory: str) -> GraphSoA:
-    first = np.load(os.path.join(directory, _find_shard0(directory)))
-    header = json.loads(bytes(first["header"]).decode())
+    with np.load(os.path.join(directory, _find_shard0(directory))) as first:
+        header = json.loads(bytes(first["header"]).decode())
     S = header["num_shards"]
     parts = {"vectors": [], "levels": [], "neighbors0": [], "upper_row": []}
     upper = None

@@ -59,10 +59,24 @@ def brute_force_knn(
 
 
 def recall_at_k(found_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> float:
-    """Mean |found[:k] ∩ gt[:k]| / k over queries."""
-    found = found_ids[:, :k]
-    gt = gt_ids[:, :k]
+    """Mean |found[:k] ∩ gt[:k]| / k over queries.
+
+    Vectorized (k is small, so the (chunk, k, k) membership tile is cheap);
+    the per-query Python sets of the first version were 50x too slow at the
+    reference's 500k-query workloads (scripts/data/create_queries.py:5).
+    Row counts may differ (e.g. --num-queries caps the found rows); recall
+    is computed over the common prefix and normalized by it.
+    """
+    found = np.asarray(found_ids)[:, :k]
+    gt = np.asarray(gt_ids)[:, :k]
+    nq = min(found.shape[0], gt.shape[0])
+    if nq == 0:
+        return 0.0
+    found, gt = found[:nq].astype(np.int64), gt[:nq].astype(np.int64)
     hits = 0
-    for f, g in zip(found, gt):
-        hits += len(set(f.tolist()) & set(g.tolist()))
-    return hits / (gt.shape[0] * k)
+    chunk = 65536
+    for lo in range(0, nq, chunk):
+        hi = min(lo + chunk, nq)
+        m = found[lo:hi, :, None] == gt[lo:hi, None, :]
+        hits += int(m.any(axis=2).sum())
+    return hits / (nq * k)

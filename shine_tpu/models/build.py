@@ -466,6 +466,7 @@ class RoundPlan(NamedTuple):
     n_sel_up: jnp.ndarray  # (B_up, L_cap)
     sel_l0: jnp.ndarray  # (B, M)
     n_sel_l0: jnp.ndarray  # (B,)
+    up_overflow: jnp.ndarray  # (1,) i32 — nodes demoted to L0 (B_up full)
 
 
 def _plan_level(
@@ -546,15 +547,26 @@ def plan_round(
     q = st.vectors[jnp.maximum(batch_ids, 0)]
     qn = st.vec_sqnorms[jnp.maximum(batch_ids, 0)]
     node_level = jnp.where(valid, st.levels[jnp.maximum(batch_ids, 0)], 0)
-    target = jnp.minimum(node_level, st.entry_level)
 
-    ep, ep_d = _greedy_to_level(st, q, qn, target, metric)
-
-    # upper levels on a compacted sub-batch (most nodes are level 0)
+    # upper levels run on a compacted sub-batch (most nodes are level 0).
+    # If more than B_up nodes drew level >= 1, the overflow nodes are
+    # *demoted to level 0 for good* (node_level here + st.levels in
+    # apply_round) rather than silently keeping a high level with empty
+    # upper adjacency — a demoted node is just a normal L0 node, while a
+    # hollow upper node could become an unreachable entry point. B_up is
+    # sized ~4x the geometric expectation (device_build_graph), so this is
+    # a tail event; up_overflow reports it.
     is_up = valid & (node_level >= 1)
     order = jnp.argsort(jnp.where(is_up, batch_ids, jnp.int32(2**31 - 1)))
     up_pos = order[:B_up]
     up_ok = is_up[up_pos]
+    chosen = jnp.zeros_like(is_up).at[up_pos].set(up_ok)
+    overflow = is_up & ~chosen
+    node_level = jnp.where(overflow, 0, node_level)
+    target = jnp.minimum(node_level, st.entry_level)
+
+    ep, ep_d = _greedy_to_level(st, q, qn, target, metric)
+
     up_ids = jnp.where(up_ok, batch_ids[up_pos], -1)
     uq = q[up_pos]
     uqn = qn[up_pos]
@@ -596,7 +608,8 @@ def plan_round(
         M_up, metric, ef, frontier,
     )
     return RoundPlan(
-        batch_ids, node_level, up_ids, sel_up, n_sel_up, sel_l0, n_sel_l0
+        batch_ids, node_level, up_ids, sel_up, n_sel_up, sel_l0, n_sel_l0,
+        jnp.sum(overflow.astype(jnp.int32))[None],
     )
 
 
@@ -625,6 +638,14 @@ def apply_round(
     )
 
     valid = plan.batch_ids >= 0
+    # persist B_up-overflow demotions (plan_round): a node planned at a
+    # lower level than its draw is stored at the planned level, keeping
+    # levels[] consistent with the (empty) upper adjacency it never got
+    safe = jnp.maximum(plan.batch_ids, 0)
+    demoted = valid & (plan.node_level < st.levels[safe])
+    idx = jnp.where(demoted, safe, st.levels.shape[0])
+    levels = st.levels.at[idx].min(plan.node_level, mode="drop")
+
     batch_max = jnp.max(jnp.where(valid, plan.node_level, -1))
     new_top = batch_max > st.entry_level
     cand_ep = jnp.min(
@@ -635,6 +656,7 @@ def apply_round(
         )
     )
     return st._replace(
+        levels=levels,
         entry_point=jnp.where(new_top, cand_ep, st.entry_point),
         entry_level=jnp.maximum(st.entry_level, batch_max),
         count=st.count + jnp.sum(valid.astype(jnp.int32)),

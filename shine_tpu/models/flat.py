@@ -200,7 +200,6 @@ class FastFlatIndex:
         interpret: bool = False,
     ):
         from shine_tpu.ops.pallas_scan import pack_ext_table
-        from shine_tpu.ops.pallas_scan2 import group_rows  # noqa: F401
 
         self.metric = metric_id(metric)
         v = np.ascontiguousarray(vectors, dtype=np.float32)

@@ -150,6 +150,11 @@ class ShardedFastFlatIndex:
             )
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
+        # shards whose row range is entirely padding return pad rows with
+        # inf dists; inside shard_map the local `cand_local < rows` mask
+        # can't see the global n, so drop ids >= n here before the perm
+        # remap (which is only n long)
+        out_i = np.where(out_i < self.n, out_i, -1)
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
         return out_i, out_d

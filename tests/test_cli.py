@@ -64,6 +64,18 @@ def test_cli_zipf_workload(capsys):
     assert "warmup" in doc["timings"]
 
 
+def test_cli_zipf_recall_alignment(capsys):
+    """Skewed workloads resample the query pool; recall must compare each
+    resampled row against ITS pool row's ground truth (an exact index under
+    any permutation/resampling scores 1.0 — misalignment scores ~0)."""
+    doc = run_cli(
+        ["--synthetic", "2000:16", "--index", "flat", "--num-queries", "200",
+         "--zipf", "1.0", "--warmup", "50"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] == pytest.approx(1.0)
+
+
 def test_zipf_skew_shape():
     from shine_tpu.io.skew import skewed_workload, zipf_ranks
 
