@@ -21,6 +21,9 @@ COLUMNS = [
     ("qps", ("queries", "queries_per_sec")),
     ("recall", ("queries", "recall")),
     ("distcomps", ("queries", "distance_computations")),
+    ("scanned_rows", ("queries", "scanned_rows")),
+    ("hbm_bytes", ("queries", "hbm_gather_bytes")),
+    ("ici_bytes", ("queries", "ici_exchange_bytes")),
     ("cache_hit_rate", ("cache", "hit_rate")),
 ]
 

@@ -58,7 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--shards", type=int, default=1, help="device mesh size")
     run.add_argument("--cache", action="store_true", help="hot-vertex replica")
     run.add_argument("--cache-ratio", type=float, default=0.1)
+    run.add_argument("--adaptive-cache", action="store_true",
+                     help="refresh the hot set from live access counters")
     run.add_argument("--routing", action="store_true", help="affinity routing")
+    run.add_argument("--adaptive-routing", action="store_true",
+                     help="cross-batch quota feedback (update_limits analogue)")
     run.add_argument("--label", default="")
     return p
 
@@ -127,7 +131,12 @@ def main(argv: list[str] | None = None) -> int:
     # ---- warmup ----
     if warmup_q is not None and len(warmup_q):
         with timing.measure("warmup"):
-            searcher(warmup_q[: args.batch])
+            if hasattr(index_obj, "warm"):
+                # full warmup pass: heats the access counters and adapts
+                # the hot set before the timed run (compute_node.cc:116-131)
+                index_obj.warm(warmup_q, sp, batch_size=args.batch)
+            else:
+                searcher(warmup_q[: args.batch])
 
     # ---- timed queries ----
     s = SearchStats()
@@ -145,6 +154,17 @@ def main(argv: list[str] | None = None) -> int:
     if s.expansions:
         s.distance_computations = s.expansions * params.M_max0
         s.hbm_gather_bytes = s.distance_computations * 4 * (ds.dim + 1)
+    elif hasattr(index_obj, "cost_counters"):
+        # dense-scan families: costs are analytic in the shapes
+        # (statistics.hh:122-141 reports them for every run)
+        kw = {"batch_size": args.batch}
+        if args.index == "ivf":
+            kw["probes"] = args.probes
+        cc = index_obj.cost_counters(len(queries), args.k, **kw)
+        s.distance_computations = cc["distance_computations"]
+        s.scanned_rows = cc["scanned_rows"]
+        s.hbm_gather_bytes = cc["hbm_gather_bytes"]
+        s.ici_exchange_bytes = cc["ici_exchange_bytes"]
     s.cache_hits = getattr(index_obj, "cache_hits", 0)
     s.cache_misses = getattr(index_obj, "cache_misses", 0)
     stats.set_queries(s)
@@ -233,7 +253,9 @@ def _build(args, ds, params, mesh, timing):
         )  # --cache-ratio of the node count, cf. reference cache sizing
         # (compute_node.cc:43-56)
         idx = ShardedIndex(
-            graph, mesh, cache_capacity=cache_cap, routing=args.routing
+            graph, mesh, cache_capacity=cache_cap,
+            routing="adaptive" if args.adaptive_routing else args.routing,
+            adaptive_cache=args.adaptive_cache and cache_cap > 0,
         )
     else:
         from shine_tpu.models import HNSWIndex

@@ -178,6 +178,23 @@ class FlatIndex:
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
         return out_i, out_d
 
+    def cost_counters(self, nq: int, k: int = 10, *, batch_size: int = 4096,
+                      use_bf16: bool = True) -> dict:
+        """Analytic per-run cost (reference ThreadStatistics analogue,
+        statistics.hh:122-141): a dense scan's costs are exact functions of
+        the shapes — every query scores every row, and every batch streams
+        the whole table from HBM once."""
+        n_pad = int(self.data.vectors.shape[0])
+        batches = -(-nq // max(batch_size, 1))
+        table = n_pad * self.dim * (2 if use_bf16 else 4)
+        rerank = (2 * k) * self.dim * 4 if use_bf16 else 0
+        return {
+            "distance_computations": nq * n_pad + (nq * 2 * k if use_bf16 else 0),
+            "scanned_rows": nq * n_pad,
+            "hbm_gather_bytes": batches * table + nq * rerank,
+            "ici_exchange_bytes": 0,
+        }
+
 
 class FastFlatIndex:
     """Near-exact brute force via the fused block-max Pallas scan
@@ -258,6 +275,22 @@ class FastFlatIndex:
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
         return out_i, out_d
+
+    def cost_counters(self, nq: int, k: int = 10, *, kb: int = 0,
+                      batch_size: int = 4096) -> dict:
+        """Analytic cost: each batch streams the packed bf16 ext table once
+        through the fused scan; kb survivors per query are re-ranked in f32."""
+        if kb <= 0:
+            kb = 32 if self.dim < 512 else 128
+        n_pad = int(self.ext.shape[0])
+        batches = -(-nq // max(batch_size, 1))
+        return {
+            "distance_computations": nq * n_pad + nq * kb,
+            "scanned_rows": nq * n_pad,
+            "hbm_gather_bytes": batches * int(self.ext.nbytes)
+            + nq * kb * self.dim * 4,
+            "ici_exchange_bytes": 0,
+        }
 
 
 @partial(

@@ -160,7 +160,7 @@ def ivf_stage1(data: IVFData, queries: jnp.ndarray, *, metric: int):
     return pairwise_distance(queries.astype(jnp.float32), data.centroids, metric)
 
 
-@partial(jax.jit, static_argnames=("k", "p", "metric", "rerank"))
+@partial(jax.jit, static_argnames=("k", "p", "metric", "rerank", "probe_chunk"))
 def ivf_search(
     data: IVFData,
     queries: jnp.ndarray,  # (B, d)
@@ -169,31 +169,52 @@ def ivf_search(
     p: int,
     metric: int,
     rerank: int = 4,
+    probe_chunk: int | None = None,
 ):
     """Per-query probed search: centroid scores -> top-p probes -> dense
     bf16 scan of the probe blocks -> exact f32 re-rank of the rerank*k
     survivors. Returns (ids, dists) (B, k)."""
     q = queries.astype(jnp.float32)
     B = q.shape[0]
+    d = q.shape[1]
     cap = data.cap
     scores = pairwise_distance(q, data.centroids, metric)  # (B, C)
     _, probes = jax.lax.top_k(-scores, p)  # (B, p)
     qn = jnp.sum(q * q, axis=-1)
-    blk = data.blocks[probes]  # (B, p, cap, d) coarse block gather, bf16
-    sqs = data.block_sq[probes]  # (B, p, cap)
-    ids = data.block_ids[probes]
-    dots = jnp.einsum(
-        "bd,bpcd->bpc",
-        q.astype(jnp.bfloat16),
-        blk,
-        preferred_element_type=jnp.float32,
-    )
-    if metric == METRIC_L2:
-        dd = qn[:, None, None] - 2.0 * dots + sqs
+    qb = q.astype(jnp.bfloat16)
+
+    def probe_dists(cols):  # (B, pc) probe columns -> ((B, pc, cap) dd, ids)
+        blk = data.blocks[cols]  # (B, pc, cap, d) bf16
+        sqs = data.block_sq[cols]
+        ids = data.block_ids[cols]
+        dots = jnp.einsum(
+            "bd,bpcd->bpc", qb, blk, preferred_element_type=jnp.float32
+        )
+        if metric == METRIC_L2:
+            dd = qn[:, None, None] - 2.0 * dots + sqs
+        else:
+            dd = 1.0 - dots
+        return jnp.where(ids >= 0, dd, jnp.inf), ids
+
+    # the (B, p, cap, d) probe gather at full p OOMs a 16 GB chip (p=64,
+    # B=4096, cap=160, d=128 is 10.7 GB bf16 before XLA's f32 upconvert);
+    # stream it over probe chunks with lax.scan so peak footprint is one
+    # (B, pc, cap, d) block, keeping only the (B, p, cap) f32 dists
+    chunk_bytes = B * cap * d * 2
+    pc = probe_chunk or max(1, min(p, (1 << 29) // max(chunk_bytes, 1)))
+    if pc >= p:
+        dd, ids = probe_dists(probes)
+        dd = dd.reshape(B, p * cap)
+        flat_ids = ids.reshape(B, p * cap)
     else:
-        dd = 1.0 - dots
-    dd = jnp.where(ids >= 0, dd, jnp.inf).reshape(B, p * cap)
-    flat_ids = ids.reshape(B, p * cap)
+        while p % pc:
+            pc -= 1  # p is static and small; pick a divisor
+        xs = jnp.moveaxis(probes.reshape(B, p // pc, pc), 1, 0)  # (p/pc, B, pc)
+        _, (dd, ids) = jax.lax.scan(
+            lambda _, cols: (None, probe_dists(cols)), None, xs
+        )  # (p/pc, B, pc, cap)
+        dd = jnp.moveaxis(dd, 0, 1).reshape(B, p * cap)
+        flat_ids = jnp.moveaxis(ids, 0, 1).reshape(B, p * cap)
     kk = min(max(rerank, 1) * k, p * cap)
     nd, sel = jax.lax.top_k(-dd, kk)
     cand = jnp.take_along_axis(flat_ids, sel, axis=1)  # (B, kk)
@@ -258,3 +279,20 @@ class IVFIndex:
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
         return out_i, out_d
+
+    def cost_counters(self, nq: int, k: int = 10, *, probes: int = 8,
+                      batch_size: int = 2048, rerank: int = 4) -> dict:
+        """Analytic cost: every query scores all C centroids (stage 1),
+        densely scans p probe blocks of cap rows (stage 2, bf16 gather),
+        and exactly re-ranks rerank*k survivors in f32."""
+        C, cap, d = self.data.num_clusters, self.data.cap, self.data.vectors.shape[1]
+        p = min(probes, C)
+        kk = min(max(rerank, 1) * k, p * cap)
+        batches = -(-nq // max(batch_size, 1))
+        return {
+            "distance_computations": nq * (C + p * cap + kk),
+            "scanned_rows": nq * p * cap,
+            "hbm_gather_bytes": batches * C * d * 4
+            + nq * (p * cap * d * 2 + kk * d * 4),
+            "ici_exchange_bytes": 0,
+        }

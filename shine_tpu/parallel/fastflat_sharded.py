@@ -158,3 +158,20 @@ class ShardedFastFlatIndex:
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
         return out_i, out_d
+
+    def cost_counters(self, nq: int, k: int = 10, *, kb: int = 32,
+                      batch_size: int = 4096) -> dict:
+        """Cluster-total analytic cost: each batch streams the full (row-
+        sharded) ext table once; each shard re-ranks kb local survivors;
+        the merge all_gathers (B, kb) (dist, id) lanes."""
+        S = self.mesh.devices.size
+        n_pad = int(self.ext.shape[0])
+        batches = -(-nq // max(batch_size, 1))
+        return {
+            "distance_computations": nq * n_pad + nq * kb * S,
+            "scanned_rows": nq * n_pad,
+            "hbm_gather_bytes": batches * int(self.ext.nbytes)
+            + nq * kb * S * self.dim * 4,
+            "ici_exchange_bytes": nq * self.dim * 4 * (S - 1)
+            + nq * kb * 8 * (S - 1),
+        }

@@ -132,3 +132,22 @@ class ShardedFlatIndex:
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
         return out_i, out_d
+
+    def cost_counters(self, nq: int, k: int = 10, *, batch_size: int = 4096,
+                      use_bf16: bool = True) -> dict:
+        """Cluster-total analytic cost (reference sums per-CN counters at
+        the initiator, statistics.hh:94-115): HBM work is the same table
+        scan split across shards; ICI moves the replicated queries out and
+        the per-shard (dist, id) top-k lanes back for the merge."""
+        S = self.mesh.devices.size
+        n_pad = self.rows * S
+        batches = -(-nq // max(batch_size, 1))
+        table = n_pad * self.dim * (2 if use_bf16 else 4)
+        return {
+            "distance_computations": nq * n_pad + (nq * 2 * k if use_bf16 else 0),
+            "scanned_rows": nq * n_pad,
+            "hbm_gather_bytes": batches * table
+            + (nq * 2 * k * self.dim * 4 if use_bf16 else 0),
+            "ici_exchange_bytes": nq * self.dim * 4 * (S - 1)
+            + nq * k * 8 * (S - 1),
+        }

@@ -114,6 +114,25 @@ class AccessCounter:
         safe = jnp.where(flat >= 0, flat, n_counts.shape[0])
         return n_counts.at[safe].add(1.0, mode="drop")
 
+    def absorb(
+        self,
+        row_counts: np.ndarray,
+        hot_ids: np.ndarray | None = None,
+        hot_counts: np.ndarray | None = None,
+    ) -> None:
+        """Fold pre-aggregated device counts (one batch) into the decayed
+        totals: row_counts are global-row accesses counted at the owning
+        shards (cold traffic); hot_counts are replica-hit accesses keyed by
+        the hot-id table (hits must keep entries hot, like Cache::get
+        rescuing cooling entries, cache.hh:128-134)."""
+        self.counts *= self.decay
+        n = len(self.counts)
+        self.counts += np.asarray(row_counts, dtype=np.float64)[:n]
+        if hot_ids is not None and hot_counts is not None:
+            h = np.asarray(hot_ids)
+            valid = h < n  # pad slots hold int32 max
+            self.counts[h[valid]] += np.asarray(hot_counts, np.float64)[valid]
+
     def update(self, accessed_ids: np.ndarray) -> None:
         dev = AccessCounter.batch_counts(
             jnp.zeros(len(self.counts), jnp.float32), jnp.asarray(accessed_ids)

@@ -175,3 +175,22 @@ class ShardedIVFIndex:
             out_d[lo:hi] = np.take_along_axis(dist, ordk, axis=1)
             out_i[lo:hi] = np.take_along_axis(cand, ordk, axis=1)
         return out_i, out_d
+
+    def cost_counters(self, nq: int, k: int = 10, *, probes: int = 8,
+                      batch_size: int = 2048, rerank: int = 4) -> dict:
+        """Cluster-total analytic cost: centroid scoring is replicated on
+        every shard; probed blocks are scanned by their owning shard; the
+        (B, kk) candidate lanes are merged over ICI; the exact re-rank runs
+        on the host against the id-ordered base."""
+        S = self.mesh.devices.size
+        p = min(probes, self.C)
+        kk = min(max(rerank, 1) * k, p * self.cap)
+        d = self.base.shape[1]
+        batches = -(-nq // max(batch_size, 1))
+        return {
+            "distance_computations": nq * (self.C * S + p * self.cap + kk),
+            "scanned_rows": nq * p * self.cap,
+            "hbm_gather_bytes": batches * self.C * d * 4 * S
+            + nq * (p * self.cap * d * 2 + kk * d * 4),
+            "ici_exchange_bytes": nq * d * 4 * (S - 1) + nq * kk * 8 * (S - 1),
+        }

@@ -234,6 +234,8 @@ class _ShardState(NamedTuple):
     hops: jnp.ndarray
     cache_hits: jnp.ndarray
     cache_misses: jnp.ndarray
+    row_counts: jnp.ndarray  # (rows_per_shard,) owned-row accesses, or (1,)
+    hot_counts: jnp.ndarray  # (H,) replica-hit accesses, or (1,)
 
 
 def _sharded_search_spmd(
@@ -245,6 +247,7 @@ def _sharded_search_spmd(
     metric: int,
     rows_per_shard: int,
     num_shards: int,
+    count_access: bool = False,
 ):
     """The shard_map body: every chip runs this over its query slice.
 
@@ -370,12 +373,32 @@ def _sharded_search_spmd(
         beam = beam_merge(beam, d, cand)
         hits = (c_hit & (cand >= 0)).sum(axis=1)
         misses = (cand_cold >= 0).sum(axis=1)
+
+        row_counts, hot_counts = s.row_counts, s.hot_counts
+        if count_access:
+            # feed the cache adaptation loop (the reference admits during
+            # queries, hnsw.hh:446-453; here owners count accesses to their
+            # rows and the host refreshes the hot set between batches)
+            my = jax.lax.axis_index(SHARD_AXIS)
+            loc = cand_all - my * rows_per_shard
+            mine = (cand_all >= 0) & (loc >= 0) & (loc < rows_per_shard)
+            idx = jnp.where(mine, loc, rows_per_shard)
+            row_counts = row_counts.at[idx.reshape(-1)].add(1.0, mode="drop")
+            if replica is not None:
+                hidx = jnp.where(
+                    c_hit & (cand >= 0), c_rows, replica.capacity
+                )
+                hot_counts = hot_counts.at[hidx.reshape(-1)].add(
+                    1.0, mode="drop"
+                )
         return _ShardState(
             beam.dists, beam.ids, beam.expanded, s.step + 1,
             s.hops + active.sum(axis=1),
             s.cache_hits + hits, s.cache_misses + misses,
+            row_counts, hot_counts,
         )
 
+    H = replica.capacity if (count_access and replica is not None) else 1
     init = _ShardState(
         beam.dists,
         beam.ids,
@@ -384,6 +407,8 @@ def _sharded_search_spmd(
         jnp.zeros(B_loc, jnp.int32),
         jnp.zeros(B_loc, jnp.int32),
         jnp.zeros(B_loc, jnp.int32),
+        jnp.zeros(rows_per_shard if count_access else 1, jnp.float32),
+        jnp.zeros(H, jnp.float32),
     )
     out = jax.lax.while_loop(cond, body, init)
     return (
@@ -392,15 +417,19 @@ def _sharded_search_spmd(
         out.hops,
         out.cache_hits,
         out.cache_misses,
+        out.row_counts,
+        jax.lax.psum(out.hot_counts, SHARD_AXIS),
     )
 
 
 def make_sharded_search(
     mesh: Mesh, sp: SearchParams, metric: int, n_padded: int,
-    with_cache: bool = False,
+    with_cache: bool = False, with_counts: bool = False,
 ):
     """Build the jitted SPMD search for a given mesh/params (compiled once
-    per (batch shape, params))."""
+    per (batch shape, params)). with_counts adds access-count outputs for
+    the cache adaptation loop (a separate compiled variant so the static
+    serving path pays nothing for them)."""
     from shine_tpu.parallel.hot_cache import HotReplica
 
     S = mesh.devices.size
@@ -416,7 +445,9 @@ def make_sharded_search(
         upper_adj=P(),
         entry_u=P(),
     )
-    out_spec = tuple(P(SHARD_AXIS) for _ in range(5))
+    # (ids, dists, hops, hits, misses) per-query-slice; row_counts are the
+    # shard-owned rows (concatenated = global rows); hot_counts replicated
+    out_spec = tuple(P(SHARD_AXIS) for _ in range(5)) + (P(SHARD_AXIS), P())
 
     if with_cache:
         rep_spec = HotReplica(P(), P(), P(), P())
@@ -427,6 +458,7 @@ def make_sharded_search(
                 lambda g_, q_, r_: _sharded_search_spmd(
                     g_, q_, r_, sp=sp, metric=metric,
                     rows_per_shard=rows_per_shard, num_shards=S,
+                    count_access=with_counts,
                 ),
                 mesh=mesh,
                 in_specs=(graph_spec, P(SHARD_AXIS), rep_spec),
@@ -443,6 +475,7 @@ def make_sharded_search(
             lambda g_, q_: _sharded_search_spmd(
                 g_, q_, None, sp=sp, metric=metric,
                 rows_per_shard=rows_per_shard, num_shards=S,
+                count_access=with_counts,
             ),
             mesh=mesh,
             in_specs=(graph_spec, P(SHARD_AXIS)),
@@ -469,33 +502,119 @@ class ShardedIndex:
         *,
         cache_capacity: int = 0,
         routing: bool = False,
+        adaptive_cache: bool = False,
+        refresh_every: int = 8,
     ):
         self.graph = graph
         self.mesh = mesh
         self.device = shard_graph(graph, mesh)
         self.metric = graph.params.metric_id
         self.replica = None
+        self.access = None
+        self.refresh_every = refresh_every
+        self.refreshes = 0
+        self._batches_seen = 0
         if cache_capacity:
-            from shine_tpu.parallel.hot_cache import build_replica, select_hot_ids
-
-            rep = build_replica(graph, select_hot_ids(graph, cache_capacity))
-            reps = NamedSharding(mesh, P())
-            self.replica = jax.tree.map(
-                lambda a: jax.device_put(a, reps), rep
+            from shine_tpu.parallel.hot_cache import (
+                AccessCounter,
+                build_replica,
+                select_hot_ids,
             )
+
+            self.cache_capacity = min(cache_capacity, graph.n)
+            rep = build_replica(graph, select_hot_ids(graph, cache_capacity))
+            self._put_replica(rep)
+            if adaptive_cache:
+                # the cooling-table replacement (cache.hh:232-311): decayed
+                # access counts accumulated on device, hot set re-ranked on
+                # the host every refresh_every batches
+                self.access = AccessCounter(graph.n)
         self.router = None
-        if routing:
+        self.routing_mode = routing if isinstance(routing, str) else (
+            "static" if routing else None
+        )
+        if self.routing_mode:
             # affinity routing: permute each query batch so slice s holds
             # queries nearest shard s's region (query_router.hh analogue);
-            # improves replica/local locality, never changes results
+            # improves replica/local locality, never changes results.
+            # "adaptive" carries per-slice load across batches and
+            # recomputes quotas ∝ idleness (update_limits analogue).
             from shine_tpu.parallel.placement import Placement
             from shine_tpu.parallel.router import QueryRouter
 
             self._placement = Placement(graph, mesh.devices.size)
             self._router_cls = QueryRouter
+            self._adaptive_router = None
         self.cache_hits = 0
         self.cache_misses = 0
         self._runs: dict = {}
+
+    def _put_replica(self, rep) -> None:
+        reps = NamedSharding(self.mesh, P())
+        self.replica = jax.tree.map(lambda a: jax.device_put(a, reps), rep)
+
+    def _absorb_counts(self, row_counts, hot_counts) -> None:
+        """Fold one batch's device-side access counts into the decayed
+        host counter; refresh the replica when due. Refreshing only swaps
+        replica *contents* (same shapes), so no recompilation happens and
+        search results are unchanged — hits serve the same rows the owner
+        exchange would."""
+        hot_ids = np.asarray(self.replica.hot_ids)
+        self.access.absorb(
+            np.asarray(row_counts), hot_ids, np.asarray(hot_counts)
+        )
+        self._batches_seen += 1
+        if self._batches_seen % self.refresh_every == 0:
+            self.refresh_cache()
+
+    def refresh_cache(self) -> None:
+        """Re-rank the hot set from the decayed counters and swap the
+        replica (the reference's warmup/admission steady state,
+        compute_node.cc:116-131)."""
+        if self.access is None:
+            return
+        self._put_replica(
+            self.access.refresh(self.graph, self.cache_capacity)
+        )
+        self.refreshes += 1
+
+    def warm(self, queries: np.ndarray, search_params=None, *,
+             batch_size: int = 4096) -> None:
+        """Warmup pass: run the workload to heat the access counters, then
+        refresh so the timed run starts with an adapted hot set; counters
+        reset afterwards like the reference's post-warmup reset
+        (compute_node.cc:116-131)."""
+        self.search(queries, search_params, batch_size=batch_size)
+        self.refresh_cache()
+        self.cache_hits = 0
+        self.cache_misses = 0
+
+    def _get_run(self, sp: SearchParams, batch_size: int):
+        adaptive = self.access is not None
+        key = (sp, batch_size, adaptive)
+        if key not in self._runs:
+            self._runs[key] = make_sharded_search(
+                self.mesh, sp, self.metric, self.device.n_padded,
+                with_cache=self.replica is not None,
+                with_counts=adaptive,
+            )
+        return self._runs[key]
+
+    def _run_batch(self, run, chunk: np.ndarray, qsh):
+        """One fixed-shape batch on the mesh; folds cache counters and the
+        adaptation loop. Returns (ids, dists, hops) as numpy."""
+        qdev = jax.device_put(jnp.asarray(chunk), qsh)
+        if self.replica is not None:
+            ids, dd, hops, hits, misses, rc, hc = run(
+                self.device, qdev, self.replica
+            )
+            self.cache_hits += int(np.asarray(hits).sum())
+            self.cache_misses += int(np.asarray(misses).sum())
+            if self.access is not None:
+                self._absorb_counts(rc, hc)
+        else:
+            ids, dd, hops, _, _, _, _ = run(self.device, qdev)
+        return np.asarray(ids), np.asarray(dd), np.asarray(hops)
 
     def search(
         self,
@@ -508,22 +627,22 @@ class ShardedIndex:
         S = self.mesh.devices.size
         batch_size = -(-batch_size // S) * S
         nq, d = queries.shape
+        run = self._get_run(sp, batch_size)
+        qsh = NamedSharding(self.mesh, P(SHARD_AXIS))
+
+        if self.routing_mode == "adaptive":
+            return self._search_adaptive(
+                queries, sp, run, qsh, batch_size
+            )
+
         perm = None
-        if getattr(self, "_placement", None) is not None:
+        if self.routing_mode == "static":
             router = self._router_cls(self._placement, batch_size=batch_size)
             perm, _ = router.plan(queries)
             queries, _ = router.apply(queries, perm)
         nq_eff = len(queries)
         out_i = np.empty((nq_eff, sp.k), dtype=np.int32)
         out_d = np.empty((nq_eff, sp.k), dtype=np.float32)
-        key = (sp, batch_size)
-        if key not in self._runs:
-            self._runs[key] = make_sharded_search(
-                self.mesh, sp, self.metric, self.device.n_padded,
-                with_cache=self.replica is not None,
-            )
-        run = self._runs[key]
-        qsh = NamedSharding(self.mesh, P(SHARD_AXIS))
         for lo in range(0, nq_eff, batch_size):
             hi = min(lo + batch_size, nq_eff)
             chunk = queries[lo:hi].astype(np.float32)
@@ -531,18 +650,37 @@ class ShardedIndex:
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - (hi - lo), d), np.float32)]
                 )
-            qdev = jax.device_put(jnp.asarray(chunk), qsh)
-            if self.replica is not None:
-                ids, dd, _, hits, misses = run(self.device, qdev, self.replica)
-                self.cache_hits += int(np.asarray(hits).sum())
-                self.cache_misses += int(np.asarray(misses).sum())
-            else:
-                ids, dd, _, _, _ = run(self.device, qdev)
-            out_i[lo:hi] = np.asarray(ids)[: hi - lo]
-            out_d[lo:hi] = np.asarray(dd)[: hi - lo]
+            ids, dd, _ = self._run_batch(run, chunk, qsh)
+            out_i[lo:hi] = ids[: hi - lo]
+            out_d[lo:hi] = dd[: hi - lo]
         if perm is not None:
             from shine_tpu.parallel.router import QueryRouter
 
             out_i = QueryRouter.unpermute(out_i, perm, nq)
             out_d = QueryRouter.unpermute(out_d, perm, nq)
+        return out_i, out_d
+
+    def _search_adaptive(self, queries, sp, run, qsh, batch_size):
+        """Batch-at-a-time serving with cross-batch quota feedback
+        (query_router.hh:106-151,315-316): observe each served batch's
+        per-slice hops, recompute the next batch's affine quotas."""
+        from shine_tpu.parallel.router import AdaptiveQueryRouter, QueryRouter
+
+        nq = queries.shape[0]
+        ar = self._adaptive_router
+        if ar is None or ar.batch_size != batch_size:
+            ar = AdaptiveQueryRouter(self._placement, batch_size=batch_size)
+            self._adaptive_router = ar
+        ar.start(queries)
+        perm_parts, id_parts, d_parts = [], [], []
+        while (pb := ar.next_batch()) is not None:
+            routed, valid = QueryRouter.apply(queries, pb)
+            ids, dd, hops = self._run_batch(run, routed, qsh)
+            ar.observe(np.where(valid, hops, 0))
+            perm_parts.append(pb)
+            id_parts.append(ids)
+            d_parts.append(dd)
+        perm = np.concatenate(perm_parts)
+        out_i = QueryRouter.unpermute(np.concatenate(id_parts), perm, nq)
+        out_d = QueryRouter.unpermute(np.concatenate(d_parts), perm, nq)
         return out_i, out_d

@@ -33,6 +33,7 @@ class SearchStats:
     num_queries: int = 0
     expansions: int = 0  # frontier expansions (~ visited nodes on L0)
     distance_computations: int = 0
+    scanned_rows: int = 0  # dense-scan rows scored (flat/ivf families)
     steps: int = 0  # sequential traversal steps executed
     hbm_gather_bytes: int = 0
     ici_exchange_bytes: int = 0
@@ -128,6 +129,7 @@ class Statistics:
             "recall": s.recall,
             "expansions": s.expansions,
             "distance_computations": s.distance_computations,
+            "scanned_rows": s.scanned_rows,
             "traversal_steps": s.steps,
             "hbm_gather_bytes": s.hbm_gather_bytes,
             "ici_exchange_bytes": s.ici_exchange_bytes,

@@ -94,3 +94,18 @@ def test_sharded_ivf_full_probes_exact(ds):
     idx = ShardedIVFIndex(ds.base, mesh, num_clusters=32, seed=7)
     ids, _ = idx.search(ds.queries, 10, probes=32, rerank=8)
     assert recall_at_k(ids, ds.ground_truth, 10) > 0.99
+
+
+def test_ivf_probe_chunk_identical(ds):
+    """The lax.scan probe-streaming path (used when the full (B,p,cap,d)
+    gather would OOM the chip) must return exactly the one-shot result."""
+    import jax.numpy as jnp
+
+    from shine_tpu.models.ivf import ivf_search
+
+    idx = IVFIndex(ds.base, num_clusters=64, seed=7)
+    q = jnp.asarray(ds.queries[:64].astype(np.float32))
+    i1, d1 = ivf_search(idx.data, q, k=10, p=8, metric=idx.metric)
+    i2, d2 = ivf_search(idx.data, q, k=10, p=8, metric=idx.metric, probe_chunk=2)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)

@@ -106,3 +106,78 @@ def test_sharded_with_routing_matches(ds, graph):
     a, _ = plain.search(ds.queries, sp, batch_size=64)
     b, _ = routed.search(ds.queries, sp, batch_size=64)
     np.testing.assert_array_equal(a, b)
+
+
+def test_adaptive_cache_improves_hit_rate(ds, graph):
+    """The cache adaptation loop (VERDICT #4): under a Zipf workload the
+    refreshed hot set must beat the static in-degree snapshot's hit rate,
+    and results must be identical before and after refreshes."""
+    from shine_tpu.io.skew import skewed_workload
+
+    sp = SearchParams(k=10, ef=64)
+    mesh = shard_mesh(4)
+    # heavy skew: a few pool queries dominate -> their neighborhoods are hot
+    _, timed, _ = skewed_workload(ds.queries, total=512, alpha=1.5, seed=5)
+
+    static = ShardedIndex(graph, mesh, cache_capacity=256)
+    s_ids, _ = static.search(timed, sp, batch_size=64)
+    s_rate = static.cache_hits / max(static.cache_hits + static.cache_misses, 1)
+
+    adaptive = ShardedIndex(
+        graph, mesh, cache_capacity=256, adaptive_cache=True, refresh_every=2
+    )
+    adaptive.warm(timed[:256], sp, batch_size=64)
+    assert adaptive.refreshes >= 1
+    a_ids, _ = adaptive.search(timed, sp, batch_size=64)
+    a_rate = adaptive.cache_hits / max(
+        adaptive.cache_hits + adaptive.cache_misses, 1
+    )
+
+    # replica contents never change results
+    np.testing.assert_array_equal(s_ids, a_ids)
+    assert a_rate > s_rate, (a_rate, s_rate)
+
+
+def test_refresh_mid_stream_keeps_results(ds, graph):
+    """Refreshing between batches of one search call is invisible in the
+    outputs (the replica serves exact copies of the owner rows)."""
+    sp = SearchParams(k=10, ef=64)
+    mesh = shard_mesh(4)
+    plain = ShardedIndex(graph, mesh)
+    adaptive = ShardedIndex(
+        graph, mesh, cache_capacity=512, adaptive_cache=True, refresh_every=1
+    )
+    a, _ = plain.search(ds.queries, sp, batch_size=64)
+    b, _ = adaptive.search(ds.queries, sp, batch_size=64)  # refresh per batch
+    assert adaptive.refreshes >= 1
+    np.testing.assert_array_equal(a, b)
+
+
+def test_adaptive_routing_matches_and_narrows(ds, graph):
+    """Adaptive routing (VERDICT #5): results exactly equal the unrouted
+    path, quotas move off uniform under Zipf skew, and the per-slice hops
+    spread narrows once the feedback loop has observations (the first
+    batch runs on uniform quotas = the static composition)."""
+    from shine_tpu.io.skew import skewed_workload
+
+    sp = SearchParams(k=10, ef=64)
+    mesh = shard_mesh(4)
+    _, timed, _ = skewed_workload(ds.queries, total=768, alpha=1.25, seed=7)
+
+    plain = ShardedIndex(graph, mesh)
+    a, _ = plain.search(timed, sp, batch_size=64)
+
+    routed = ShardedIndex(graph, mesh, routing="adaptive")
+    b, _ = routed.search(timed, sp, batch_size=64)
+    np.testing.assert_array_equal(a, b)
+
+    ar = routed._adaptive_router
+    hist = np.stack(ar.load_history)  # (num_batches, S) per-slice hops
+    assert len(hist) == 12  # 768 / 64
+    spread = hist.std(axis=1) / np.maximum(hist.mean(axis=1), 1e-9)
+    early = spread[0]
+    late = spread[len(spread) // 2 :].mean()
+    assert late < early, (early, late)
+    # quotas adapted away from the uniform start
+    q = np.stack(ar.quota_history)
+    assert (q[1:] != q[0]).any()
