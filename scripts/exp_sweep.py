@@ -33,24 +33,52 @@ def main() -> int:
     p.add_argument("--ef-search", nargs="+", type=int, default=[128])
     p.add_argument("--shards", nargs="+", type=int, default=[1])
     p.add_argument("--zipf", nargs="+", type=float, default=[0.0])
+    p.add_argument("--cache-ratio", nargs="+", type=float, default=[-1.0],
+                   help="cache sweep axis; 0 = cache off, -1 = axis unused "
+                        "(exp_cache_size_and_skew.py analogue)")
+    p.add_argument("--cpu-mesh", type=int, default=0,
+                   help="run children on N virtual CPU devices "
+                        "(SHINE_FORCE_CPU_DEVICES)")
     p.add_argument("--num-queries", type=int, default=2000)
+    p.add_argument("--index-cache",
+                   help="store the first hnsw run's graph here, load it in "
+                        "the rest (benchmark.py:82-88 builds once too)")
     p.add_argument("--label", default="sweep")
     p.add_argument("--extra", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args()
 
-    grid = list(itertools.product(args.index, args.ef_search, args.shards, args.zipf))
-    for i, (index, ef, shards, zipf) in enumerate(grid):
+    import os
+
+    env = os.environ.copy()
+    if args.cpu_mesh:
+        env["SHINE_FORCE_CPU_DEVICES"] = str(args.cpu_mesh)
+
+    grid = list(itertools.product(
+        args.index, args.ef_search, args.shards, args.zipf, args.cache_ratio
+    ))
+    for i, (index, ef, shards, zipf, ratio) in enumerate(grid):
+        label = f"{args.label}:{index}"
         cmd = [sys.executable, "-m", "shine_tpu", "--index", index,
                "--ef-search", str(ef), "--shards", str(shards),
-               "--zipf", str(zipf), "--num-queries", str(args.num_queries),
-               "--label", f"{args.label}:{index}"]
+               "--zipf", str(zipf), "--num-queries", str(args.num_queries)]
+        if ratio > 0:
+            cmd += ["--cache", "--cache-ratio", str(ratio)]
+            label += f":cache{ratio:g}"
+        elif ratio == 0:
+            label += ":nocache"
+        cmd += ["--label", label]
         if args.data_path:
             cmd += ["--data-path", args.data_path]
         else:
             cmd += ["--synthetic", args.synthetic]
+        if index == "hnsw" and args.index_cache:
+            if os.path.exists(args.index_cache):
+                cmd += ["--load-index", args.index_cache]
+            else:
+                cmd += ["--store-index", args.index_cache]
         cmd += args.extra
         print(f"[{i + 1}/{len(grid)}] {' '.join(cmd)}", file=sys.stderr)
-        out = subprocess.run(cmd, capture_output=True, text=True)
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env)
         if out.returncode != 0:
             print(out.stderr[-2000:], file=sys.stderr)
             continue

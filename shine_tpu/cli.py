@@ -67,7 +67,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _maybe_force_cpu_mesh() -> None:
+    """Honor SHINE_FORCE_CPU_DEVICES=N: run on N virtual CPU devices.
+
+    Used by scripts/exp_sweep.py to grid sharded configs without chips.
+    Must run before the first jax backend touch; this environment pins
+    JAX_PLATFORMS=axon and ignores the env var alone, so the config call
+    is required too (same dance as tests/conftest.py)."""
+    import os
+
+    n = os.environ.get("SHINE_FORCE_CPU_DEVICES")
+    if not n:
+        return
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main(argv: list[str] | None = None) -> int:
+    _maybe_force_cpu_mesh()
     args = build_parser().parse_args(argv)
     from shine_tpu.config import HNSWParams, SearchParams
     from shine_tpu.io import load_dataset, recall_at_k, synthetic_dataset

@@ -78,9 +78,10 @@ def _extend_query(
 def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGraph, int]:
     """Upload a host graph; returns (device pytree, static top_level).
 
-    lane_pad pads the ext row width to a 128-lane multiple so the 1-D
-    Pallas row-DMA gather can fetch it (required for
-    SearchParams(pallas_gather=True))."""
+    lane_pad pads the ext row width to the 1-D DMA tile (1024 elements,
+    ops/pallas_gather.FLAT_ALIGN) so the Pallas row-DMA gather can fetch
+    it (required for SearchParams(pallas_gather=True); an 8x row-size tax
+    at d=128, ~6% at d=960)."""
     vecs = jnp.asarray(graph.vectors, dtype=jnp.float32)
     sq = (
         squared_norms(vecs)
@@ -89,7 +90,9 @@ def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGrap
     )
     vectors_ext = jnp.concatenate([vecs, sq[:, None]], axis=1)
     if lane_pad:
-        dp = -(-vectors_ext.shape[1] // 128) * 128
+        from shine_tpu.ops.pallas_gather import FLAT_ALIGN
+
+        dp = -(-vectors_ext.shape[1] // FLAT_ALIGN) * FLAT_ALIGN
         vectors_ext = jnp.concatenate(
             [
                 vectors_ext,
@@ -243,9 +246,9 @@ def batched_search(
     sp = search_params.resolved()
     q = queries.astype(jnp.float32)
     B = q.shape[0]
-    if sp.pallas_gather and g.vectors_ext.shape[1] % 128:
+    if sp.pallas_gather and g.vectors_ext.shape[1] % 1024:
         raise ValueError(
-            "pallas_gather needs a lane-padded graph: HNSWIndex(..., pallas=True)"
+            "pallas_gather needs a tile-padded graph: HNSWIndex(..., pallas=True)"
         )
     q_ext, bias = _extend_query(q, metric, g.vectors_ext.shape[1])
     if sp.entry_mode == "dense":

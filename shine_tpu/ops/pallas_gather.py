@@ -24,6 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _OUTSTANDING = 8  # in-flight DMAs (cf. reference --coroutines=4/thread)
 
+# Mosaic tiles 1-D HBM memrefs in 1024-element chunks on this backend, and
+# dynamic slices must be tile-aligned (measured on the v5e: "Slice shape
+# along dimension 0 must be aligned to tiling (1024)"). So the flat-layout
+# row gather needs dp % 1024 == 0 — natural for GIST-class d≈960 rows
+# (pad 961 -> 1024, 6% waste), an 8x bandwidth tax at d=128.
+FLAT_ALIGN = 1024
+
 
 def _gather_kernel(ids_ref, table_ref, out_ref, sems, *, blk: int):
     i = pl.program_id(0)
@@ -95,8 +102,10 @@ def _gather_kernel_flat(ids_ref, table_ref, out_ref, sems, *, blk: int, dp: int)
     """1-D table variant: row r lives at [r*dp, (r+1)*dp) of a flat array.
 
     Dodges the (8, 128) tiled-slice constraint that forbids single-row
-    slices of a 2-D HBM memref (docs/TPU_NOTES.md): 1-D HBM buffers allow
-    dynamic-offset slices.
+    slices of a 2-D HBM memref (docs/TPU_NOTES.md): 1-D buffers tile in
+    FLAT_ALIGN-element chunks, so dp-sized slices at dp-multiples are
+    legal on BOTH ends of the copy (the output block is 1-D too — a 2-D
+    VMEM destination would hit the same sub-8-row wall).
     """
     i = pl.program_id(0)
     base = i * blk
@@ -105,7 +114,7 @@ def _gather_kernel_flat(ids_ref, table_ref, out_ref, sems, *, blk: int, dp: int)
         idx = ids_ref[base + j]
         return pltpu.make_async_copy(
             table_ref.at[pl.ds(idx * dp, dp)],
-            out_ref.at[j],
+            out_ref.at[pl.ds(j * dp, dp)],
             sems.at[j % _OUTSTANDING],
         )
 
@@ -148,14 +157,14 @@ def gather_rows_pallas_flat(
         grid=(R_pad // blk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (blk, dp), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (blk * dp,), lambda i, *_: (i,), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_OUTSTANDING,))],
     )
     out = pl.pallas_call(
         partial(_gather_kernel_flat, blk=blk, dp=dp),
-        out_shape=jax.ShapeDtypeStruct((R_pad, dp), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((R_pad * dp,), table.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ids_pad, flat)
-    return out[:R]
+    return out.reshape(R_pad, dp)[:R]

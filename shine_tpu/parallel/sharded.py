@@ -614,7 +614,10 @@ class ShardedIndex:
                 self._absorb_counts(rc, hc)
         else:
             ids, dd, hops, _, _, _, _ = run(self.device, qdev)
-        return np.asarray(ids), np.asarray(dd), np.asarray(hops)
+        hops = np.asarray(hops)
+        # expansion counter for Statistics (ThreadStatistics analogue)
+        self.last_hops = getattr(self, "last_hops", 0) + int(hops.sum())
+        return np.asarray(ids), np.asarray(dd), hops
 
     def search(
         self,
@@ -627,6 +630,7 @@ class ShardedIndex:
         S = self.mesh.devices.size
         batch_size = -(-batch_size // S) * S
         nq, d = queries.shape
+        self.last_hops = 0  # per-call, like HNSWIndex.search
         run = self._get_run(sp, batch_size)
         qsh = NamedSharding(self.mesh, P(SHARD_AXIS))
 
