@@ -131,14 +131,14 @@ def build_ivf_layout(
     blocks = np.zeros((num_clusters, cap, d), dtype=np.float32)
     block_sq = np.full((num_clusters, cap), np.inf, dtype=np.float32)
     block_ids = np.full((num_clusters, cap), -1, dtype=np.int32)
-    fill = np.zeros(num_clusters, dtype=np.int64)
+    # vectorized cluster-major fill: slot = rank within the cluster group
+    # (a per-row Python loop here is minutes at 1M rows)
     order = np.argsort(assign, kind="stable")
-    for qi in order:
-        c = assign[qi]
-        s = fill[c]
-        blocks[c, s] = v32[qi]
-        block_ids[c, s] = qi
-        fill[c] += 1
+    sa = assign[order]
+    first = np.searchsorted(sa, np.arange(num_clusters))
+    slot = np.arange(n, dtype=np.int64) - first[sa]
+    blocks[sa, slot] = v32[order]
+    block_ids[sa, slot] = order.astype(np.int32)
     sq = (blocks * blocks).sum(-1)
     block_sq = np.where(block_ids >= 0, sq, np.inf)
     if metric != METRIC_L2:

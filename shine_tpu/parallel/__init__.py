@@ -3,7 +3,7 @@ from shine_tpu.parallel.flat_sharded import ShardedFlatIndex
 from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
 from shine_tpu.parallel.mesh import SHARD_AXIS, shard_mesh
 from shine_tpu.parallel.placement import Placement, kmeans
-from shine_tpu.parallel.router import QueryRouter
+from shine_tpu.parallel.router import AdaptiveQueryRouter, QueryRouter
 from shine_tpu.parallel.sharded import (
     ShardedGraph,
     ShardedIndex,
@@ -18,6 +18,7 @@ __all__ = [
     "ShardedFastFlatIndex",
     "ShardedIVFIndex",
     "kmeans",
+    "AdaptiveQueryRouter",
     "QueryRouter",
     "shard_mesh",
     "ShardedGraph",
