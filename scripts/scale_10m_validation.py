@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""10M-row single-chip validation — everything device-resident.
+
+At this scale the base (10M x 128 f32 = 5 GB) cannot round-trip the
+~20 MB/s dev tunnel, so the whole pipeline runs in HBM: generation
+(io/device_synth), exact ground truth (FlatIndex.from_device, f32),
+index construction (FastFlatIndex.from_device / IVFIndex.from_device),
+and search. Only queries, ground-truth ids, and result ids touch the
+host. This is the reference's 100M-class regime scaled to one chip
+(its 5-MN cluster holds ~20M rows per node, memory_node.hh:112-125).
+
+Phases:
+  fastflat — generate + GT + fused-scan QPS/recall (O(N) per query)
+  ivf      — device-built IVF: per-query and routed QPS/recall sweeps
+
+Env: SHINE_10M_N (default 10_000_000), SHINE_10M_D (128).
+Results append to results/scale_10m.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N = int(os.environ.get("SHINE_10M_N", 10_000_000))
+D = int(os.environ.get("SHINE_10M_D", 128))
+NQ = 2048
+OUT = os.path.join(ROOT, "results", "scale_10m.jsonl")
+
+
+def emit(rec: dict) -> None:
+    rec = {"n": N, "d": D, "nq": NQ, **rec}
+    print("#", json.dumps(rec), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def make_dataset():
+    from shine_tpu.io.device_synth import device_synthetic_dataset
+
+    t0 = time.time()
+    ds = device_synthetic_dataset(n=N, dim=D, num_queries=NQ, seed=17,
+                                  gt_k=10)
+    emit({"stage": "gen+gt", "seconds": round(time.time() - t0, 1)})
+    return ds
+
+
+def phase_fastflat():
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.models.flat import FastFlatIndex
+
+    ds = make_dataset()
+    t0 = time.time()
+    fast = FastFlatIndex.from_device(ds.base_dev)
+    emit({"stage": "fastflat_build", "seconds": round(time.time() - t0, 1)})
+    pre = fast.preload(ds.queries, batch_size=2048)
+    for _ in range(2):
+        t0 = time.time()
+        ids, _ = fast.search(ds.queries, 10, batch_size=2048, tq=512,
+                             preloaded=pre, with_dists=False)
+        dt = time.time() - t0
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    emit({"stage": "fastflat", "qps": round(NQ / dt), "recall10": round(float(r), 4)})
+
+
+def phase_ivf():
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.models.ivf import IVFIndex
+
+    ds = make_dataset()
+    t0 = time.time()
+    ivf = IVFIndex.from_device(ds.base_dev, target_cap=256, seed=7,
+                               train_size=262_144, iters=20)
+    emit({"stage": "ivf_build", "seconds": round(time.time() - t0, 1),
+          "clusters": ivf.data.num_clusters, "cap": ivf.data.cap})
+    for p in (8, 16, 32):
+        ivf.search(ds.queries[:512], 10, probes=p, batch_size=512)
+        t0 = time.time()
+        ids, _ = ivf.search(ds.queries, 10, probes=p, batch_size=512)
+        dt = time.time() - t0
+        r = recall_at_k(ids, ds.ground_truth, 10)
+        emit({"stage": f"ivf_p{p}", "qps": round(NQ / dt),
+              "recall10": round(float(r), 4)})
+    for pr, sh in ((16, 64), (32, 96), (32, 128)):
+        ivf.search_routed(ds.queries[:512], 10, probes=pr, shared=sh,
+                          tile=256, group=8)
+        t0 = time.time()
+        ids, _, st = ivf.search_routed(ds.queries, 10, probes=pr, shared=sh,
+                                       tile=256, group=8, with_stats=True)
+        dt = time.time() - t0
+        r = recall_at_k(ids, ds.ground_truth, 10)
+        emit({"stage": f"ivf_routed_p{pr}_s{sh}", "qps": round(NQ / dt),
+              "recall10": round(float(r), 4),
+              "coverage": round(float(st["probe_coverage"]), 3)})
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "fastflat"
+    {"fastflat": phase_fastflat, "ivf": phase_ivf}[phase]()

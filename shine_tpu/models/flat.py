@@ -146,6 +146,34 @@ class FlatIndex:
         )
         self.n, self.dim = n, dim
 
+    @classmethod
+    def from_device(
+        cls, v_dev, metric: str | int = "l2", *, with_bf16: bool = True
+    ) -> "FlatIndex":
+        """Build from a device-resident base without a host round trip.
+        with_bf16=False aliases the bf16 slot to the f32 array (no copy) —
+        for exact-only use, e.g. on-device ground truth at 10M rows where
+        the extra 2.5 GB copy matters."""
+        self = cls.__new__(cls)
+        self.metric = metric_id(metric)
+        n, dim = v_dev.shape
+        n_pad = -(-n // CHUNK_QUANTUM) * CHUNK_QUANTUM
+        vj = v_dev.astype(jnp.float32)
+        if n_pad != n:
+            vj = jnp.concatenate(
+                [vj, jnp.zeros((n_pad - n, dim), jnp.float32)]
+            )
+        sq = (
+            jnp.sum(vj * vj, axis=-1)
+            if self.metric == METRIC_L2
+            else jnp.zeros(n_pad, jnp.float32)
+        )
+        sq = jnp.where(jnp.arange(n_pad) < n, sq, jnp.inf)
+        vb = vj.astype(jnp.bfloat16) if with_bf16 else vj
+        self.data = FlatData(vj, vb, sq, jnp.int32(n))
+        self.n, self.dim = n, dim
+        return self
+
     def search(
         self,
         queries: np.ndarray,
@@ -196,6 +224,32 @@ class FlatIndex:
         }
 
 
+@partial(jax.jit, static_argnames=("metric", "dp", "rchunk"))
+def _pack_ext_device(v: jnp.ndarray, *, metric: int, dp: int,
+                     rchunk: int = 65536):
+    """On-device bf16 packing of the fused-scan score table (the device
+    twin of ops/pallas_scan.pack_ext_table, minus pad rows — callers
+    guarantee n % 4096 == 0). scan stacks chunks straight into the output
+    so peak extra HBM is one (rchunk, dp) tile."""
+    n, d = v.shape
+    rchunk = min(rchunk, n)
+    while n % rchunk:
+        rchunk //= 2
+    xs = v.reshape(n // rchunk, rchunk, d)
+
+    def body(_, x):
+        e = jnp.zeros((rchunk, dp), jnp.bfloat16)
+        if metric == METRIC_L2:
+            e = e.at[:, :d].set((2.0 * x).astype(jnp.bfloat16))
+            e = e.at[:, d].set((-jnp.sum(x * x, -1)).astype(jnp.bfloat16))
+        else:
+            e = e.at[:, :d].set(x.astype(jnp.bfloat16))
+        return None, e
+
+    _, ext = jax.lax.scan(body, None, xs)
+    return ext.reshape(n, dp)
+
+
 class FastFlatIndex:
     """Near-exact brute force via the fused block-max Pallas scan
     (ops/pallas_scan.py): ~64x less HBM traffic than the streaming scan.
@@ -236,6 +290,49 @@ class FastFlatIndex:
         self.n, self.dim, self.tn = n, d, tn
         self.dp = ext.shape[1]
         self.interpret = interpret
+
+    @classmethod
+    def from_device(
+        cls,
+        v_dev,
+        metric: str | int = "l2",
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+    ) -> "FastFlatIndex":
+        """Build from a device-resident base; the packed score table is
+        assembled on-chip in bf16 chunks (peak extra HBM = the final ext
+        table + one chunk — a host round trip of a 10M x 128 base would
+        take minutes on the ~20 MB/s dev tunnel). Requires n % 4096 == 0
+        (generate padded bases; host constructor handles ragged n).
+        shuffle defaults off: device-generated bases are iid-ordered."""
+        import jax
+
+        self = cls.__new__(cls)
+        self.metric = metric_id(metric)
+        n, d = v_dev.shape
+        quantum = 4096
+        if n % quantum:
+            raise ValueError("from_device requires n % 4096 == 0")
+        v = v_dev.astype(jnp.float32)
+        self.perm = None
+        if shuffle:
+            perm = jax.random.permutation(jax.random.PRNGKey(seed), n)
+            v = v[perm]
+            self.perm = np.asarray(perm).astype(np.int32)
+        dp = -(-(d + 1) // 128) * 128
+        self.ext = _pack_ext_device(v, metric=self.metric, dp=dp)
+        self.vectors = v
+        sq = (
+            jnp.sum(v * v, axis=-1)
+            if self.metric == METRIC_L2
+            else jnp.zeros(n, jnp.float32)
+        )
+        self.sqnorms = sq.astype(jnp.float32)
+        self.n, self.dim, self.tn = n, d, 1024
+        self.dp = dp
+        self.interpret = False
+        return self
 
     def preload(self, queries: np.ndarray, *, batch_size: int = 4096):
         """Stage queries in HBM once (the reference stages queries in CN

@@ -54,6 +54,64 @@ class IVFData(NamedTuple):
         return self.blocks.shape[1]
 
 
+def _capacity_assign_host(
+    choice: np.ndarray,  # (n, R) i32 — per-row nearest clusters, best first
+    choice_d: np.ndarray,  # (n, R) f32
+    num_clusters: int,
+    cap: int,
+    v32: np.ndarray | None = None,  # only for the rare overflow fallback
+    cents: np.ndarray | None = None,
+) -> np.ndarray:
+    """Nearest-first capacity-bounded assignment (host, vectorized).
+
+    Points take their rank-r choice in (distance, cluster)-sorted order
+    while the cluster has room; overflow spills to rank r+1. The rare
+    residue (no top-R choice had room) goes to the nearest open cluster.
+    This is the capacity_assign scheme of parallel/placement.py shared by
+    the host and device IVF builders.
+    """
+    n, R = choice.shape
+    assign = np.full(n, -1, dtype=np.int64)
+    room = np.full(num_clusters, cap, dtype=np.int64)
+    for r in range(R):
+        un = np.where(assign < 0)[0]
+        if len(un) == 0:
+            break
+        c_r = choice[un, r]
+        order = np.lexsort((choice_d[un, r], c_r))
+        un, c_r = un[order], c_r[order]
+        # rank within cluster group
+        first = np.concatenate([[True], c_r[1:] != c_r[:-1]])
+        group_start = np.maximum.accumulate(np.where(first, np.arange(len(c_r)), 0))
+        rank = np.arange(len(c_r)) - group_start
+        ok = rank < room[c_r]
+        assign[un[ok]] = c_r[ok]
+        np.subtract.at(room, c_r[ok], 1)
+    # final fallback: any cluster with room, nearest-first by centroid dist
+    un = np.where(assign < 0)[0]
+    if len(un):
+        if v32 is not None and cents is not None and len(un) <= 65536:
+            open_cs = np.where(room > 0)[0]
+            dtile = np.asarray(
+                pairwise_distance(jnp.asarray(v32[un]), jnp.asarray(cents[open_cs]))
+            )
+            pref = np.argsort(dtile, axis=1, kind="stable")
+            for i, qi in enumerate(un):
+                for c in open_cs[pref[i]]:
+                    if room[c] > 0:
+                        assign[qi] = c
+                        room[c] -= 1
+                        break
+        else:
+            # no vectors at hand (device builder): round-robin the open slots
+            open_slots = np.repeat(
+                np.arange(num_clusters), np.maximum(room, 0)
+            )
+            assign[un] = open_slots[: len(un)]
+    assert (assign >= 0).all()
+    return assign
+
+
 def build_ivf_layout(
     vectors: np.ndarray,
     num_clusters: int,
@@ -96,37 +154,7 @@ def build_ivf_layout(
         choice[lo:hi] = np.take_along_axis(part, order, axis=1)
         choice_d[lo:hi] = np.take_along_axis(pd, order, axis=1)
 
-    assign = np.full(n, -1, dtype=np.int64)
-    room = np.full(num_clusters, cap, dtype=np.int64)
-    for r in range(R):
-        un = np.where(assign < 0)[0]
-        if len(un) == 0:
-            break
-        c_r = choice[un, r]
-        order = np.lexsort((choice_d[un, r], c_r))
-        un, c_r = un[order], c_r[order]
-        # rank within cluster group
-        first = np.concatenate([[True], c_r[1:] != c_r[:-1]])
-        group_start = np.maximum.accumulate(np.where(first, np.arange(len(c_r)), 0))
-        rank = np.arange(len(c_r)) - group_start
-        ok = rank < room[c_r]
-        assign[un[ok]] = c_r[ok]
-        np.subtract.at(room, c_r[ok], 1)
-    # final fallback: any cluster with room, nearest-first by centroid dist
-    un = np.where(assign < 0)[0]
-    if len(un):
-        open_cs = np.where(room > 0)[0]
-        dtile = np.asarray(
-            pairwise_distance(jnp.asarray(v32[un]), jnp.asarray(cents[open_cs]))
-        )
-        pref = np.argsort(dtile, axis=1, kind="stable")
-        for i, qi in enumerate(un):
-            for c in open_cs[pref[i]]:
-                if room[c] > 0:
-                    assign[qi] = c
-                    room[c] -= 1
-                    break
-    assert (assign >= 0).all()
+    assign = _capacity_assign_host(choice, choice_d, num_clusters, cap, v32, cents)
 
     blocks = np.zeros((num_clusters, cap, d), dtype=np.float32)
     block_sq = np.full((num_clusters, cap), np.inf, dtype=np.float32)
@@ -151,6 +179,155 @@ def build_ivf_layout(
         block_ids=jnp.asarray(block_ids),
         vectors=jnp.asarray(v32),
         sqnorms=jnp.asarray(sqn.astype(np.float32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "chunk"))
+def _lloyd_chunked(points: jnp.ndarray, *, k: int, iters: int, seed: int,
+                   chunk: int = 8192):
+    """Lloyd iterations that never materialize the (n, k) distance tile —
+    required when k is tens of thousands (the 10M-row IVF build). Each
+    chunk's (chunk, k) scores live only inside one scan step; centroid
+    sums accumulate via scatter-add. Random-row init (k-means++ is
+    O(n*k) per pick — pointless at this k)."""
+    n, d = points.shape
+    key = jax.random.PRNGKey(seed)
+    idx = jax.random.choice(key, n, (k,), replace=False)
+    cents0 = points[idx].astype(jnp.float32)
+    xs = points.reshape(n // chunk, chunk, d).astype(jnp.float32)
+
+    def iter_body(_, cents):
+        csq = jnp.sum(cents * cents, axis=-1)
+
+        def scan_body(carry, x):
+            sums, counts = carry
+            dots = jax.lax.dot_general(
+                x, cents, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            a = jnp.argmin(csq[None, :] - 2.0 * dots, axis=1)
+            return (sums.at[a].add(x), counts.at[a].add(1.0)), None
+
+        (sums, counts), _ = jax.lax.scan(
+            scan_body, (jnp.zeros((k, d)), jnp.zeros((k,))), xs
+        )
+        return jnp.where(counts[:, None] > 0.5,
+                         sums / jnp.maximum(counts[:, None], 1.0), cents)
+
+    return jax.lax.fori_loop(0, iters, iter_body, cents0)
+
+
+@partial(jax.jit, static_argnames=("R",))
+def _nearest_r_chunk(x: jnp.ndarray, cents: jnp.ndarray, csq: jnp.ndarray,
+                     *, R: int):
+    """Top-R nearest centroids for one row chunk (true L2 values — the
+    host capacity sort compares distances ACROSS rows, so the per-row
+    ||x||^2 term cannot be dropped). approx_max_k above 4096 clusters:
+    exact top_k over a tens-of-thousands-wide axis is the measured slow
+    path, and a rank-4 near-miss only nudges the capacity spill order."""
+    xf = x.astype(jnp.float32)
+    dots = jax.lax.dot_general(
+        xf, cents, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dd = jnp.sum(xf * xf, -1, keepdims=True) - 2.0 * dots + csq[None, :]
+    if cents.shape[0] >= 4096:
+        nd, idx = jax.lax.approx_max_k(-dd, R, recall_target=0.999)
+    else:
+        nd, idx = jax.lax.top_k(-dd, R)
+    return idx.astype(jnp.int32), -nd
+
+
+@partial(jax.jit, static_argnames=("cchunk",))
+def _fill_blocks_device(v: jnp.ndarray, inv: jnp.ndarray, sq_v: jnp.ndarray,
+                        *, cchunk: int):
+    """Cluster-major fill on device: gather each cluster chunk's rows from
+    the base, bf16-cast. scan stacks straight into the output buffer so
+    peak memory is the final bf16 blocks + one f32 chunk."""
+    C, cap = inv.shape
+    xs = inv.reshape(C // cchunk, cchunk, cap)
+
+    def body(_, ic):
+        g = v[jnp.maximum(ic, 0)].astype(jnp.bfloat16)
+        g = jnp.where(ic[..., None] >= 0, g, jnp.bfloat16(0))
+        s = jnp.where(ic >= 0, sq_v[jnp.maximum(ic, 0)], jnp.inf)
+        return None, (g, s)
+
+    _, (blocks, bsq) = jax.lax.scan(body, None, xs)
+    return (blocks.reshape(C, cap, -1), bsq.reshape(C, cap))
+
+
+def build_ivf_layout_device(
+    v_dev: jnp.ndarray,
+    num_clusters: int,
+    *,
+    metric: int = METRIC_L2,
+    train_size: int = 262_144,
+    iters: int = 20,
+    seed: int = 1234,
+    cap_slack: float = 1.25,
+    assign_chunk: int = 16_384,  # the (chunk, C) f32 tile must fit beside
+    # the base: 16384 x 40k = 2.6 GB
+    fill_chunk: int = 1024,
+) -> IVFData:
+    """Device-resident IVF build for bases that cannot round-trip the host
+    (the dev tunnel moves ~20 MB/s; a 10M x 128 base is 5 GB). Only the
+    (n, R) nearest-centroid choices are downloaded for the capacity
+    assignment; vectors never leave HBM. Mirrors build_ivf_layout
+    semantics (same capacity scheme, same block layout)."""
+    n, d = v_dev.shape
+    key = jax.random.PRNGKey(seed)
+    ts = min(train_size, n)
+    lchunk = min(8192, ts)
+    ts -= ts % lchunk
+    if ts < num_clusters:
+        raise ValueError("train_size must be >= num_clusters")
+    tidx = jax.random.choice(key, n, (ts,), replace=False)
+    train = v_dev[tidx]
+    cents = _lloyd_chunked(
+        train, k=num_clusters, iters=iters, seed=seed, chunk=lchunk
+    )
+    csq = jnp.sum(cents * cents, axis=-1)
+
+    R = min(4, num_clusters)
+    choice = np.empty((n, R), np.int32)
+    choice_d = np.empty((n, R), np.float32)
+    for lo in range(0, n, assign_chunk):
+        hi = min(lo + assign_chunk, n)
+        x = jax.lax.dynamic_slice_in_dim(v_dev, lo, hi - lo, 0)
+        ii, dd = _nearest_r_chunk(x, cents, csq, R=R)
+        choice[lo:hi] = np.asarray(ii)
+        choice_d[lo:hi] = np.asarray(dd)
+
+    cap = int(np.ceil(cap_slack * n / num_clusters))
+    assign = _capacity_assign_host(choice, choice_d, num_clusters, cap)
+    order = np.argsort(assign, kind="stable")
+    sa = assign[order]
+    first = np.searchsorted(sa, np.arange(num_clusters))
+    slot = np.arange(n, dtype=np.int64) - first[sa]
+    inv = np.full((num_clusters, cap), -1, np.int32)
+    inv[sa, slot] = order.astype(np.int32)
+
+    C_pad = -(-num_clusters // fill_chunk) * fill_chunk
+    if C_pad != num_clusters:
+        inv = np.concatenate(
+            [inv, np.full((C_pad - num_clusters, cap), -1, np.int32)]
+        )
+    inv_dev = jnp.asarray(inv)
+    sq_v = jnp.sum(v_dev.astype(jnp.float32) * v_dev.astype(jnp.float32), -1)
+    blocks, bsq = _fill_blocks_device(v_dev, inv_dev, sq_v, cchunk=fill_chunk)
+    blocks = blocks[:num_clusters]
+    bsq = bsq[:num_clusters]
+    inv_dev = inv_dev[:num_clusters]
+    if metric != METRIC_L2:
+        bsq = jnp.where(inv_dev >= 0, 0.0, jnp.inf)
+        sq_v = jnp.zeros_like(sq_v)
+    return IVFData(
+        centroids=cents,
+        blocks=blocks,
+        block_sq=bsq,
+        block_ids=inv_dev,
+        vectors=v_dev,
+        sqnorms=sq_v,
     )
 
 
@@ -179,7 +356,10 @@ def ivf_search(
     d = q.shape[1]
     cap = data.cap
     scores = pairwise_distance(q, data.centroids, metric)  # (B, C)
-    _, probes = jax.lax.top_k(-scores, p)  # (B, p)
+    if data.num_clusters >= 4096:
+        _, probes = jax.lax.approx_max_k(-scores, p, recall_target=0.999)
+    else:
+        _, probes = jax.lax.top_k(-scores, p)  # (B, p)
     qn = jnp.sum(q * q, axis=-1)
     qb = q.astype(jnp.bfloat16)
 
@@ -222,6 +402,92 @@ def ivf_search(
     return i_out, d_out
 
 
+@partial(jax.jit, static_argnames=("k", "metric", "rerank", "approx"))
+def ivf_routed_tile_search(
+    data: IVFData,
+    q: jnp.ndarray,  # (G, T, d) f32 — G tiles of T affinity-sorted queries
+    cols: jnp.ndarray,  # (G, P) i32 — each tile's shared probe union
+    colmask: jnp.ndarray,  # (G, P) bool — False for union padding
+    *,
+    k: int,
+    metric: int,
+    rerank: int = 4,
+    approx: bool = True,
+):
+    """Tile-shared probed search (the routed-IVF kernel).
+
+    Where ivf_search gathers (B, p, cap, d) per-query probe blocks — the
+    measured ~31 GB/s random-gather wall — this gathers each tile's probe
+    blocks ONCE and scores all T queries of the tile against them with a
+    single MXU einsum. The gather volume per query drops by ~T/(P/p)x; the
+    scan becomes compute-bound like the flat path. This is the reference's
+    query->CN affinity routing (query_router.hh:353-370) reapplied on-chip:
+    queries that probe the same clusters are batched together so the
+    cluster data is fetched once.
+    """
+    G, T, d = q.shape
+    P = cols.shape[1]
+    cap = data.cap
+    qf = q.astype(jnp.float32)
+    blk = data.blocks[cols]  # (G, P, cap, d) bf16
+    sqs = data.block_sq[cols]  # (G, P, cap)
+    ids = jnp.where(colmask[..., None], data.block_ids[cols], -1)  # (G, P, cap)
+    dots = jnp.einsum(
+        "gtd,gpcd->gtpc",
+        qf.astype(jnp.bfloat16),
+        blk,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == METRIC_L2:
+        qn = jnp.sum(qf * qf, axis=-1)
+        dd = qn[..., None, None] - 2.0 * dots + sqs[:, None]
+    else:
+        dd = 1.0 - dots
+    dd = jnp.where(ids[:, None] >= 0, dd, jnp.inf)
+    dd = dd.reshape(G, T, P * cap)
+    flat_ids = jnp.broadcast_to(ids.reshape(G, 1, P * cap), (G, T, P * cap))
+    kk = min(max(rerank, 1) * k, P * cap)
+    if approx and P * cap >= 4 * kk:
+        # 0.999: the probe union already prunes ~99% of rows; the reduction
+        # must not give recall back (0.99 measured a ~5-point drop here)
+        _, sel = jax.lax.approx_max_k(-dd, kk, recall_target=0.999)
+    else:
+        _, sel = jax.lax.top_k(-dd, kk)
+    cand = jnp.take_along_axis(flat_ids, sel, axis=-1)
+    d_out, i_out = rerank_topk(data.vectors, data.sqnorms, qf, cand, k, metric)
+    return i_out, d_out
+
+
+def _tile_probe_unions(
+    probes: np.ndarray, tile: int, shared: int
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Per-tile shared probe unions with rank-major priority.
+
+    probes: (nq, p) per-query probe ids, query rows already affinity-sorted.
+    Returns (cols (n_tiles, shared), mask (n_tiles, shared), coverage) where
+    coverage is the fraction of (query, rank) probe wishes granted. Rank-
+    major first-occurrence order guarantees every query its top-r probes
+    before any query gets rank r+1 — the same fairness rule as the
+    reference's balanced batch composition (query_router.hh:353-370).
+    """
+    nq, p = probes.shape
+    n_tiles = -(-nq // tile)
+    cols = np.zeros((n_tiles, shared), np.int32)
+    mask = np.zeros((n_tiles, shared), bool)
+    granted = 0
+    for t in range(n_tiles):
+        pr = probes[t * tile : (t + 1) * tile]
+        flat = pr.T.ravel()  # rank-major: all rank-0 ids, then rank-1, ...
+        uniq, first = np.unique(flat, return_index=True)
+        order = np.argsort(first, kind="stable")
+        u = uniq[order][:shared]
+        cols[t, : len(u)] = u
+        mask[t, : len(u)] = True
+        granted += np.isin(pr, u).sum()
+    coverage = granted / max(nq * p, 1)
+    return cols, mask, coverage
+
+
 class IVFIndex:
     """Clustered approximate index; probes tunes recall like ef."""
 
@@ -251,6 +517,39 @@ class IVFIndex:
         )
         self.n = n
 
+    @classmethod
+    def from_device(
+        cls,
+        v_dev,
+        *,
+        num_clusters: int | None = None,
+        target_cap: int = 128,
+        metric: str | int = "l2",
+        train_size: int = 262_144,
+        iters: int = 20,
+        seed: int = 1234,
+        fill_chunk: int = 1024,
+    ) -> "IVFIndex":
+        """Build from a device-resident base (vectors never visit the
+        host — required at 10M rows where the dev tunnel would spend
+        minutes per transfer). See build_ivf_layout_device."""
+        self = cls.__new__(cls)
+        self.metric = metric_id(metric)
+        n = v_dev.shape[0]
+        if num_clusters is None:
+            num_clusters = max(8, -(-n // target_cap))
+        self.data = build_ivf_layout_device(
+            v_dev,
+            num_clusters,
+            metric=self.metric,
+            train_size=train_size,
+            iters=iters,
+            seed=seed,
+            fill_chunk=fill_chunk,
+        )
+        self.n = n
+        return self
+
     def search(
         self,
         queries: np.ndarray,
@@ -279,6 +578,104 @@ class IVFIndex:
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
         return out_i, out_d
+
+    def search_routed(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        *,
+        probes: int = 16,
+        shared: int = 96,
+        tile: int = 256,
+        group: int = 16,
+        rerank: int = 4,
+        with_stats: bool = False,
+    ):
+        """Affinity-routed tile-shared probing (see ivf_routed_tile_search).
+
+        Pipeline: stage-1 scores all centroids per query (one MXU tile per
+        batch) -> queries sort by nearest centroid -> tiles of `tile`
+        queries share a `shared`-wide probe union (rank-major fairness) ->
+        one fused gather+scan+re-rank per `group` tiles. Results are
+        returned in the caller's original query order.
+        """
+        nq, d = queries.shape
+        p = min(probes, self.data.num_clusters)
+        shared = min(shared, self.data.num_clusters)
+        q32 = queries.astype(np.float32)
+        # stage 1: per-query top-p probes (download is (nq, p) i32 — small)
+        probe_ids = np.empty((nq, p), np.int32)
+        s1_batch = 8192
+        for lo in range(0, nq, s1_batch):
+            hi = min(lo + s1_batch, nq)
+            scores = ivf_stage1(
+                self.data, jnp.asarray(q32[lo:hi]), metric=self.metric
+            )
+            if self.data.num_clusters >= 4096:
+                _, pr = jax.lax.approx_max_k(-scores, p, recall_target=0.999)
+            else:
+                _, pr = jax.lax.top_k(-scores, p)
+            probe_ids[lo:hi] = np.asarray(pr)
+        # affinity sort: queries probing the same clusters become neighbors
+        order = np.lexsort((probe_ids[:, 1] if p > 1 else probe_ids[:, 0],
+                            probe_ids[:, 0]))
+        inv = np.empty(nq, np.int64)
+        inv[order] = np.arange(nq)
+        qs = q32[order]
+        cols, mask, coverage = _tile_probe_unions(probe_ids[order], tile, shared)
+        n_tiles = cols.shape[0]
+        # pad the sorted queries to whole tiles, tiles to whole groups
+        nq_pad = n_tiles * tile
+        if nq_pad != nq:
+            qs = np.concatenate([qs, np.zeros((nq_pad - nq, d), np.float32)])
+        g_pad = -(-n_tiles // group) * group
+        if g_pad != n_tiles:
+            extra = g_pad - n_tiles
+            cols = np.concatenate([cols, np.zeros((extra, shared), np.int32)])
+            mask = np.concatenate([mask, np.zeros((extra, shared), bool)])
+            qs = np.concatenate([qs, np.zeros((extra * tile, d), np.float32)])
+        qs = qs.reshape(g_pad, tile, d)
+        parts = []
+        for g0 in range(0, g_pad, group):
+            ii, dd = ivf_routed_tile_search(
+                self.data,
+                jnp.asarray(qs[g0 : g0 + group]),
+                jnp.asarray(cols[g0 : g0 + group]),
+                jnp.asarray(mask[g0 : g0 + group]),
+                k=k,
+                metric=self.metric,
+                rerank=rerank,
+            )
+            parts.append((ii, dd))
+        if len(parts) == 1:
+            all_i, all_d = parts[0]
+        else:
+            all_i = jnp.concatenate([x[0] for x in parts], axis=0)
+            all_d = jnp.concatenate([x[1] for x in parts], axis=0)
+        out_i = np.asarray(all_i).reshape(-1, k)[:nq][inv]
+        out_d = np.asarray(all_d).reshape(-1, k)[:nq][inv]
+        if with_stats:
+            return out_i, out_d, {"probe_coverage": coverage,
+                                  "tiles": n_tiles, "shared": shared}
+        return out_i, out_d
+
+    def routed_cost_counters(self, nq: int, k: int = 10, *, probes: int = 16,
+                             shared: int = 96, tile: int = 256,
+                             rerank: int = 4) -> dict:
+        """Analytic cost of search_routed: stage 1 scores all C centroids
+        per query; stage 2 gathers each tile's `shared` probe blocks once
+        (amortized over `tile` queries) and scores all of them densely."""
+        C, cap, d = self.data.num_clusters, self.data.cap, self.data.vectors.shape[1]
+        P = min(shared, C)
+        kk = min(max(rerank, 1) * k, P * cap)
+        n_tiles = -(-nq // max(tile, 1))
+        return {
+            "distance_computations": nq * (C + P * cap + kk),
+            "scanned_rows": nq * P * cap,
+            "hbm_gather_bytes": n_tiles * P * cap * d * 2
+            + nq * (C * d * 4 // max(nq, 1) + kk * d * 4),
+            "ici_exchange_bytes": 0,
+        }
 
     def cost_counters(self, nq: int, k: int = 10, *, probes: int = 8,
                       batch_size: int = 2048, rerank: int = 4) -> dict:
