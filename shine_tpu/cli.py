@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--ef-search", type=int, default=128)
     q.add_argument("--frontier", type=int, default=4)
     q.add_argument("--probes", type=int, default=16, help="IVF probes")
+    q.add_argument("--ivf-routed", action="store_true",
+                   help="IVF tile-shared probing (affinity-sorted tiles "
+                        "share a probe union; amortizes the block gather)")
+    q.add_argument("--ivf-shared", type=int, default=96,
+                   help="probe-union width per tile (--ivf-routed)")
+    q.add_argument("--ivf-tile", type=int, default=256,
+                   help="queries per routed tile (--ivf-routed)")
     q.add_argument("--batch", type=int, default=2048)
     q.add_argument("--no-recall", action="store_true")
     run = p.add_argument_group("run")
@@ -181,10 +188,16 @@ def main(argv: list[str] | None = None) -> int:
     elif hasattr(index_obj, "cost_counters"):
         # dense-scan families: costs are analytic in the shapes
         # (statistics.hh:122-141 reports them for every run)
-        kw = {"batch_size": args.batch}
-        if args.index == "ivf":
-            kw["probes"] = args.probes
-        cc = index_obj.cost_counters(len(queries), args.k, **kw)
+        if args.index == "ivf" and args.ivf_routed and args.shards == 1:
+            cc = index_obj.routed_cost_counters(
+                len(queries), args.k, probes=args.probes,
+                shared=args.ivf_shared, tile=args.ivf_tile,
+            )
+        else:
+            kw = {"batch_size": args.batch}
+            if args.index == "ivf":
+                kw["probes"] = args.probes
+            cc = index_obj.cost_counters(len(queries), args.k, **kw)
         s.distance_computations = cc["distance_computations"]
         s.scanned_rows = cc["scanned_rows"]
         s.hbm_gather_bytes = cc["hbm_gather_bytes"]
@@ -239,6 +252,15 @@ def _build(args, ds, params, mesh, timing):
             from shine_tpu.models.ivf import IVFIndex
 
             idx = IVFIndex(ds.base, metric=params.metric, seed=args.seed)
+        if args.ivf_routed and mesh is None:
+            return (
+                lambda q: idx.search_routed(
+                    q, args.k, probes=args.probes, shared=args.ivf_shared,
+                    tile=args.ivf_tile,
+                )[0],
+                ds.base.nbytes * 2,
+                idx,
+            )
         return (
             lambda q: idx.search(q, args.k, probes=args.probes, batch_size=args.batch)[0],
             ds.base.nbytes * 2,

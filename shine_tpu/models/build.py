@@ -150,6 +150,7 @@ def select_heuristic(
     M: int,
     metric: int,
     fill: bool = False,
+    with_dists: bool = False,
 ):
     """Diversity selection: scan candidates nearest-first, keep c iff
     dist(c, q) < dist(c, s) for every already-kept s. One (C, C) pairwise
@@ -163,7 +164,10 @@ def select_heuristic(
     heuristic over-prunes into fragmented graphs (measured: mean degree
     4.7 of 24 and 10%% unreachable queries without fill).
 
-    Returns (sel_ids (B, M), sel_count (B,)).
+    Returns (sel_ids (B, M), sel_count (B,)); with_dists adds the selected
+    candidates' query distances (B, M) (inf pad) so callers never have to
+    recover them by matching ids against the pool — the scan-based builder
+    needs them for reverse-edge capping (models/fastbuild.py).
     """
     B, C = cand_ids.shape
     dots = jnp.einsum(
@@ -201,6 +205,10 @@ def select_heuristic(
     rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, C))
     sel = jnp.full((B, M + 1), -1, jnp.int32)
     sel = sel.at[rows, slot].set(cand_ids, mode="drop")
+    if with_dists:
+        sd = jnp.full((B, M + 1), jnp.inf, jnp.float32)
+        sd = sd.at[rows, slot].set(cand_dists, mode="drop")
+        return sel[:, :M], n_kept, sd[:, :M]
     return sel[:, :M], n_kept
 
 

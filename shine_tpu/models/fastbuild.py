@@ -37,11 +37,13 @@ from shine_tpu.graph.soa import GraphSoA
 from shine_tpu.models.build import draw_levels, select_heuristic
 
 
-@partial(jax.jit, static_argnames=("M_out", "metric"))
-def _select_batch(vdev, sdev, ci, cd, *, M_out, metric):
+@partial(jax.jit, static_argnames=("M_out", "metric", "with_dists"))
+def _select_batch(vdev, sdev, ci, cd, *, M_out, metric, with_dists=False):
     cv = vdev[jnp.maximum(ci, 0)]
     cs = sdev[jnp.maximum(ci, 0)]
-    return select_heuristic(ci, cd, cv, cs, M_out, metric, fill=True)
+    return select_heuristic(
+        ci, cd, cv, cs, M_out, metric, fill=True, with_dists=with_dists
+    )
 
 
 def _device_select(
@@ -53,12 +55,13 @@ def _device_select(
     M_out: int,
     metric: int,
     batch: int = 8192,
-) -> tuple[np.ndarray, np.ndarray]:
+    with_dists: bool = False,
+):
     """Batched diversity selection on device. Returns (sel (B, M_out),
-    n_sel (B,)). Batches dispatch asynchronously; one transfer at the end
-    (tunnel round trips cost ~50-100 ms each, docs/TPU_NOTES.md). The
-    select program is a module-level jit so it compiles once per
-    (shape, M_out, metric) across all calls."""
+    n_sel (B,)[, sel_d (B, M_out)]). Batches dispatch asynchronously; one
+    transfer at the end (tunnel round trips cost ~50-100 ms each,
+    docs/TPU_NOTES.md). The select program is a module-level jit so it
+    compiles once per (shape, M_out, metric) across all calls."""
     vdev = jnp.asarray(vectors)
     sdev = jnp.asarray(sqn)
     B, C = cand.shape
@@ -74,15 +77,17 @@ def _device_select(
         parts.append(
             _select_batch(
                 vdev, sdev, jnp.asarray(ci), jnp.asarray(cdp),
-                M_out=M_out, metric=metric,
+                M_out=M_out, metric=metric, with_dists=with_dists,
             )
         )
     if len(parts) == 1:
-        s_all, n_all = parts[0]
+        outs = parts[0]
     else:
-        s_all = jnp.concatenate([p[0] for p in parts], axis=0)
-        n_all = jnp.concatenate([p[1] for p in parts], axis=0)
-    return np.asarray(s_all)[:B], np.asarray(n_all)[:B]
+        outs = tuple(
+            jnp.concatenate([p[j] for p in parts], axis=0)
+            for j in range(len(parts[0]))
+        )
+    return tuple(np.asarray(o)[:B] for o in outs)
 
 
 def _knn_candidates(
@@ -197,13 +202,12 @@ def fast_build_graph(
         if k <= 0:
             return np.full((len(ids), cap), -1, np.int32)
         cand, cd = _knn_candidates(vectors, ids, k, metric, interpret, mesh)
-        sel, _ = _device_select(vectors, sqn, ids, cand, cd, m_out, metric)
-        # distances of selected (for reverse capping): recover from cand
-        # (cand is sorted by dist; one vectorized match per candidate col)
-        sel_d = np.full(sel.shape, np.inf, np.float32)
-        for c in range(cand.shape[1]):
-            match = sel == cand[:, c][:, None]
-            np.copyto(sel_d, cd[:, c][:, None], where=match & np.isinf(sel_d))
+        # selection returns its own query distances (no O(n*C*M) host
+        # id-matching pass — that was minutes at 1M rows on this 1-core
+        # host); reverse capping consumes them directly
+        sel, _, sel_d = _device_select(
+            vectors, sqn, ids, cand, cd, m_out, metric, with_dists=True
+        )
         merged, md = _reverse_merge(sel, sel_d, ids, cap_c=cap + m_out)
         out, n_out = _device_select(
             vectors, sqn, ids, merged, md, cap, metric

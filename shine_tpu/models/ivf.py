@@ -112,6 +112,28 @@ def _capacity_assign_host(
     return assign
 
 
+def _spatial_order_centroids(cents: np.ndarray, seed: int) -> np.ndarray:
+    """Permutation that relabels clusters so spatially-near centroids get
+    adjacent ids. Without this, routed tile unions collapse: sorting
+    queries by probe id mixes unrelated regions in one tile (measured on
+    chip: probe coverage 0.13 with arbitrary ids at C=1563). Coarse
+    k-means over the centroids themselves defines the macro order;
+    within a macro group, order by distance to the group mean."""
+    C = cents.shape[0]
+    k = max(1, min(C // 8, 256))
+    if k <= 1:
+        return np.arange(C)
+    from shine_tpu.parallel.placement import _lloyd
+
+    coarse, _ = _lloyd(jnp.asarray(cents), k=k, iters=15, seed=seed)
+    coarse = np.asarray(coarse)
+    d2 = np.asarray(
+        pairwise_distance(jnp.asarray(cents), jnp.asarray(coarse))
+    )
+    g = d2.argmin(axis=1)
+    return np.lexsort((d2[np.arange(C), g], g))
+
+
 def build_ivf_layout(
     vectors: np.ndarray,
     num_clusters: int,
@@ -137,6 +159,7 @@ def build_ivf_layout(
     train = v32[rng.choice(n, min(train_size, n), replace=False)]
     cents, _ = _lloyd(jnp.asarray(train), k=num_clusters, iters=iters, seed=seed)
     cents = np.asarray(cents)
+    cents = cents[_spatial_order_centroids(cents, seed)]
 
     cap = int(np.ceil(cap_slack * n / num_clusters))
     # chunked nearest-centroid ranking (keep top 4 choices per point)
@@ -286,6 +309,7 @@ def build_ivf_layout_device(
     cents = _lloyd_chunked(
         train, k=num_clusters, iters=iters, seed=seed, chunk=lchunk
     )
+    cents = cents[jnp.asarray(_spatial_order_centroids(np.asarray(cents), seed))]
     csq = jnp.sum(cents * cents, axis=-1)
 
     R = min(4, num_clusters)
@@ -402,36 +426,93 @@ def ivf_search(
     return i_out, d_out
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "rerank", "approx"))
-def ivf_routed_tile_search(
+@partial(
+    jax.jit,
+    static_argnames=("k", "p", "shared", "tile", "metric", "rerank", "approx"),
+)
+def ivf_routed_search(
     data: IVFData,
-    q: jnp.ndarray,  # (G, T, d) f32 — G tiles of T affinity-sorted queries
-    cols: jnp.ndarray,  # (G, P) i32 — each tile's shared probe union
-    colmask: jnp.ndarray,  # (G, P) bool — False for union padding
+    queries: jnp.ndarray,  # (B, d)
     *,
     k: int,
+    p: int,
+    shared: int,
+    tile: int,
     metric: int,
     rerank: int = 4,
     approx: bool = True,
 ):
-    """Tile-shared probed search (the routed-IVF kernel).
+    """Fused routed-IVF search: ONE dispatch per batch, only result ids
+    cross the host tunnel.
 
     Where ivf_search gathers (B, p, cap, d) per-query probe blocks — the
-    measured ~31 GB/s random-gather wall — this gathers each tile's probe
-    blocks ONCE and scores all T queries of the tile against them with a
-    single MXU einsum. The gather volume per query drops by ~T/(P/p)x; the
-    scan becomes compute-bound like the flat path. This is the reference's
-    query->CN affinity routing (query_router.hh:353-370) reapplied on-chip:
-    queries that probe the same clusters are batched together so the
-    cluster data is fetched once.
+    measured ~31 GB/s random-gather wall — this affinity-sorts the batch
+    ON DEVICE, splits it into tiles of `tile` queries, gives each tile a
+    `shared`-wide probe union (rank-major priority via scatter-min), and
+    gathers each union's blocks ONCE for all its queries. The per-query
+    gather volume drops ~tile/(shared/p)x and the scan becomes MXU-bound.
+    This is the reference's query->CN affinity routing
+    (query_router.hh:353-370) reapplied on-chip. Requires spatially-
+    ordered cluster ids (_spatial_order_centroids — applied by both
+    builders) so the top-probe sort groups same-region queries.
+
+    Returns (ids (B, k), dists (B, k), coverage ()) in the caller's query
+    order; coverage = granted fraction of (query, rank<p) probe wishes.
     """
-    G, T, d = q.shape
-    P = cols.shape[1]
+    B, d = queries.shape
+    assert B % tile == 0, "batch must be a multiple of tile"
+    G = B // tile
+    T = tile
+    C = data.num_clusters
     cap = data.cap
-    qf = q.astype(jnp.float32)
+    P = min(shared, C)
+    q = queries.astype(jnp.float32)
+
+    # stage 1: per-query probes (replicated centroid tile)
+    scores = pairwise_distance(q, data.centroids, metric)  # (B, C)
+    if C >= 4096:
+        _, probes = jax.lax.approx_max_k(-scores, p, recall_target=0.999)
+    else:
+        _, probes = jax.lax.top_k(-scores, p)
+
+    # affinity sort: queries probing the same (spatially-ordered) clusters
+    # become tile neighbors; stable so ties keep caller order
+    key = probes[:, 0].astype(jnp.int64) * C + (
+        probes[:, 1].astype(jnp.int64) if p > 1 else 0
+    )
+    perm = jnp.argsort(key, stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    q_s = q[perm]
+    probes_s = probes[perm].reshape(G, T, p)
+
+    # per-tile rank-major union: scatter the flat rank-position of each
+    # (query, rank) wish into a (G, C) min-position table, then the P
+    # smallest positions win — every query gets its rank-r probes before
+    # any query gets rank r+1 (the reference's balanced batch fairness,
+    # query_router.hh:353-370)
+    pos = (
+        jnp.broadcast_to(
+            jnp.arange(T * p, dtype=jnp.int32).reshape(p, T).T, (G, T, p)
+        )
+        # rank-major: position = rank * T + row
+    )
+    minpos = jnp.full((G, C), jnp.int32(2**30))
+    minpos = minpos.at[
+        jnp.arange(G)[:, None, None], probes_s
+    ].min(pos)
+    neg, cols = jax.lax.top_k(-minpos, P)  # (G, P) best-priority clusters
+    colmask = neg > -(2**30)
+    # a wish is granted iff its cluster's priority beats the worst selected
+    # one (positions are unique per tile, so there are no threshold ties)
+    thresh = -neg[:, -1]
+    wish_pos = minpos[jnp.arange(G)[:, None, None], probes_s]
+    coverage = (wish_pos <= thresh[:, None, None]).mean()
+
+    # tile-shared scan
     blk = data.blocks[cols]  # (G, P, cap, d) bf16
-    sqs = data.block_sq[cols]  # (G, P, cap)
-    ids = jnp.where(colmask[..., None], data.block_ids[cols], -1)  # (G, P, cap)
+    sqs = data.block_sq[cols]
+    ids = jnp.where(colmask[..., None], data.block_ids[cols], -1)
+    qf = q_s.reshape(G, T, d)
     dots = jnp.einsum(
         "gtd,gpcd->gtpc",
         qf.astype(jnp.bfloat16),
@@ -455,37 +536,10 @@ def ivf_routed_tile_search(
         _, sel = jax.lax.top_k(-dd, kk)
     cand = jnp.take_along_axis(flat_ids, sel, axis=-1)
     d_out, i_out = rerank_topk(data.vectors, data.sqnorms, qf, cand, k, metric)
-    return i_out, d_out
-
-
-def _tile_probe_unions(
-    probes: np.ndarray, tile: int, shared: int
-) -> tuple[np.ndarray, np.ndarray, float]:
-    """Per-tile shared probe unions with rank-major priority.
-
-    probes: (nq, p) per-query probe ids, query rows already affinity-sorted.
-    Returns (cols (n_tiles, shared), mask (n_tiles, shared), coverage) where
-    coverage is the fraction of (query, rank) probe wishes granted. Rank-
-    major first-occurrence order guarantees every query its top-r probes
-    before any query gets rank r+1 — the same fairness rule as the
-    reference's balanced batch composition (query_router.hh:353-370).
-    """
-    nq, p = probes.shape
-    n_tiles = -(-nq // tile)
-    cols = np.zeros((n_tiles, shared), np.int32)
-    mask = np.zeros((n_tiles, shared), bool)
-    granted = 0
-    for t in range(n_tiles):
-        pr = probes[t * tile : (t + 1) * tile]
-        flat = pr.T.ravel()  # rank-major: all rank-0 ids, then rank-1, ...
-        uniq, first = np.unique(flat, return_index=True)
-        order = np.argsort(first, kind="stable")
-        u = uniq[order][:shared]
-        cols[t, : len(u)] = u
-        mask[t, : len(u)] = True
-        granted += np.isin(pr, u).sum()
-    coverage = granted / max(nq * p, 1)
-    return cols, mask, coverage
+    # undo the affinity sort
+    i_out = i_out.reshape(B, k)[inv]
+    d_out = d_out.reshape(B, k)[inv]
+    return i_out, d_out, coverage
 
 
 class IVFIndex:
@@ -587,77 +641,66 @@ class IVFIndex:
         probes: int = 16,
         shared: int = 96,
         tile: int = 256,
-        group: int = 16,
+        batch_size: int = 4096,
         rerank: int = 4,
         with_stats: bool = False,
+        preloaded=None,
     ):
-        """Affinity-routed tile-shared probing (see ivf_routed_tile_search).
+        """Affinity-routed tile-shared probing (see ivf_routed_search).
 
-        Pipeline: stage-1 scores all centroids per query (one MXU tile per
-        batch) -> queries sort by nearest centroid -> tiles of `tile`
-        queries share a `shared`-wide probe union (rank-major fairness) ->
-        one fused gather+scan+re-rank per `group` tiles. Results are
-        returned in the caller's original query order.
+        The whole pipeline — stage-1 scoring, affinity sort, per-tile
+        union, fused scan, re-rank, unsort — is ONE jit per batch; only
+        the result ids/dists cross the tunnel. Larger batches give more
+        homogeneous tiles (the sort has more to work with).
         """
         nq, d = queries.shape
         p = min(probes, self.data.num_clusters)
         shared = min(shared, self.data.num_clusters)
-        q32 = queries.astype(np.float32)
-        # stage 1: per-query top-p probes (download is (nq, p) i32 — small)
-        probe_ids = np.empty((nq, p), np.int32)
-        s1_batch = 8192
-        for lo in range(0, nq, s1_batch):
-            hi = min(lo + s1_batch, nq)
-            scores = ivf_stage1(
-                self.data, jnp.asarray(q32[lo:hi]), metric=self.metric
-            )
-            if self.data.num_clusters >= 4096:
-                _, pr = jax.lax.approx_max_k(-scores, p, recall_target=0.999)
-            else:
-                _, pr = jax.lax.top_k(-scores, p)
-            probe_ids[lo:hi] = np.asarray(pr)
-        # affinity sort: queries probing the same clusters become neighbors
-        order = np.lexsort((probe_ids[:, 1] if p > 1 else probe_ids[:, 0],
-                            probe_ids[:, 0]))
-        inv = np.empty(nq, np.int64)
-        inv[order] = np.arange(nq)
-        qs = q32[order]
-        cols, mask, coverage = _tile_probe_unions(probe_ids[order], tile, shared)
-        n_tiles = cols.shape[0]
-        # pad the sorted queries to whole tiles, tiles to whole groups
-        nq_pad = n_tiles * tile
-        if nq_pad != nq:
-            qs = np.concatenate([qs, np.zeros((nq_pad - nq, d), np.float32)])
-        g_pad = -(-n_tiles // group) * group
-        if g_pad != n_tiles:
-            extra = g_pad - n_tiles
-            cols = np.concatenate([cols, np.zeros((extra, shared), np.int32)])
-            mask = np.concatenate([mask, np.zeros((extra, shared), bool)])
-            qs = np.concatenate([qs, np.zeros((extra * tile, d), np.float32)])
-        qs = qs.reshape(g_pad, tile, d)
+        batch_size = max(tile, -(-min(batch_size, max(nq, 1)) // tile) * tile)
+        if preloaded is not None:
+            q_dev, nq_real = preloaded
+            assert nq_real == nq and q_dev.shape[0] % batch_size == 0
+            nq_pad = q_dev.shape[0]
+        else:
+            nq_pad = -(-nq // batch_size) * batch_size
+            q_all = np.zeros((nq_pad, d), np.float32)
+            q_all[:nq] = queries.astype(np.float32)
+            q_dev = jnp.asarray(q_all)
         parts = []
-        for g0 in range(0, g_pad, group):
-            ii, dd = ivf_routed_tile_search(
-                self.data,
-                jnp.asarray(qs[g0 : g0 + group]),
-                jnp.asarray(cols[g0 : g0 + group]),
-                jnp.asarray(mask[g0 : g0 + group]),
-                k=k,
-                metric=self.metric,
-                rerank=rerank,
+        for lo in range(0, nq_pad, batch_size):
+            qb = jax.lax.dynamic_slice_in_dim(q_dev, lo, batch_size, 0)
+            parts.append(
+                ivf_routed_search(
+                    self.data, qb, k=k, p=p, shared=shared, tile=tile,
+                    metric=self.metric, rerank=rerank,
+                )
             )
-            parts.append((ii, dd))
         if len(parts) == 1:
-            all_i, all_d = parts[0]
+            all_i, all_d, cov = parts[0]
         else:
             all_i = jnp.concatenate([x[0] for x in parts], axis=0)
             all_d = jnp.concatenate([x[1] for x in parts], axis=0)
-        out_i = np.asarray(all_i).reshape(-1, k)[:nq][inv]
-        out_d = np.asarray(all_d).reshape(-1, k)[:nq][inv]
+            cov = jnp.stack([x[2] for x in parts]).mean()
+        out_i = np.asarray(all_i)[:nq]
+        out_d = np.asarray(all_d)[:nq]
         if with_stats:
-            return out_i, out_d, {"probe_coverage": coverage,
-                                  "tiles": n_tiles, "shared": shared}
+            return out_i, out_d, {
+                "probe_coverage": float(np.asarray(cov)),
+                "tiles": nq_pad // tile,
+                "shared": shared,
+            }
         return out_i, out_d
+
+    def preload(self, queries: np.ndarray, *, batch_size: int = 4096):
+        """Stage queries in HBM once (cf. FastFlatIndex.preload — the dev
+        tunnel moves ~20 MB/s, so repeated uploads dominate timed runs)."""
+        nq, d = queries.shape
+        nq_pad = -(-nq // batch_size) * batch_size
+        q_all = np.zeros((nq_pad, d), np.float32)
+        q_all[:nq] = queries.astype(np.float32)
+        q_dev = jnp.asarray(q_all)
+        q_dev.block_until_ready()
+        return q_dev, nq
 
     def routed_cost_counters(self, nq: int, k: int = 10, *, probes: int = 16,
                              shared: int = 96, tile: int = 256,

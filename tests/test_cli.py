@@ -99,3 +99,16 @@ def test_cli_fast_build(capsys):
         capsys,
     )
     assert doc["queries"]["recall"] > 0.9
+
+
+def test_cli_ivf_routed(capsys):
+    doc = run_cli(
+        ["--synthetic", "6000:16", "--index", "ivf", "--ivf-routed",
+         "--probes", "8", "--ivf-shared", "48", "--ivf-tile", "64",
+         "--num-queries", "200"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.9
+    # routed cost counters are analytic and non-zero
+    assert doc["queries"]["distance_computations"] > 0
+    assert doc["queries"]["scanned_rows"] > 0

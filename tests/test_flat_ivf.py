@@ -101,7 +101,7 @@ def test_ivf_routed_recall(ds):
     are affinity-sorted so each tile's union covers its members' probes."""
     idx = IVFIndex(ds.base, num_clusters=64, seed=7)
     ids, dists, stats = idx.search_routed(
-        ds.queries, 10, probes=8, shared=48, tile=32, group=4, with_stats=True
+        ds.queries, 10, probes=8, shared=48, tile=32, with_stats=True
     )
     r = recall_at_k(ids, ds.ground_truth, 10)
     assert r > 0.9, (r, stats)
@@ -116,7 +116,7 @@ def test_ivf_routed_full_union_matches_per_query(ds):
     shared >= C alone does not imply a full scan)."""
     idx = IVFIndex(ds.base, num_clusters=32, seed=7)
     ids, _ = idx.search_routed(
-        ds.queries, 10, probes=32, shared=32, tile=64, group=2
+        ds.queries, 10, probes=32, shared=32, tile=64
     )
     assert recall_at_k(ids, ds.ground_truth, 10) > 0.99
 
