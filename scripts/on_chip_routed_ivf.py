@@ -60,11 +60,10 @@ else:
 pre = ivf.preload(ds.queries, batch_size=4096)
 
 for probes, shared, tile in (
-    (16, 96, 256),
-    (16, 128, 256),
-    (32, 160, 256),
-    (16, 96, 128),
-    (32, 192, 512),
+    (16, 128, 128),
+    (24, 160, 128),
+    (16, 128, 64),
+    (24, 192, 256),
 ):
     try:
         ivf.search_routed(ds.queries, 10, probes=probes, shared=shared,

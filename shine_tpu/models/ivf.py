@@ -476,11 +476,13 @@ def ivf_routed_search(
         _, probes = jax.lax.top_k(-scores, p)
 
     # affinity sort: queries probing the same (spatially-ordered) clusters
-    # become tile neighbors; stable so ties keep caller order
-    key = probes[:, 0].astype(jnp.int64) * C + (
-        probes[:, 1].astype(jnp.int64) if p > 1 else 0
-    )
-    perm = jnp.argsort(key, stable=True)
+    # become tile neighbors; two stable argsorts = exact (top1, top2)
+    # lexsort without an overflow-prone composite key
+    if p > 1:
+        perm = jnp.argsort(probes[:, 1], stable=True)
+        perm = perm[jnp.argsort(probes[perm, 0], stable=True)]
+    else:
+        perm = jnp.argsort(probes[:, 0], stable=True)
     inv = jnp.argsort(perm, stable=True)
     q_s = q[perm]
     probes_s = probes[perm].reshape(G, T, p)
@@ -506,7 +508,12 @@ def ivf_routed_search(
     # one (positions are unique per tile, so there are no threshold ties)
     thresh = -neg[:, -1]
     wish_pos = minpos[jnp.arange(G)[:, None, None], probes_s]
-    coverage = (wish_pos <= thresh[:, None, None]).mean()
+    granted = wish_pos <= thresh[:, None, None]  # (G, T, p)
+    coverage = granted.mean()
+    # per-query granted fraction, in caller order (drives the per-query
+    # fallback for under-covered queries — cf. the reference's spill path
+    # when a CN's batch budget is exhausted, query_router.hh:353-370)
+    q_granted = granted.mean(axis=-1).reshape(B)[inv]
 
     # tile-shared scan
     blk = data.blocks[cols]  # (G, P, cap, d) bf16
@@ -539,7 +546,7 @@ def ivf_routed_search(
     # undo the affinity sort
     i_out = i_out.reshape(B, k)[inv]
     d_out = d_out.reshape(B, k)[inv]
-    return i_out, d_out, coverage
+    return i_out, d_out, coverage, q_granted
 
 
 class IVFIndex:
@@ -645,6 +652,7 @@ class IVFIndex:
         rerank: int = 4,
         with_stats: bool = False,
         preloaded=None,
+        fallback: float = 0.0,
     ):
         """Affinity-routed tile-shared probing (see ivf_routed_search).
 
@@ -652,6 +660,12 @@ class IVFIndex:
         union, fused scan, re-rank, unsort — is ONE jit per batch; only
         the result ids/dists cross the tunnel. Larger batches give more
         homogeneous tiles (the sort has more to work with).
+
+        fallback > 0 guarantees recall: queries whose granted-wish
+        fraction falls below it are rerun through the exact per-query
+        probe path (ivf_search) in one extra dispatch — the spill path of
+        the reference's budgeted batch composition
+        (query_router.hh:353-370).
         """
         nq, d = queries.shape
         p = min(probes, self.data.num_clusters)
@@ -676,18 +690,40 @@ class IVFIndex:
                 )
             )
         if len(parts) == 1:
-            all_i, all_d, cov = parts[0]
+            all_i, all_d, cov, all_g = parts[0]
         else:
             all_i = jnp.concatenate([x[0] for x in parts], axis=0)
             all_d = jnp.concatenate([x[1] for x in parts], axis=0)
             cov = jnp.stack([x[2] for x in parts]).mean()
+            all_g = jnp.concatenate([x[3] for x in parts], axis=0)
         out_i = np.asarray(all_i)[:nq]
         out_d = np.asarray(all_d)[:nq]
+        n_fb = 0
+        if fallback > 0:
+            # np.asarray of a device array is read-only; the spill path
+            # writes rows in place
+            out_i = out_i.copy()
+            out_d = out_d.copy()
+            need = np.where(np.asarray(all_g)[:nq] < fallback)[0]
+            n_fb = len(need)
+            if n_fb:
+                # pad the spill set to a power-of-two bucket to bound the
+                # number of compiled shapes
+                bucket = 1 << max(int(np.ceil(np.log2(n_fb))), 6)
+                qs = np.zeros((bucket, d), np.float32)
+                qs[:n_fb] = queries[need].astype(np.float32)
+                fi, fd = ivf_search(
+                    self.data, jnp.asarray(qs), k=k, p=p,
+                    metric=self.metric, rerank=rerank,
+                )
+                out_i[need] = np.asarray(fi)[:n_fb]
+                out_d[need] = np.asarray(fd)[:n_fb]
         if with_stats:
             return out_i, out_d, {
                 "probe_coverage": float(np.asarray(cov)),
                 "tiles": nq_pad // tile,
                 "shared": shared,
+                "fallback_queries": n_fb,
             }
         return out_i, out_d
 

@@ -135,6 +135,20 @@ def test_ivf_routed_order_restored(ds):
     assert abs(r1 - r2) < 0.05
 
 
+def test_ivf_routed_fallback_spills_to_per_query(ds):
+    """fallback=1.1 spills every query (granted fraction <= 1), so routed
+    results must exactly equal the per-query probe path."""
+    idx = IVFIndex(ds.base, num_clusters=64, seed=7)
+    ri, rd, st = idx.search_routed(
+        ds.queries, 10, probes=8, shared=16, tile=64, fallback=1.1,
+        with_stats=True,
+    )
+    assert st["fallback_queries"] == len(ds.queries)
+    pi, pd = idx.search(ds.queries, 10, probes=8)
+    np.testing.assert_array_equal(ri, pi)
+    np.testing.assert_allclose(rd, pd, rtol=1e-5)
+
+
 def test_ivf_probe_chunk_identical(ds):
     """The lax.scan probe-streaming path (used when the full (B,p,cap,d)
     gather would OOM the chip) must return exactly the one-shot result."""
