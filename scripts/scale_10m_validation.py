@@ -61,13 +61,24 @@ def phase_fastflat():
     fast = FastFlatIndex.from_device(ds.base_dev)
     emit({"stage": "fastflat_build", "seconds": round(time.time() - t0, 1)})
     pre = fast.preload(ds.queries, batch_size=2048)
-    for _ in range(2):
-        t0 = time.time()
-        ids, _ = fast.search(ds.queries, 10, batch_size=2048, tq=512,
-                             preloaded=pre, with_dists=False)
-        dt = time.time() - t0
-    r = recall_at_k(ids, ds.ground_truth, 10)
-    emit({"stage": "fastflat", "qps": round(NQ / dt), "recall10": round(float(r), 4)})
+    # at 10M the bf16 near-tie margin (kb) and class-collision rate (cls)
+    # both need to scale: more rows -> more near-ties per query and more
+    # rows per class (two true neighbors in one class shadow each other)
+    # tq drops at cls=4096: the running (tq, cls) f32 state x2 must fit
+    # scoped VMEM (16 MB)
+    for kb, cls, tq in ((32, 1024, 512), (96, 2048, 512), (128, 4096, 256)):
+        fast.search(ds.queries[:2048], 10, batch_size=2048, tq=tq, kb=kb,
+                    cls=cls, preloaded=None, with_dists=False)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            ids, _ = fast.search(ds.queries, 10, batch_size=2048, tq=tq,
+                                 kb=kb, cls=cls, preloaded=pre,
+                                 with_dists=False)
+            best = min(best, time.time() - t0)
+        r = recall_at_k(ids, ds.ground_truth, 10)
+        emit({"stage": f"fastflat_kb{kb}_cls{cls}", "qps": round(NQ / best),
+              "recall10": round(float(r), 4)})
 
 
 def phase_ivf():

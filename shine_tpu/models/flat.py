@@ -465,12 +465,15 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
         q_all = np.zeros((nq_pad, d), np.float32)
         q_all[:nq] = queries.astype(np.float32)
         q_dev = jnp.asarray(q_all)
+    # the scan kernel needs tn % cls == 0; raise the DMA chunk when the
+    # class count grows (cls scales with N to bound collision loss)
+    tn = max(idx.tn, cls)
     parts = []
     for lo in range(0, nq_pad, batch_size):
         parts.append(
             fast_flat_search_at(
                 idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
-                k=k, kb=kb, tq=tq, tn=idx.tn, cls=cls, metric=idx.metric,
+                k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
                 batch=batch_size, interpret=idx.interpret,
             )
         )

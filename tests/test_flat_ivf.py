@@ -149,6 +149,34 @@ def test_ivf_routed_fallback_spills_to_per_query(ds):
     np.testing.assert_allclose(rd, pd, rtol=1e-5)
 
 
+def test_sharded_ivf_routed_recall(ds):
+    from shine_tpu.parallel import shard_mesh
+    from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
+
+    mesh = shard_mesh(4)
+    idx = ShardedIVFIndex(ds.base, mesh, num_clusters=64, seed=7)
+    ids, dists = idx.search_routed(
+        ds.queries, 10, probes=8, shared=48, tile=32
+    )
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r > 0.9, r
+    assert np.all(np.diff(dists, axis=1) >= -1e-3)
+
+
+def test_sharded_ivf_routed_full_probes_exact(ds):
+    """probes = shared = C: every tile's union is every cluster; the
+    sharded routed path must be near-exact like the per-query one."""
+    from shine_tpu.parallel import shard_mesh
+    from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
+
+    mesh = shard_mesh(4)
+    idx = ShardedIVFIndex(ds.base, mesh, num_clusters=32, seed=7)
+    ids, _ = idx.search_routed(
+        ds.queries, 10, probes=32, shared=32, tile=64, rerank=8
+    )
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.99
+
+
 def test_ivf_probe_chunk_identical(ds):
     """The lax.scan probe-streaming path (used when the full (B,p,cap,d)
     gather would OOM the chip) must return exactly the one-shot result."""
