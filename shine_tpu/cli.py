@@ -188,7 +188,7 @@ def main(argv: list[str] | None = None) -> int:
     elif hasattr(index_obj, "cost_counters"):
         # dense-scan families: costs are analytic in the shapes
         # (statistics.hh:122-141 reports them for every run)
-        if args.index == "ivf" and args.ivf_routed and args.shards == 1:
+        if args.index == "ivf" and args.ivf_routed:
             cc = index_obj.routed_cost_counters(
                 len(queries), args.k, probes=args.probes,
                 shared=args.ivf_shared, tile=args.ivf_tile,
@@ -252,7 +252,8 @@ def _build(args, ds, params, mesh, timing):
             from shine_tpu.models.ivf import IVFIndex
 
             idx = IVFIndex(ds.base, metric=params.metric, seed=args.seed)
-        if args.ivf_routed and mesh is None:
+        if args.ivf_routed:
+            # both IVFIndex and ShardedIVFIndex expose search_routed
             return (
                 lambda q: idx.search_routed(
                     q, args.k, probes=args.probes, shared=args.ivf_shared,

@@ -318,6 +318,27 @@ class ShardedIVFIndex:
             out_d[lo:hi] = dd
         return out_i, out_d
 
+    def routed_cost_counters(self, nq: int, k: int = 10, *, probes: int = 16,
+                             shared: int = 96, tile: int = 64,
+                             rerank: int = 4) -> dict:
+        """Analytic routed cost: the plan (stage 1 + sort + unions) is
+        replicated on every shard; union blocks are fetched once per tile
+        by their owners; per-shard survivors merge over ICI; exact re-rank
+        on the host."""
+        S = self.mesh.devices.size
+        P = min(shared, self.C)
+        kk = min(max(rerank, 1) * k, P * self.cap)
+        d = self.base.shape[1]
+        n_tiles = -(-nq // max(tile, 1))
+        return {
+            "distance_computations": nq * (self.C * S + P * self.cap * S + kk),
+            "scanned_rows": nq * P * self.cap,
+            "hbm_gather_bytes": n_tiles * P * self.cap * d * 2
+            + nq * kk * d * 4,
+            "ici_exchange_bytes": nq * d * 4 * (S - 1)
+            + nq * kk * 8 * (S - 1),
+        }
+
     def cost_counters(self, nq: int, k: int = 10, *, probes: int = 8,
                       batch_size: int = 2048, rerank: int = 4) -> dict:
         """Cluster-total analytic cost: centroid scoring is replicated on

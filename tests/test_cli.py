@@ -112,3 +112,14 @@ def test_cli_ivf_routed(capsys):
     # routed cost counters are analytic and non-zero
     assert doc["queries"]["distance_computations"] > 0
     assert doc["queries"]["scanned_rows"] > 0
+
+
+def test_cli_sharded_ivf_routed(capsys):
+    doc = run_cli(
+        ["--synthetic", "6000:16", "--index", "ivf", "--ivf-routed",
+         "--probes", "8", "--ivf-shared", "48", "--ivf-tile", "32",
+         "--shards", "4", "--num-queries", "200"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.9
+    assert doc["queries"]["ici_exchange_bytes"] > 0
