@@ -113,7 +113,7 @@ def phase_sharded():
           f"({NQ/dt:.0f} q/s on CPU mesh, interpret kernel)")
 
 
-def phase_onchip():
+def phase_onchip(ivf_only: bool = False):
     """Single-chip 1M refresh: fastflat + IVF operating points (the IVF
     recall-at-scale point VERDICT #2 asks for)."""
     import time as _t
@@ -125,6 +125,10 @@ def phase_onchip():
     z = np.load(DS)
     q = z["queries"]
 
+    if ivf_only:
+        _onchip_ivf(z, q)
+        return
+
     fast = FastFlatIndex(z["base"])
     pre = fast.preload(q, batch_size=1024)
     for _ in range(2):
@@ -134,9 +138,21 @@ def phase_onchip():
         dt = _t.time() - t0
     r = recall_at_k(ids, z["gt"], 10)
     print(f"# fastflat 1M x {D} on-chip: qps={NQ/dt:.0f} recall@10={r:.4f}")
+    _onchip_ivf(z, q)
+
+
+def _onchip_ivf(z, q):
+    import time as _t
+
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.models.ivf import IVFIndex
 
     t0 = _t.time()
-    ivf = IVFIndex(z["base"], seed=7)
+    import jax.numpy as jnp
+
+    # device-resident build (build_ivf_layout_device): the host Lloyd +
+    # cluster fill path takes >7 min at 1M on this 1-core host
+    ivf = IVFIndex.from_device(jnp.asarray(z["base"]), seed=7)
     print(f"# ivf build 1M: {_t.time()-t0:.1f}s (C={ivf.data.num_clusters})")
     for p in (16, 32, 64):
         ivf.search(q[:512], 10, probes=p, batch_size=512)  # compile
@@ -145,6 +161,22 @@ def phase_onchip():
         dt = _t.time() - t0
         r = recall_at_k(ids, z["gt"], 10)
         print(f"# ivf 1M p={p}: qps={NQ/dt:.0f} recall@10={r:.4f}")
+
+    pre = ivf.preload(q, batch_size=1024)
+    for pr, sh, t in ((16, 128, 64), (16, 160, 128)):
+        ivf.search_routed(q, 10, probes=pr, shared=sh, tile=t,
+                          batch_size=1024, preloaded=pre)
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.time()
+            ids, _, st = ivf.search_routed(
+                q, 10, probes=pr, shared=sh, tile=t, batch_size=1024,
+                preloaded=pre, with_stats=True,
+            )
+            best = min(best, _t.time() - t0)
+        r = recall_at_k(ids, z["gt"], 10)
+        print(f"# ivf routed 1M p={pr} P={sh} T={t}: qps={NQ/best:.0f} "
+              f"recall@10={r:.4f} cov={st['probe_coverage']:.3f}")
 
 
 if __name__ == "__main__":
@@ -159,4 +191,5 @@ if __name__ == "__main__":
         "build": phase_build,
         "sharded": phase_sharded,
         "onchip": phase_onchip,
+        "onchip_ivf": lambda: phase_onchip(ivf_only=True),
     }[phase]()

@@ -86,12 +86,20 @@ class SearchParams:
     # entries (strictly better than greedy descent, no descent loops);
     # "descent": the reference's greedy per-level walk (hnsw.hh:331-393)
     entry_seeds: int = 2  # beam seeds taken from the dense entry stage
+    exchange: str = "dense"  # sharded-search ICI pattern: "dense" =
+    # all_gather + psum_scatter owner-compute (O(S*B*K) lanes/step);
+    # "compact" = bucketed all_to_all owner RPC (O(B*K) lanes/step, exact
+    # multi-round overflow) — parallel/sharded.py:_owner_rpc
+    exchange_slack: float = 2.0  # compact bucket capacity = slack x
+    # expected uniform per-destination load; lower forces more RPC rounds
 
     def resolved(self) -> "SearchParams":
         if self.frontier < 1:
             raise ValueError("frontier must be >= 1")
         if self.entry_mode not in ("dense", "descent"):
             raise ValueError("entry_mode must be 'dense' or 'descent'")
+        if self.exchange not in ("dense", "compact"):
+            raise ValueError("exchange must be 'dense' or 'compact'")
         ms = self.max_steps or (2 * ((self.ef + 31) // self.frontier) + 8)
         if self.k > self.ef:
             raise ValueError("k must be <= ef")

@@ -204,6 +204,99 @@ def _owned_neighbor_rows(g: ShardedGraph, ids_all, rows_per_shard):
     return jnp.where(mine[..., None], rows + 1, 0)
 
 
+def _owner_rpc(
+    ids_flat,
+    aux_flat,
+    payload_fn,
+    *,
+    rows_per_shard: int,
+    num_shards: int,
+    bucket: int,
+    width: int,
+    dtype,
+    fill,
+):
+    """Compact owner-compute RPC over bucketed `all_to_all`.
+
+    The dense exchange pattern (all_gather ids -> every shard scans the
+    full id set -> psum_scatter results) moves O(S*L) lanes of ICI per
+    call. Here each id travels ONCE to its owning shard (id //
+    rows_per_shard), the owner computes a (width,)-payload, and the
+    payload travels once back: O(L) lanes. Ids in the self-bucket (the
+    all_to_all diagonal) never cross ICI at all, so replica hits and
+    affinity-routed batches directly reduce wire traffic — the TPU
+    analogue of the reference's doorbell-batched one-sided READs
+    (rdma_reads.hh:9-38) where a CN pulls only the rows it needs.
+
+    Fixed-shape buckets hold `bucket` lanes per (source, dest) pair;
+    destinations that overflow are served in further rounds of the same
+    exchange (exact — nothing is dropped), so the result is bit-identical
+    to the dense path. Round count is bounded by ceil(max-dest-load /
+    bucket); with the default 2x slack a second round is rare.
+
+    ids_flat: (L,) global row ids, -1 = no work. aux_flat: (L,) int32
+    side-channel delivered to payload_fn (e.g. the requesting query's
+    local slot). payload_fn((S, bucket) ids, (S, bucket) aux) ->
+    (S, bucket, width) computed at the owner; row i holds requests from
+    source shard i. Returns (out (L, width), rounds, offdiag_lanes).
+    """
+    L = ids_flat.shape[0]
+    my = jax.lax.axis_index(SHARD_AXIS)
+    SCb = num_shards * bucket
+
+    def cond(state):
+        todo = (state[0] >= 0).any().astype(jnp.int32)
+        return jax.lax.psum(todo, SHARD_AXIS) > 0
+
+    def body(state):
+        pending, out, rounds, lanes = state
+        live = pending >= 0
+        owner = jnp.where(live, pending // rows_per_shard, 0)
+        onehot = (owner[:, None] == jnp.arange(num_shards)[None, :]) & live[:, None]
+        rank = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1
+        rank = jnp.take_along_axis(rank, owner[:, None], axis=1)[:, 0]
+        granted = live & (rank < bucket)
+        slot = jnp.where(granted, owner * bucket + rank, SCb)  # SCb = drop
+        send_ids = (
+            jnp.full((SCb,), -1, jnp.int32)
+            .at[slot]
+            .set(jnp.where(granted, pending, -1), mode="drop")
+        )
+        send_aux = (
+            jnp.zeros((SCb,), jnp.int32)
+            .at[slot]
+            .set(jnp.where(granted, aux_flat, 0), mode="drop")
+        )
+        recv_ids = jax.lax.all_to_all(
+            send_ids.reshape(num_shards, bucket), SHARD_AXIS, 0, 0, tiled=True
+        )
+        recv_aux = jax.lax.all_to_all(
+            send_aux.reshape(num_shards, bucket), SHARD_AXIS, 0, 0, tiled=True
+        )
+        payload = payload_fn(recv_ids, recv_aux)  # (S, bucket, width)
+        back = jax.lax.all_to_all(payload, SHARD_AXIS, 0, 0, tiled=True)
+        got = back.reshape(SCb, width)[jnp.clip(slot, 0, SCb - 1)]
+        out = jnp.where(granted[:, None], got, out)
+        lanes = lanes + (granted & (owner != my)).sum()
+        return (jnp.where(granted, -1, pending), out, rounds + 1, lanes)
+
+    init = (
+        ids_flat.astype(jnp.int32),
+        jnp.full((L, width), fill, dtype),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    _, out, rounds, lanes = jax.lax.while_loop(cond, body, init)
+    return out, rounds, lanes
+
+
+def _rpc_bucket(lanes: int, num_shards: int, slack: float) -> int:
+    """Fixed per-(source,dest) bucket capacity: expected uniform load
+    (lanes / S) times a slack factor, floor 8, rounded up to 8."""
+    want = int(lanes * slack / num_shards)
+    return max(8, -(-want // 8) * 8)
+
+
 def _owned_distances(g: ShardedGraph, q_all, qn_all, ids_all, rows_per_shard, metric):
     """Shard-local distances for candidate ids this shard owns (0 elsewhere).
 
@@ -236,6 +329,9 @@ class _ShardState(NamedTuple):
     cache_misses: jnp.ndarray
     row_counts: jnp.ndarray  # (rows_per_shard,) owned-row accesses, or (1,)
     hot_counts: jnp.ndarray  # (H,) replica-hit accesses, or (1,)
+    rpc_rounds: jnp.ndarray  # compact-exchange rounds (0 in dense mode)
+    ici_lanes: jnp.ndarray  # off-diagonal RPC lanes actually occupied
+    ici_bytes: jnp.ndarray  # per-chip wire bytes (fixed-shape payloads)
 
 
 def _sharded_search_spmd(
@@ -261,6 +357,7 @@ def _sharded_search_spmd(
     """
     q = queries.astype(jnp.float32)
     B_loc = q.shape[0]
+    compact = sp.exchange == "compact"
     qn = squared_norms(q) if metric == METRIC_L2 else jnp.zeros(B_loc, jnp.float32)
 
     # replicate the query batch once; per-step exchanges are then int32/f32
@@ -329,18 +426,59 @@ def _sharded_search_spmd(
         else:
             fids_cold = fids
 
+        rpc_rounds = jnp.int32(0)
+        ici_lanes = jnp.int32(0)
+        # f32 accumulator (int64 is unavailable without x64): ~1e-7
+        # relative error at GB scale, fine for a wire-cost counter
+        ici_bytes = jnp.float32(0)
+        W = g.neighbors0.shape[1]
+
         # exchange 1: frontier neighborlists from the owning shards
-        fid_all = jax.lax.all_gather(fids_cold, SHARD_AXIS).reshape(-1, E)
-        nbr_rows = _owned_neighbor_rows(g, fid_all, rows_per_shard)  # (B, E, 2M)
-        nbrs = (
-            jax.lax.psum_scatter(
-                nbr_rows.reshape(fid_all.shape[0], -1),
-                SHARD_AXIS,
-                scatter_dimension=0,
-                tiled=True,
+        if compact:
+
+            def nbr_payload(recv_ids, _aux):
+                my = jax.lax.axis_index(SHARD_AXIS)
+                local = recv_ids - my * rows_per_shard
+                rows = g.neighbors0[jnp.clip(local, 0, rows_per_shard - 1)]
+                return jnp.where(recv_ids[..., None] >= 0, rows, -1)
+
+            bucket_f = _rpc_bucket(B_loc * E, num_shards, sp.exchange_slack)
+            rows, r1, l1 = _owner_rpc(
+                fids_cold.reshape(-1),
+                jnp.zeros(B_loc * E, jnp.int32),
+                nbr_payload,
+                rows_per_shard=rows_per_shard,
+                num_shards=num_shards,
+                bucket=bucket_f,
+                width=W,
+                dtype=jnp.int32,
+                fill=-1,
             )
-            - 1
-        )  # (B_loc, E*2M); undo +1 bias: 0 -> -1 (pad / inactive)
+            nbrs = rows.reshape(B_loc, E * W)
+            rpc_rounds += r1
+            ici_lanes += l1
+            # off-diagonal payload per round: ids + aux out, W rows back
+            ici_bytes += r1.astype(ici_bytes.dtype) * (
+                (num_shards - 1) * bucket_f * (8 + 4 * W)
+            )
+        else:
+            fid_all = jax.lax.all_gather(fids_cold, SHARD_AXIS).reshape(-1, E)
+            nbr_rows = _owned_neighbor_rows(g, fid_all, rows_per_shard)  # (B, E, 2M)
+            nbrs = (
+                jax.lax.psum_scatter(
+                    nbr_rows.reshape(fid_all.shape[0], -1),
+                    SHARD_AXIS,
+                    scatter_dimension=0,
+                    tiled=True,
+                )
+                - 1
+            )  # (B_loc, E*2M); undo +1 bias: 0 -> -1 (pad / inactive)
+            # all_gather receives (S-1) peer slices; reduce-scatter ships
+            # ~the full (S*B_loc, E*W) once per chip
+            ici_bytes += jnp.float32(
+                (num_shards - 1) * B_loc * E * 4
+                + (num_shards - 1) * B_loc * E * W * 4
+            )
         if replica is not None:
             local_nbrs = replica.hot_neighbors[f_rows]  # (B_loc, E, 2M)
             nbrs = jnp.where(
@@ -358,13 +496,68 @@ def _sharded_search_spmd(
             cand_cold = cand
 
         # exchange 2: cold candidate distances computed at the owners
-        cand_all = jax.lax.all_gather(cand_cold, SHARD_AXIS).reshape(
-            num_shards * B_loc, -1
-        )
-        d_all = _owned_distances(g, q_all, qn_all, cand_all, rows_per_shard, metric)
-        d = jax.lax.psum_scatter(
-            d_all, SHARD_AXIS, scatter_dimension=0, tiled=True
-        )
+        K = cand_cold.shape[1]
+        if compact:
+
+            def dist_payload(recv_ids, recv_aux):
+                my = jax.lax.axis_index(SHARD_AXIS)
+                local = recv_ids - my * rows_per_shard
+                safe = jnp.clip(local, 0, rows_per_shard - 1)
+                src = jax.lax.broadcasted_iota(jnp.int32, recv_ids.shape, 0)
+                qidx = src * B_loc + recv_aux  # slot into the replicated q_all
+                qv = q_all[qidx]  # (S, bucket, d)
+                # NB: numerically ~1e-4-close to the dense path, not
+                # bit-identical — XLA lowers the (lanes, 1, d) dot with a
+                # different d-reduction order than the dense (B, K, d)
+                # batched GEMM. Result ids still agree except on exact
+                # near-ties (tests/test_compact_exchange.py).
+                dots = jnp.einsum(
+                    "scd,scd->sc", qv, g.vectors[safe],
+                    precision=DIST_PRECISION,
+                    preferred_element_type=jnp.float32,
+                )
+                if metric == METRIC_L2:
+                    dd = qn_all[qidx] - 2.0 * dots + g.vec_sqnorms[safe]
+                else:
+                    dd = 1.0 - dots
+                return jnp.where(recv_ids >= 0, dd, jnp.inf)[..., None]
+
+            lane_q = jnp.arange(B_loc * K, dtype=jnp.int32) // K
+            bucket_c = _rpc_bucket(B_loc * K, num_shards, sp.exchange_slack)
+            d_rpc, r2, l2 = _owner_rpc(
+                cand_cold.reshape(-1),
+                lane_q,
+                dist_payload,
+                rows_per_shard=rows_per_shard,
+                num_shards=num_shards,
+                bucket=bucket_c,
+                width=1,
+                dtype=jnp.float32,
+                fill=jnp.inf,
+            )
+            d = d_rpc.reshape(B_loc, K)
+            rpc_rounds += r2
+            ici_lanes += l2
+            # ids + query-slot aux out, one f32 distance back
+            ici_bytes += r2.astype(jnp.float32) * (
+                (num_shards - 1) * bucket_c * 12
+            )
+            cand_all = None
+            if count_access:  # counter-only gather (adaptation variant)
+                cand_all = jax.lax.all_gather(cand_cold, SHARD_AXIS).reshape(
+                    num_shards * B_loc, -1
+                )
+        else:
+            cand_all = jax.lax.all_gather(cand_cold, SHARD_AXIS).reshape(
+                num_shards * B_loc, -1
+            )
+            d_all = _owned_distances(
+                g, q_all, qn_all, cand_all, rows_per_shard, metric
+            )
+            d = jax.lax.psum_scatter(
+                d_all, SHARD_AXIS, scatter_dimension=0, tiled=True
+            )
+            ici_bytes += jnp.float32(2 * (num_shards - 1) * B_loc * K * 4)
         d = jnp.where(cand_cold >= 0, d, jnp.inf)
         if replica is not None:
             d_local = local_distances(cand, c_rows, c_hit)
@@ -396,6 +589,8 @@ def _sharded_search_spmd(
             s.hops + active.sum(axis=1),
             s.cache_hits + hits, s.cache_misses + misses,
             row_counts, hot_counts,
+            s.rpc_rounds + rpc_rounds, s.ici_lanes + ici_lanes,
+            s.ici_bytes + ici_bytes,
         )
 
     H = replica.capacity if (count_access and replica is not None) else 1
@@ -409,6 +604,9 @@ def _sharded_search_spmd(
         jnp.zeros(B_loc, jnp.int32),
         jnp.zeros(rows_per_shard if count_access else 1, jnp.float32),
         jnp.zeros(H, jnp.float32),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.float32(0),
     )
     out = jax.lax.while_loop(cond, body, init)
     return (
@@ -419,6 +617,9 @@ def _sharded_search_spmd(
         out.cache_misses,
         out.row_counts,
         jax.lax.psum(out.hot_counts, SHARD_AXIS),
+        out.rpc_rounds,
+        jax.lax.psum(out.ici_lanes, SHARD_AXIS),
+        jax.lax.psum(out.ici_bytes, SHARD_AXIS),
     )
 
 
@@ -446,8 +647,13 @@ def make_sharded_search(
         entry_u=P(),
     )
     # (ids, dists, hops, hits, misses) per-query-slice; row_counts are the
-    # shard-owned rows (concatenated = global rows); hot_counts replicated
-    out_spec = tuple(P(SHARD_AXIS) for _ in range(5)) + (P(SHARD_AXIS), P())
+    # shard-owned rows (concatenated = global rows); hot_counts, rpc_rounds
+    # and ici_lanes replicated (rounds are globally synchronized, lanes
+    # psum'd)
+    out_spec = (
+        tuple(P(SHARD_AXIS) for _ in range(5))
+        + (P(SHARD_AXIS), P(), P(), P(), P())
+    )
 
     if with_cache:
         rep_spec = HotReplica(P(), P(), P(), P())
@@ -547,6 +753,9 @@ class ShardedIndex:
             self._adaptive_router = None
         self.cache_hits = 0
         self.cache_misses = 0
+        self.rpc_rounds = 0  # compact-exchange rounds (0 on the dense path)
+        self.ici_lanes = 0  # off-diagonal RPC lanes actually shipped
+        self.ici_bytes = 0.0  # cluster wire bytes (both exchange modes)
         self._runs: dict = {}
 
     def _put_replica(self, rep) -> None:
@@ -605,7 +814,7 @@ class ShardedIndex:
         adaptation loop. Returns (ids, dists, hops) as numpy."""
         qdev = jax.device_put(jnp.asarray(chunk), qsh)
         if self.replica is not None:
-            ids, dd, hops, hits, misses, rc, hc = run(
+            ids, dd, hops, hits, misses, rc, hc, rr, il, ib = run(
                 self.device, qdev, self.replica
             )
             self.cache_hits += int(np.asarray(hits).sum())
@@ -613,7 +822,10 @@ class ShardedIndex:
             if self.access is not None:
                 self._absorb_counts(rc, hc)
         else:
-            ids, dd, hops, _, _, _, _ = run(self.device, qdev)
+            ids, dd, hops, _, _, _, _, rr, il, ib = run(self.device, qdev)
+        self.rpc_rounds += int(np.asarray(rr))
+        self.ici_lanes += int(np.asarray(il))
+        self.ici_bytes += float(np.asarray(ib))
         hops = np.asarray(hops)
         # expansion counter for Statistics (ThreadStatistics analogue)
         self.last_hops = getattr(self, "last_hops", 0) + int(hops.sum())
