@@ -99,14 +99,23 @@ def phase_ivf():
         r = recall_at_k(ids, ds.ground_truth, 10)
         emit({"stage": f"ivf_p{p}", "qps": round(NQ / dt),
               "recall10": round(float(r), 4)})
-    pre = ivf.preload(ds.queries, batch_size=2048)
-    for pr, sh, t in ((16, 128, 64), (16, 128, 128), (32, 192, 128)):
-        ivf.search_routed(ds.queries, 10, probes=pr, shared=sh, tile=t,
-                          batch_size=2048, preloaded=pre)
+    # routed probing wants a separate COARSE layout (C ~ 1-2k regardless
+    # of N so tile neighbors share probes — docs/TPU_NOTES.md '1M x 64
+    # refresh'); the fine layout above is the per-query operating point
+    del ivf
+    t0 = time.time()
+    ivf_c = IVFIndex.from_device(ds.base_dev, num_clusters=2048, seed=7,
+                                 train_size=262_144, iters=20)
+    emit({"stage": "ivf_coarse_build", "seconds": round(time.time() - t0, 1),
+          "clusters": ivf_c.data.num_clusters, "cap": ivf_c.data.cap})
+    pre = ivf_c.preload(ds.queries, batch_size=2048)
+    for pr, sh, t in ((16, 128, 64), (16, 160, 128), (24, 192, 128)):
+        ivf_c.search_routed(ds.queries, 10, probes=pr, shared=sh, tile=t,
+                            batch_size=2048, preloaded=pre)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            ids, _, st = ivf.search_routed(
+            ids, _, st = ivf_c.search_routed(
                 ds.queries, 10, probes=pr, shared=sh, tile=t,
                 batch_size=2048, preloaded=pre, with_stats=True,
             )

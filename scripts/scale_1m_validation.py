@@ -179,6 +179,49 @@ def _onchip_ivf(z, q):
               f"recall@10={r:.4f} cov={st['probe_coverage']:.3f}")
 
 
+def phase_routed_coarse():
+    """Routed IVF wants coarse clusters (C ~ 1-2k regardless of N) so tile
+    neighbors share probes — see docs/TPU_NOTES.md '1M x 64 refresh'.
+    Validates that hypothesis: C=1536 instead of the per-query-optimal
+    7813."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.models.ivf import IVFIndex
+
+    z = np.load(DS)
+    q = z["queries"]
+    t0 = _t.time()
+    ivf = IVFIndex.from_device(jnp.asarray(z["base"]), num_clusters=1536,
+                               seed=7)
+    print(f"# ivf coarse build 1M: {_t.time()-t0:.1f}s "
+          f"(C={ivf.data.num_clusters} cap={ivf.data.cap})")
+    pre = ivf.preload(q, batch_size=1024)
+    for pr, sh, t, fb in (
+        (16, 128, 64, 0.0),
+        (16, 160, 128, 0.0),
+        (24, 192, 128, 0.0),
+        (16, 128, 64, 0.9),
+    ):
+        ivf.search_routed(q, 10, probes=pr, shared=sh, tile=t,
+                          batch_size=1024, preloaded=pre, fallback=fb)
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.time()
+            ids, _, st = ivf.search_routed(
+                q, 10, probes=pr, shared=sh, tile=t, batch_size=1024,
+                preloaded=pre, with_stats=True, fallback=fb,
+            )
+            best = min(best, _t.time() - t0)
+        r = recall_at_k(ids, z["gt"], 10)
+        print(f"# ivf routed-coarse 1M p={pr} P={sh} T={t} fb={fb}: "
+              f"qps={NQ/best:.0f} recall@10={r:.4f} "
+              f"cov={st['probe_coverage']:.3f} "
+              f"spill={st['fallback_queries']}")
+
+
 if __name__ == "__main__":
     phase = sys.argv[1] if len(sys.argv) > 1 else "gt"
     if phase == "sharded":
@@ -192,4 +235,5 @@ if __name__ == "__main__":
         "sharded": phase_sharded,
         "onchip": phase_onchip,
         "onchip_ivf": lambda: phase_onchip(ivf_only=True),
+        "routed_coarse": phase_routed_coarse,
     }[phase]()

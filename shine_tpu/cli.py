@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--ivf-tile", type=int, default=256,
                    help="queries per routed tile (--ivf-routed)")
     q.add_argument("--batch", type=int, default=2048)
+    q.add_argument("--exchange", choices=("dense", "compact"),
+                   default="dense", help="sharded-HNSW ICI exchange "
+                   "pattern (compact = bucketed all_to_all owner RPC)")
     q.add_argument("--no-recall", action="store_true")
     run = p.add_argument_group("run")
     run.add_argument("--shards", type=int, default=1, help="device mesh size")
@@ -142,7 +145,8 @@ def main(argv: list[str] | None = None) -> int:
         M=args.m, ef_construction=args.ef_construction, metric=metric,
         seed=args.seed,
     )
-    sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier)
+    sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier,
+                      exchange=args.exchange)
     stats.set_params(params, sp)
 
     mesh = None
@@ -202,6 +206,10 @@ def main(argv: list[str] | None = None) -> int:
         s.scanned_rows = cc["scanned_rows"]
         s.hbm_gather_bytes = cc["hbm_gather_bytes"]
         s.ici_exchange_bytes = cc["ici_exchange_bytes"]
+    if getattr(index_obj, "ici_bytes", 0):
+        # measured on device (parallel/sharded.py state counter) — covers
+        # the sharded HNSW path in both exchange modes
+        s.ici_exchange_bytes = int(index_obj.ici_bytes)
     s.cache_hits = getattr(index_obj, "cache_hits", 0)
     s.cache_misses = getattr(index_obj, "cache_misses", 0)
     stats.set_queries(s)
@@ -214,7 +222,8 @@ def _build(args, ds, params, mesh, timing):
     """Returns (searcher(queries) -> ids, index_size_bytes, index_obj)."""
     from shine_tpu.config import SearchParams
 
-    sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier)
+    sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier,
+                      exchange=args.exchange)
     if args.index == "flat":
         if mesh is not None:
             from shine_tpu.parallel import ShardedFlatIndex
