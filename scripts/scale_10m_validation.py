@@ -66,19 +66,30 @@ def phase_fastflat():
     # rows per class (two true neighbors in one class shadow each other)
     # tq drops at cls=4096: the running (tq, cls) f32 state x2 must fit
     # scoped VMEM (16 MB)
-    for kb, cls, tq in ((32, 1024, 512), (96, 2048, 512), (128, 4096, 256)):
+    # keep2 (ops/pallas_scan3.py v4) keeps each class's runner-up: at
+    # 2441+ rows/class a true neighbor is lost whenever ONE bf16
+    # near-tie decoy beats it — the measured 0.91 recall ceiling here.
+    # VMEM doubles, so tq halves at a given cls.
+    for kb, cls, tq, keep2 in (
+        (32, 1024, 512, False),
+        (96, 2048, 512, False),
+        (128, 4096, 256, False),
+        (96, 2048, 256, True),
+        (128, 4096, 128, True),
+    ):
         fast.search(ds.queries[:2048], 10, batch_size=2048, tq=tq, kb=kb,
-                    cls=cls, preloaded=None, with_dists=False)
+                    cls=cls, preloaded=None, with_dists=False, keep2=keep2)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             ids, _ = fast.search(ds.queries, 10, batch_size=2048, tq=tq,
                                  kb=kb, cls=cls, preloaded=pre,
-                                 with_dists=False)
+                                 with_dists=False, keep2=keep2)
             best = min(best, time.time() - t0)
         r = recall_at_k(ids, ds.ground_truth, 10)
-        emit({"stage": f"fastflat_kb{kb}_cls{cls}", "qps": round(NQ / best),
-              "recall10": round(float(r), 4)})
+        emit({"stage": f"fastflat_kb{kb}_cls{cls}"
+              + ("_keep2" if keep2 else ""),
+              "qps": round(NQ / best), "recall10": round(float(r), 4)})
 
 
 def phase_ivf():
@@ -87,8 +98,12 @@ def phase_ivf():
 
     ds = make_dataset()
     t0 = time.time()
-    ivf = IVFIndex.from_device(ds.base_dev, target_cap=256, seed=7,
-                               train_size=262_144, iters=20)
+    # target_cap=1024 -> C=9766: keeps the Lloyd train set at ~33 points
+    # per centroid (train_size 16*8192*2.5). target_cap=256 (C=39k on
+    # 262k train = 6.7/centroid) measured recall@p32 = 0.48 — undertrained
+    # centroids, see docs/TPU_NOTES.md
+    ivf = IVFIndex.from_device(ds.base_dev, target_cap=1024, seed=7,
+                               train_size=327_680, iters=20)
     emit({"stage": "ivf_build", "seconds": round(time.time() - t0, 1),
           "clusters": ivf.data.num_clusters, "cap": ivf.data.cap})
     for p in (8, 16, 32):

@@ -196,22 +196,40 @@ def fast_build_graph(
     levels = np.minimum(draw_levels(n, params), level_cap)
     levels[0] = max(levels[0], levels.max())  # deterministic top at node 0
 
+    import os
+    import time as _time
+
+    timing = os.environ.get("SHINE_FASTBUILD_TIMING") == "1"
+
     def build_level(ids: np.ndarray, m_out: int, cap: int):
         """(adjacency (len(ids), cap) global ids,) for one level."""
         k = min(2 * m_out, len(ids) - 1)
         if k <= 0:
             return np.full((len(ids), cap), -1, np.int32)
+        t0 = _time.perf_counter()
         cand, cd = _knn_candidates(vectors, ids, k, metric, interpret, mesh)
+        t1 = _time.perf_counter()
         # selection returns its own query distances (no O(n*C*M) host
         # id-matching pass — that was minutes at 1M rows on this 1-core
         # host); reverse capping consumes them directly
         sel, _, sel_d = _device_select(
             vectors, sqn, ids, cand, cd, m_out, metric, with_dists=True
         )
+        t2 = _time.perf_counter()
         merged, md = _reverse_merge(sel, sel_d, ids, cap_c=cap + m_out)
+        t3 = _time.perf_counter()
         out, n_out = _device_select(
             vectors, sqn, ids, merged, md, cap, metric
         )
+        if timing:
+            import sys as _sys
+
+            print(
+                f"# fastbuild level n={len(ids)}: knn={t1-t0:.2f}s "
+                f"select={t2-t1:.2f}s reverse_merge(host)={t3-t2:.2f}s "
+                f"select2={_time.perf_counter()-t3:.2f}s",
+                file=_sys.stderr, flush=True,
+            )
         return out
 
     # layer 0: all nodes; final lists up to 2M wide (reference M_max0)

@@ -357,6 +357,7 @@ class FastFlatIndex:
         cls: int = 1024,
         preloaded=None,
         with_dists: bool = True,
+        keep2: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
         with dimension, so high-dim needs a bigger margin (measured:
@@ -367,7 +368,7 @@ class FastFlatIndex:
             kb = 32 if self.dim < 512 else 128
         out_i, out_d = _fast_flat_search_host(
             self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
-            with_dists=with_dists,
+            with_dists=with_dists, keep2=keep2,
         )
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
@@ -393,12 +394,12 @@ class FastFlatIndex:
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret"
+        "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret", "keep2"
     ),
 )
 def fast_flat_search_at(
     ext, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric, batch,
-    interpret=False,
+    interpret=False, keep2=False,
 ):
     """One fused program: slice the preloaded queries, pack the extended
     query, scan, select, re-rank — a single dispatch per batch."""
@@ -408,17 +409,19 @@ def fast_flat_search_at(
     q_ext = pack_ext_query(qj, ext.shape[1]).astype(jnp.bfloat16)
     return fast_flat_search(
         ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
-        metric=metric, interpret=interpret,
+        metric=metric, interpret=interpret, keep2=keep2,
     )
 
 
 @partial(
     jax.jit,
-    static_argnames=("k", "kb", "tq", "tn", "cls", "metric", "interpret"),
+    static_argnames=(
+        "k", "kb", "tq", "tn", "cls", "metric", "interpret", "keep2"
+    ),
 )
 def fast_flat_search(
     ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, cls, metric,
-    interpret=False,
+    interpret=False, keep2=False,
 ):
     from shine_tpu.ops.distance import rerank_topk
 
@@ -432,6 +435,19 @@ def fast_flat_search(
         cand1 = jnp.take_along_axis(a1, sel, axis=1)  # block best rows
         cand2 = jnp.take_along_axis(a2, sel, axis=1)  # runner-ups
         cand = jnp.concatenate([cand1, cand2], axis=1)
+    elif keep2:
+        from shine_tpu.ops.pallas_scan3 import classmax2_scan
+
+        m1, a1, m2, a2 = classmax2_scan(ext, q_ext, tq=tq, tn=tn, cls=cls)
+        kb_eff = min(kb, m1.shape[1])
+        _, sel = jax.lax.top_k(m1, kb_eff)
+        cand1 = jnp.take_along_axis(a1, sel, axis=1)
+        # runner-up of each selected class (recovers the one-decoy bf16
+        # near-tie loss at large rows-per-class; ops/pallas_scan3.py v4)
+        c2 = jnp.take_along_axis(a2, sel, axis=1)
+        v2 = jnp.take_along_axis(m2, sel, axis=1)
+        cand2 = jnp.where(v2 > -3e38, c2, -1)
+        cand = jnp.concatenate([cand1, cand2], axis=1)
     else:
         from shine_tpu.ops.pallas_scan3 import classmax_scan
 
@@ -444,7 +460,7 @@ def fast_flat_search(
 
 
 def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
-                           preloaded=None, with_dists=True):
+                           preloaded=None, with_dists=True, keep2=False):
     nq, d = queries.shape
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
@@ -474,7 +490,7 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
             fast_flat_search_at(
                 idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
                 k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
-                batch=batch_size, interpret=idx.interpret,
+                batch=batch_size, interpret=idx.interpret, keep2=keep2,
             )
         )
     # batches dispatch asynchronously; one host transfer at the end (the

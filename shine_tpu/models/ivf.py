@@ -304,6 +304,19 @@ def build_ivf_layout_device(
     ts -= ts % lchunk
     if ts < num_clusters:
         raise ValueError("train_size must be >= num_clusters")
+    if ts < 16 * num_clusters:
+        import sys as _sys
+
+        # measured at 10M/C=39k (docs/TPU_NOTES.md): ~7 training points
+        # per centroid collapses recall@p32 from ~0.99 to 0.48 — the
+        # centroids don't tile the data and the capacity assignment
+        # scatters rows into far clusters the probes never visit
+        print(
+            f"# WARNING: train_size {ts} < 16*num_clusters "
+            f"({16 * num_clusters}) — undertrained centroids degrade "
+            "probe recall; raise train_size or lower num_clusters",
+            file=_sys.stderr,
+        )
     tidx = jax.random.choice(key, n, (ts,), replace=False)
     train = v_dev[tidx]
     cents = _lloyd_chunked(
@@ -515,34 +528,62 @@ def ivf_routed_search(
     # when a CN's batch budget is exhausted, query_router.hh:353-370)
     q_granted = granted.mean(axis=-1).reshape(B)[inv]
 
-    # tile-shared scan
-    blk = data.blocks[cols]  # (G, P, cap, d) bf16
-    sqs = data.block_sq[cols]
-    ids = jnp.where(colmask[..., None], data.block_ids[cols], -1)
+    # tile-shared scan, streamed over tile-group chunks: the gathered
+    # (gc, P, cap, d) blocks + (gc, T, P, cap) scores must fit HBM
+    # alongside the base (at 10M rows, cap ~6k, the unchunked form wants
+    # ~13 GB of temps and OOMs a 16 GB chip). gc shrinks until the
+    # per-step footprint is ~<=1 GB; the 200k case stays one step.
     qf = q_s.reshape(G, T, d)
-    dots = jnp.einsum(
-        "gtd,gpcd->gtpc",
-        qf.astype(jnp.bfloat16),
-        blk,
-        preferred_element_type=jnp.float32,
-    )
-    if metric == METRIC_L2:
-        qn = jnp.sum(qf * qf, axis=-1)
-        dd = qn[..., None, None] - 2.0 * dots + sqs[:, None]
-    else:
-        dd = 1.0 - dots
-    dd = jnp.where(ids[:, None] >= 0, dd, jnp.inf)
-    dd = dd.reshape(G, T, P * cap)
-    flat_ids = jnp.broadcast_to(ids.reshape(G, 1, P * cap), (G, T, P * cap))
     kk = min(max(rerank, 1) * k, P * cap)
-    if approx and P * cap >= 4 * kk:
-        # 0.999: the probe union already prunes ~99% of rows; the reduction
-        # must not give recall back (0.99 measured a ~5-point drop here)
-        _, sel = jax.lax.approx_max_k(-dd, kk, recall_target=0.999)
+    step_bytes = P * cap * d * 2 + T * P * cap * 4
+    gc = max(1, min(G, int(1_000_000_000 // max(step_bytes, 1))))
+    while G % gc:
+        gc -= 1
+
+    def scan_chunk(_, xs):
+        cols_c, colmask_c, qf_c = xs  # (gc, P) (gc, P) (gc, T, d)
+        blk = data.blocks[cols_c]  # (gc, P, cap, d) bf16
+        sqs = data.block_sq[cols_c]
+        ids_c = jnp.where(colmask_c[..., None], data.block_ids[cols_c], -1)
+        dots = jnp.einsum(
+            "gtd,gpcd->gtpc",
+            qf_c.astype(jnp.bfloat16),
+            blk,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == METRIC_L2:
+            qn = jnp.sum(qf_c * qf_c, axis=-1)
+            dd = qn[..., None, None] - 2.0 * dots + sqs[:, None]
+        else:
+            dd = 1.0 - dots
+        dd = jnp.where(ids_c[:, None] >= 0, dd, jnp.inf)
+        dd = dd.reshape(gc, T, P * cap)
+        flat_ids = jnp.broadcast_to(
+            ids_c.reshape(gc, 1, P * cap), (gc, T, P * cap)
+        )
+        if approx and P * cap >= 4 * kk:
+            # 0.999: the probe union already prunes ~99% of rows; the
+            # reduction must not give recall back (0.99 measured a
+            # ~5-point drop here)
+            _, sel = jax.lax.approx_max_k(-dd, kk, recall_target=0.999)
+        else:
+            _, sel = jax.lax.top_k(-dd, kk)
+        return None, jnp.take_along_axis(flat_ids, sel, axis=-1)
+
+    xs = (
+        cols.reshape(G // gc, gc, P),
+        colmask.reshape(G // gc, gc, P),
+        qf.reshape(G // gc, gc, T, d),
+    )
+    if G // gc == 1:
+        _, cand = scan_chunk(None, jax.tree.map(lambda a: a[0], xs))
+        cand = cand[None]
     else:
-        _, sel = jax.lax.top_k(-dd, kk)
-    cand = jnp.take_along_axis(flat_ids, sel, axis=-1)
-    d_out, i_out = rerank_topk(data.vectors, data.sqnorms, qf, cand, k, metric)
+        _, cand = jax.lax.scan(scan_chunk, None, xs)
+    cand = cand.reshape(B, kk)
+    d_out, i_out = rerank_topk(
+        data.vectors, data.sqnorms, q_s, cand, k, metric
+    )
     # undo the affinity sort
     i_out = i_out.reshape(B, k)[inv]
     d_out = d_out.reshape(B, k)[inv]

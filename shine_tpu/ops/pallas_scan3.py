@@ -84,6 +84,111 @@ def _kernel(q_ref, ext_hbm, m_ref, r_ref, *, n_pad: int, tn: int, cls: int):
     )
 
 
+def _kernel2(q_ref, ext_hbm, m_ref, r_ref, m2_ref, r2_ref, *, n_pad: int,
+             tn: int, cls: int):
+    """v4: class-max AND class-runner-up.
+
+    At large rows-per-class (10M rows / 4096 classes = 2441) a true
+    neighbor is lost whenever ONE decoy row in its class beats it under
+    bf16 score quantization (~0.4% relative) — measured recall caps at
+    ~0.91 at 10M (docs/TPU_NOTES.md). Keeping the second-best row per
+    class recovers exactly the one-decoy case: the re-rank sees both and
+    the exact f32 distances decide. Costs ~2x the VPU select work per
+    chunk and 2x the running state; the MXU dot is unchanged.
+    """
+    num_chunks = n_pad // tn
+    members = tn // cls
+
+    def body(buf_ref, sem_ref):
+        def get_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                ext_hbm.at[pl.ds(chunk * tn, tn), :],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+
+        get_dma(0, 0).start()
+        q = q_ref[:]
+        tq = q.shape[0]
+        m_ref[:] = jnp.full((tq, cls), -3e38, jnp.float32)
+        r_ref[:] = jnp.zeros((tq, cls), jnp.int32)
+        m2_ref[:] = jnp.full((tq, cls), -3e38, jnp.float32)
+        r2_ref[:] = jnp.zeros((tq, cls), jnp.int32)
+
+        def step(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            blk = buf_ref[slot]
+            dots = jax.lax.dot_general(
+                q, blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dd = dots.reshape(tq, members, cls)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tq, cls), 1)
+            sm, sr = m_ref[:], r_ref[:]
+            sm2, sr2 = m2_ref[:], r2_ref[:]
+            for m in range(members):
+                cur = dd[:, m, :]
+                row = c * tn + m * cls + lane
+                win = cur > sm
+                second = (cur > sm2) & ~win
+                # old winner demotes when beaten; else challenger may
+                # take the runner-up slot
+                sm2 = jnp.where(win, sm, jnp.where(second, cur, sm2))
+                sr2 = jnp.where(win, sr, jnp.where(second, row, sr2))
+                sm = jnp.where(win, cur, sm)
+                sr = jnp.where(win, row, sr)
+            m_ref[:], r_ref[:] = sm, sr
+            m2_ref[:], r2_ref[:] = sm2, sr2
+            return _
+
+        jax.lax.fori_loop(0, num_chunks, step, None)
+
+    pl.run_scoped(
+        body,
+        buf_ref=pltpu.VMEM((2, tn, q_ref.shape[1]), jnp.bfloat16),
+        sem_ref=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("tq", "tn", "cls", "interpret"))
+def classmax2_scan(
+    ext: jnp.ndarray,
+    q_ext: jnp.ndarray,
+    *,
+    tq: int = 512,
+    tn: int = TN,
+    cls: int = CLS,
+    interpret: bool = False,
+):
+    """Returns (best (B, cls) f32, rows (B, cls) i32, best2, rows2)."""
+    n_pad, dp = ext.shape
+    B = q_ext.shape[0]
+    assert n_pad % tn == 0 and B % tq == 0 and tn % cls == 0
+    spec = pl.BlockSpec((tq, cls), lambda i: (i, 0))
+    return pl.pallas_call(
+        partial(_kernel2, n_pad=n_pad, tn=tn, cls=cls),
+        grid=(B // tq,),
+        in_specs=[
+            pl.BlockSpec((tq, dp), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[spec, spec, spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, cls), jnp.float32),
+            jax.ShapeDtypeStruct((B, cls), jnp.int32),
+            jax.ShapeDtypeStruct((B, cls), jnp.float32),
+            jax.ShapeDtypeStruct((B, cls), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_ext, ext)
+
+
 @partial(jax.jit, static_argnames=("tq", "tn", "cls", "interpret"))
 def classmax_scan(
     ext: jnp.ndarray,  # (N_pad, dp) bf16, N_pad % tn == 0
