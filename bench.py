@@ -101,6 +101,18 @@ def main() -> None:
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# fastflat: qps={qps:.0f} recall@10={r:.4f}")
         results.append(("fastflat", qps, r))
+        # v4 kernel: per-class runner-up — higher recall point
+        # (ops/pallas_scan3.py; measured 0.998 @ ~120k at 200k x 128)
+        qps, ids = time_search(
+            lambda: fast.search(
+                ds.queries, 10, batch_size=batch, tq=256, kb=32,
+                keep2=True, preloaded=pre, with_dists=False,
+            ),
+            nq,
+        )
+        r = recall_at_k(ids, ds.ground_truth, 10)
+        log(f"# fastflat keep2: qps={qps:.0f} recall@10={r:.4f}")
+        results.append(("fastflat_keep2", qps, r))
     except Exception as e:
         log(f"# fastflat failed: {e!r}")
 

@@ -5,7 +5,11 @@ from shine_tpu.io.datasets import (
     load_dataset,
     save_dataset,
 )
-from shine_tpu.io.recall import recall_at_k, brute_force_knn
+from shine_tpu.io.recall import (  # noqa: F401
+    brute_force_knn,
+    recall_at_k,
+    recall_at_k_eps,
+)
 from shine_tpu.io.checkpoint import save_graph, load_graph, index_path
 
 __all__ = [
@@ -20,5 +24,6 @@ __all__ = [
     "load_dataset",
     "save_dataset",
     "recall_at_k",
+    "recall_at_k_eps",
     "brute_force_knn",
 ]

@@ -80,3 +80,53 @@ def recall_at_k(found_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> float:
         m = found[lo:hi, :, None] == gt[lo:hi, None, :]
         hits += int(m.any(axis=2).sum())
     return hits / (nq * k)
+
+
+def recall_at_k_eps(
+    found_ids: np.ndarray,
+    queries,
+    base_dev,
+    gt_ids: np.ndarray,
+    k: int,
+    *,
+    rtol: float = 1e-4,
+    batch: int = 2048,
+) -> float:
+    """Distance-tolerance recall: the fraction of returned rows whose
+    exact distance is within (1+rtol) of the true k-th neighbor's.
+
+    Id-based recall punishes near-ties that are physically
+    indistinguishable: at 10M synthetic rows the gap between the 10th
+    and 11th neighbor is far below bf16 scan precision, capping id
+    recall at ~0.91 while every returned row is within 1e-4 of optimal
+    (docs/TPU_NOTES.md). Big-ann-benchmarks reports the same metric as
+    an alternative for exactly this reason. Distances are computed
+    exactly (f32) on device against the device-resident base.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    found = np.asarray(found_ids)[:, :k]
+    gt = np.asarray(gt_ids)[:, :k]
+    nq = min(found.shape[0], gt.shape[0], len(queries))
+    found, gt = found[:nq], gt[:nq]
+
+    @jax.jit
+    def dists(base, q, ids):
+        # base is an argument, NOT a closure capture: a captured device
+        # array becomes a compile-time constant and a 5 GB base hangs the
+        # compile (measured; the jax captured-constants warning fires)
+        v = base[jnp.maximum(ids, 0)].astype(jnp.float32)  # (b, k, d)
+        qf = q.astype(jnp.float32)
+        dd = jnp.sum((v - qf[:, None, :]) ** 2, axis=-1)
+        return jnp.where(ids >= 0, dd, jnp.inf)
+
+    ok = 0
+    for lo in range(0, nq, batch):
+        hi = min(lo + batch, nq)
+        q = jnp.asarray(np.asarray(queries[lo:hi], np.float32))
+        df = np.asarray(dists(base_dev, q, jnp.asarray(found[lo:hi])))
+        dg = np.asarray(dists(base_dev, q, jnp.asarray(gt[lo:hi])))
+        thresh = np.sort(dg, axis=1)[:, k - 1] * (1.0 + rtol) + 1e-12
+        ok += int((df <= thresh[:, None]).sum())
+    return ok / (nq * k)

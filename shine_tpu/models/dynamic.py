@@ -36,17 +36,37 @@ class DynamicHNSWIndex:
         level_cap: int = 12,
         batch_size: int = 512,
         ef: int | None = None,
+        mesh=None,
     ):
+        """mesh: a jax.sharding.Mesh makes insertion data-parallel over
+        the chips (models/build.py:make_sharded_insert_round — the plan
+        stage, which carries the ef_construction searches, scales with
+        devices; the deterministic apply keeps every replica
+        bit-identical). This is the reference's distributed concurrent
+        insertion (CNs inserting into the shared remote graph,
+        hnsw.hh:40-251) as SPMD rounds; `searcher()` then serves from a
+        row-sharded ShardedIndex."""
         self.params = params or HNSWParams()
         self.capacity = capacity
         self.dim = dim
         self.batch_size = batch_size
         self.ef = ef or self.params.ef_construction
+        self.mesh = mesh
+        self._sharded_runs: dict = {}
         # bootstrap with a zero placeholder row; count starts at 1 only
         # after the first real vector arrives (see add())
         placeholder = np.zeros((capacity, dim), np.float32)
         self.st = init_build_state(placeholder, self.params, level_cap=level_cap)
         self.st = self.st._replace(count=jnp.int32(0))
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.st = jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a), rep), self.st
+            )
         self.count = 0
 
     def add(self, vectors: np.ndarray) -> None:
@@ -86,18 +106,42 @@ class DynamicHNSWIndex:
             bhi = min(blo + B, lo + b)
             ids = np.full(B, -1, np.int32)
             ids[: bhi - blo] = np.arange(blo, bhi, dtype=np.int32)
+            # multiple of 8 so a 2/4/8-chip mesh splits it exactly and
+            # sharded rounds stay bit-identical to single-chip ones
             B_up = max(8, min(B, 4 * B // max(self.params.M, 2) + 8))
-            self.st = insert_round(
-                self.st,
-                jnp.asarray(ids),
+            B_up = -(-B_up // 8) * 8
+            if self.mesh is None:
+                self.st = insert_round(
+                    self.st,
+                    jnp.asarray(ids),
+                    ef=self.ef,
+                    frontier=4,
+                    max_add=2 * self.params.M,
+                    metric=self.params.metric_id,
+                    B_up=B_up,
+                )
+            else:
+                self.st = self._run_sharded(B, B_up, ids)
+            blo = bhi
+        self.count = lo + b
+
+    def _run_sharded(self, B: int, B_up: int, ids: np.ndarray):
+        from shine_tpu.models.build import make_sharded_insert_round
+
+        S = self.mesh.devices.size
+        key = (B, max(1, B_up // S))
+        run = self._sharded_runs.get(key)
+        if run is None:
+            run = make_sharded_insert_round(
+                self.mesh,
                 ef=self.ef,
                 frontier=4,
                 max_add=2 * self.params.M,
                 metric=self.params.metric_id,
-                B_up=B_up,
+                B_up_loc=key[1],
             )
-            blo = bhi
-        self.count = lo + b
+            self._sharded_runs[key] = run
+        return run(self.st, jnp.asarray(ids))
 
     def snapshot(self) -> GraphSoA:
         """Consistent point-in-time graph over the inserted prefix."""
@@ -119,8 +163,13 @@ class DynamicHNSWIndex:
             top_level=top,
         )
 
-    def searcher(self):
-        """An HNSWIndex over the current snapshot."""
+    def searcher(self, **kwargs):
+        """An HNSWIndex (or, with a mesh, a ShardedIndex) over the
+        current snapshot."""
+        if self.mesh is not None:
+            from shine_tpu.parallel.sharded import ShardedIndex
+
+            return ShardedIndex(self.snapshot(), self.mesh, **kwargs)
         from shine_tpu.models.hnsw import HNSWIndex
 
-        return HNSWIndex(self.snapshot())
+        return HNSWIndex(self.snapshot(), **kwargs)

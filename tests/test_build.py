@@ -172,3 +172,33 @@ def test_dynamic_online_insert(ds):
 
     with _p.raises(ValueError):
         dyn.add(np.zeros((1000, base.shape[1]), np.float32))
+
+
+def test_dynamic_sharded_matches_single(ds):
+    """Online insertion over a mesh (the reference's concurrent
+    distributed inserts, hnsw.hh:40-251): the data-parallel rounds must
+    build the bit-identical graph, and the sharded searcher must serve
+    from it."""
+    from shine_tpu.models.dynamic import DynamicHNSWIndex
+    from shine_tpu.parallel import shard_mesh
+
+    base = ds.base[:1200]
+    params = HNSWParams(M=12, ef_construction=80)
+    kw = dict(capacity=1200, params=params, batch_size=128)
+    single = DynamicHNSWIndex(base.shape[1], **kw)
+    mesh = shard_mesh(4)
+    sharded = DynamicHNSWIndex(base.shape[1], mesh=mesh, **kw)
+    for lo, hi in ((0, 500), (500, 1000), (1000, 1200)):
+        single.add(base[lo:hi])
+        sharded.add(base[lo:hi])
+    ga, gb = single.snapshot(), sharded.snapshot()
+    np.testing.assert_array_equal(ga.neighbors0, gb.neighbors0)
+    np.testing.assert_array_equal(ga.upper_neighbors, gb.upper_neighbors)
+    assert ga.entry_point == gb.entry_point
+
+    idx = sharded.searcher()
+    from shine_tpu.io import brute_force_knn
+
+    gt, _ = brute_force_knn(base, ds.queries, 10)
+    ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)
+    assert recall_at_k(ids, gt, 10) > 0.93

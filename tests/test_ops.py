@@ -246,3 +246,27 @@ class TestBeamDedupMultiFrontier:
         _, fids, active = beam_frontier_multi(beam, 4)
         assert fids[0].tolist() == [11, -1, -1, -1]
         assert active[0].tolist() == [True, False, False, False]
+
+
+def test_recall_at_k_eps_near_ties():
+    """Id recall punishes swaps among physically-equal neighbors; the
+    distance-tolerance metric must not (io/recall.py:recall_at_k_eps)."""
+    import jax.numpy as jnp
+
+    from shine_tpu.io import recall_at_k, recall_at_k_eps
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(100, 8)).astype(np.float32)
+    base[1] = base[0] + 1e-6  # exact near-tie pair
+    q = (base[0] + 0.01 * rng.normal(size=8)).astype(np.float32)[None]
+    d = ((base - q) ** 2).sum(1)
+    gt = np.argsort(d)[None, :3]
+    found = gt.copy()
+    found[0, 0], found[0, 1] = gt[0, 1], gt[0, 0]  # swap the tied pair
+    found[0, 2] = 99 if gt[0, 2] != 99 else 98  # one genuinely wrong row
+    idr = recall_at_k(found, gt, 3)
+    epr = recall_at_k_eps(found, q, jnp.asarray(base), gt, 3, rtol=1e-3)
+    assert abs(idr - 2 / 3) < 1e-9  # swap forgiven by set-recall, wrong row not
+    assert abs(epr - 2 / 3) < 1e-9 or epr > idr  # tolerant metric >= id metric
+    # the tied pair passes the tolerance; the wrong row fails it
+    assert epr == 2 / 3
