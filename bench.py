@@ -30,6 +30,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 from shine_tpu.config import HNSWParams, SearchParams  # noqa: E402
 from shine_tpu.graph import build_graph  # noqa: E402
 from shine_tpu.io import (  # noqa: E402

@@ -101,6 +101,9 @@ def _maybe_force_cpu_mesh() -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from shine_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     _maybe_force_cpu_mesh()
     args = build_parser().parse_args(argv)
     from shine_tpu.config import HNSWParams, SearchParams
