@@ -441,7 +441,10 @@ def ivf_search(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "p", "shared", "tile", "metric", "rerank", "approx"),
+    static_argnames=(
+        "k", "p", "shared", "tile", "metric", "rerank", "approx",
+        "step_budget",
+    ),
 )
 def ivf_routed_search(
     data: IVFData,
@@ -454,6 +457,8 @@ def ivf_routed_search(
     metric: int,
     rerank: int = 4,
     approx: bool = True,
+    step_budget: int = 1_000_000_000,  # HBM bytes per scan chunk; small
+    # values force the tile-group streaming path (exercised in tests)
 ):
     """Fused routed-IVF search: ONE dispatch per batch, only result ids
     cross the host tunnel.
@@ -536,7 +541,7 @@ def ivf_routed_search(
     qf = q_s.reshape(G, T, d)
     kk = min(max(rerank, 1) * k, P * cap)
     step_bytes = P * cap * d * 2 + T * P * cap * 4
-    gc = max(1, min(G, int(1_000_000_000 // max(step_bytes, 1))))
+    gc = max(1, min(G, int(step_budget // max(step_bytes, 1))))
     while G % gc:
         gc -= 1
 

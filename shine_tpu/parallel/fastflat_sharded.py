@@ -28,7 +28,7 @@ from shine_tpu.parallel.mesh import SHARD_AXIS
 
 def _make_search(
     mesh: Mesh, k: int, kb: int, tq: int, cls: int, tn: int, metric: int,
-    rows_per_shard: int, interpret: bool,
+    rows_per_shard: int, interpret: bool, keep2: bool = False,
 ):
     S = mesh.devices.size
 
@@ -36,12 +36,31 @@ def _make_search(
         B = queries.shape[0]
         q = queries.astype(jnp.float32)
         q_ext = pack_ext_query(q, ext.shape[1]).astype(jnp.bfloat16)
-        m, r = classmax_scan(
-            ext, q_ext, tq=min(tq, B), tn=tn, cls=cls, interpret=interpret
-        )
-        kb_eff = min(kb, m.shape[1])
-        _, sel = jax.lax.top_k(m, kb_eff)
-        cand_local = jnp.take_along_axis(r, sel, axis=1)  # local rows
+        if keep2:
+            # per-class runner-up (ops/pallas_scan3.py v4): recovers bf16
+            # near-tie losses at large rows-per-class
+            from shine_tpu.ops.pallas_scan3 import classmax2_scan
+
+            m, r, m2, r2 = classmax2_scan(
+                ext, q_ext, tq=min(tq, B), tn=tn, cls=cls,
+                interpret=interpret,
+            )
+            kb_eff = min(kb, m.shape[1])
+            _, sel = jax.lax.top_k(m, kb_eff)
+            c1 = jnp.take_along_axis(r, sel, axis=1)
+            c2 = jnp.take_along_axis(r2, sel, axis=1)
+            v2 = jnp.take_along_axis(m2, sel, axis=1)
+            cand_local = jnp.concatenate(
+                [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+            )
+        else:
+            m, r = classmax_scan(
+                ext, q_ext, tq=min(tq, B), tn=tn, cls=cls,
+                interpret=interpret,
+            )
+            kb_eff = min(kb, m.shape[1])
+            _, sel = jax.lax.top_k(m, kb_eff)
+            cand_local = jnp.take_along_axis(r, sel, axis=1)  # local rows
         cand_local = jnp.where(cand_local < vectors.shape[0], cand_local, -1)
         # exact f32 re-rank against OWNED rows
         dd, ii = rerank_topk(vectors, sqnorms, q, cand_local, kb_eff, metric)
@@ -122,16 +141,17 @@ class ShardedFastFlatIndex:
         batch_size: int = 4096,
         tq: int = 512,
         cls: int = 1024,
+        keep2: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         nq, d = queries.shape
         batch_size = min(batch_size, max(nq, 1))
         batch_size = max(tq, -(-batch_size // tq) * tq)
         kb = max(kb, k)
-        key = (k, kb, tq, cls, batch_size)
+        key = (k, kb, tq, cls, batch_size, keep2)
         if key not in self._runs:
             self._runs[key] = _make_search(
                 self.mesh, k, kb, tq, cls, self.tn, self.metric,
-                self.rows, self.interpret,
+                self.rows, self.interpret, keep2=keep2,
             )
         run = self._runs[key]
         rep = NamedSharding(self.mesh, P())

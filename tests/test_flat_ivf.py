@@ -190,3 +190,26 @@ def test_ivf_probe_chunk_identical(ds):
     i2, d2 = ivf_search(idx.data, q, k=10, p=8, metric=idx.metric, probe_chunk=2)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_ivf_routed_chunked_scan_matches(ds):
+    """A tiny step_budget forces the tile-group streaming path (the 10M
+    big-cap regime, models/ivf.py): results must equal the single-step
+    scan exactly."""
+    from shine_tpu.models.ivf import ivf_routed_search
+
+    import jax.numpy as jnp
+
+    idx = IVFIndex(ds.base, num_clusters=64, seed=7)
+    q = jnp.asarray(ds.queries[:128].astype(np.float32))
+    a_i, a_d, a_cov, a_g = ivf_routed_search(
+        idx.data, q, k=10, p=8, shared=48, tile=32, metric=0
+    )
+    b_i, b_d, b_cov, b_g = ivf_routed_search(
+        idx.data, q, k=10, p=8, shared=48, tile=32, metric=0,
+        step_budget=1,  # gc=1 -> one tile-group per scan step
+    )
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+    np.testing.assert_allclose(np.asarray(a_d), np.asarray(b_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(a_cov), float(b_cov))

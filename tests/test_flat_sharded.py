@@ -48,3 +48,20 @@ def test_sharded_fastflat(ds):
     ids, dists = idx.search(ds.queries, 10, tq=128, batch_size=128)
     assert recall_at_k(ids, ds.ground_truth, 10) > 0.97
     assert np.all(np.diff(dists, axis=1) >= -1e-3)
+
+
+def test_sharded_fastflat_keep2(ds):
+    """keep2 candidates (class winner + runner-up) through the sharded
+    merge: recall must be >= the single-slot path."""
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.parallel import ShardedFastFlatIndex, shard_mesh
+
+    mesh = shard_mesh(4)
+    idx = ShardedFastFlatIndex(ds.base, mesh)
+    a, _ = idx.search(ds.queries, 10, kb=16, cls=128, batch_size=256, tq=128)
+    b, _ = idx.search(ds.queries, 10, kb=16, cls=128, batch_size=256,
+                      tq=128, keep2=True)
+    ra = recall_at_k(a, ds.ground_truth, 10)
+    rb = recall_at_k(b, ds.ground_truth, 10)
+    assert rb >= ra
+    assert rb > 0.9
