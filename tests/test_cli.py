@@ -123,3 +123,16 @@ def test_cli_sharded_ivf_routed(capsys):
     )
     assert doc["queries"]["recall"] > 0.9
     assert doc["queries"]["ici_exchange_bytes"] > 0
+
+
+def test_cli_sharded_hnsw_compact_exchange(capsys):
+    """--exchange compact serves over the bucketed all_to_all RPC and
+    reports the measured (nonzero) ICI byte counter."""
+    doc = run_cli(
+        ["--synthetic", "3000:16", "--index", "hnsw", "-m", "8",
+         "--ef-construction", "50", "--ef-search", "48", "--shards", "4",
+         "--num-queries", "64", "--exchange", "compact"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.9
+    assert doc["queries"]["ici_exchange_bytes"] > 0
