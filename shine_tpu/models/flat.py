@@ -241,7 +241,14 @@ def _pack_ext_device(v: jnp.ndarray, *, metric: int, dp: int,
         e = jnp.zeros((rchunk, dp), jnp.bfloat16)
         if metric == METRIC_L2:
             e = e.at[:, :d].set((2.0 * x).astype(jnp.bfloat16))
-            e = e.at[:, d].set((-jnp.sum(x * x, -1)).astype(jnp.bfloat16))
+            # residual-encoded norm (see pack_ext_table): c0 + c1 carry
+            # ~16 mantissa bits of -||v||^2
+            t = -jnp.sum(x * x, -1)
+            c0 = t.astype(jnp.bfloat16)
+            e = e.at[:, d].set(c0)
+            e = e.at[:, d + 1].set(
+                (t - c0.astype(jnp.float32)).astype(jnp.bfloat16)
+            )
         else:
             e = e.at[:, :d].set(x.astype(jnp.bfloat16))
         return None, e
@@ -292,6 +299,32 @@ class FastFlatIndex:
         self.interpret = interpret
 
     @classmethod
+    def from_ext(
+        cls,
+        ext_dev,
+        n: int,
+        metric: str | int = "l2",
+    ) -> "FastFlatIndex":
+        """Capacity mode: build from a packed bf16 score table alone —
+        no f32 base in HBM, re-rank via rerank_topk_ext. Halves the
+        per-row footprint (the exact-rerank layout keeps base + ext,
+        ceiling ~10-12M rows at d=128 on 16 GB; ext-only reaches ~2x).
+        Pair with io/device_synth.device_synthetic_ext_dataset for
+        beyond-base-scale ingestion."""
+        self = cls.__new__(cls)
+        self.metric = metric_id(metric)
+        n_pad, dp = ext_dev.shape
+        assert n_pad % 4096 == 0 and n <= n_pad
+        self.ext = ext_dev.astype(jnp.bfloat16)
+        self.vectors = None
+        self.sqnorms = None
+        self.perm = None
+        self.n, self.dim, self.tn = n, dp, 1024
+        self.dp = dp
+        self.interpret = False
+        return self
+
+    @classmethod
     def from_device(
         cls,
         v_dev,
@@ -320,7 +353,7 @@ class FastFlatIndex:
             perm = jax.random.permutation(jax.random.PRNGKey(seed), n)
             v = v[perm]
             self.perm = np.asarray(perm).astype(np.int32)
-        dp = -(-(d + 1) // 128) * 128
+        dp = -(-(d + 2) // 128) * 128
         self.ext = _pack_ext_device(v, metric=self.metric, dp=dp)
         self.vectors = v
         sq = (
@@ -394,12 +427,13 @@ class FastFlatIndex:
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret", "keep2"
+        "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
+        "keep2", "n",
     ),
 )
 def fast_flat_search_at(
     ext, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric, batch,
-    interpret=False, keep2=False,
+    interpret=False, keep2=False, n=0,
 ):
     """One fused program: slice the preloaded queries, pack the extended
     query, scan, select, re-rank — a single dispatch per batch."""
@@ -409,19 +443,19 @@ def fast_flat_search_at(
     q_ext = pack_ext_query(qj, ext.shape[1]).astype(jnp.bfloat16)
     return fast_flat_search(
         ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
-        metric=metric, interpret=interpret, keep2=keep2,
+        metric=metric, interpret=interpret, keep2=keep2, n=n,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "kb", "tq", "tn", "cls", "metric", "interpret", "keep2"
+        "k", "kb", "tq", "tn", "cls", "metric", "interpret", "keep2", "n"
     ),
 )
 def fast_flat_search(
     ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, cls, metric,
-    interpret=False, keep2=False,
+    interpret=False, keep2=False, n=0,
 ):
     from shine_tpu.ops.distance import rerank_topk
 
@@ -455,7 +489,14 @@ def fast_flat_search(
         kb_eff = min(kb, m1.shape[1])
         _, sel = jax.lax.top_k(m1, kb_eff)
         cand = jnp.take_along_axis(a1, sel, axis=1)
-    cand = jnp.where(cand < vectors.shape[0], cand, -1)
+    limit = n or vectors.shape[0]
+    cand = jnp.where(cand < limit, cand, -1)
+    if vectors is None:
+        # capacity mode: the f32 base is not HBM-resident — re-rank from
+        # the packed bf16 table (ops/distance.py:rerank_topk_ext)
+        from shine_tpu.ops.distance import rerank_topk_ext
+
+        return rerank_topk_ext(ext, q, cand, k, metric)
     return rerank_topk(vectors, sqnorms, q, cand, k, metric)
 
 
@@ -491,6 +532,7 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                 idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
                 k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
                 batch=batch_size, interpret=idx.interpret, keep2=keep2,
+                n=idx.n,
             )
         )
     # batches dispatch asynchronously; one host transfer at the end (the

@@ -85,6 +85,44 @@ def rerank_topk(
     return d[..., :k], ids[..., :k]
 
 
+def rerank_topk_ext(
+    ext: jnp.ndarray,  # (N_pad, dp) bf16 packed score table
+    queries: jnp.ndarray,  # (..., d) f32
+    cand_ids: jnp.ndarray,  # (..., K) i32, -1 pad
+    k: int,
+    metric: int = METRIC_L2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-rank straight from the packed bf16 score table — the capacity
+    mode where the f32 base is NOT HBM-resident (ext rows hold
+    [2v | -||v||^2] for L2, [v] for IP; pallas_scan.pack_ext_table).
+    distance = ||q||^2 - score (L2) or 1 - score (IP). Precision is the
+    bf16 row storage (~0.4% relative) — same noise class as the scan
+    itself, so ordering among true near-ties is approximate; use
+    rerank_topk when the f32 base is available."""
+    from shine_tpu.ops.pallas_scan import pack_ext_query
+
+    q = queries.astype(jnp.float32)
+    qe = pack_ext_query(q.reshape(-1, q.shape[-1]), ext.shape[1])
+    qe = qe.reshape(q.shape[:-1] + (ext.shape[1],))
+    safe = jnp.maximum(cand_ids, 0)
+    rows = ext[safe]  # (..., K, dp) bf16
+    scores = jnp.einsum(
+        "...d,...kd->...k", qe.astype(jnp.bfloat16), rows,
+        preferred_element_type=jnp.float32,
+    )
+    if metric == METRIC_IP:
+        d = 1.0 - scores
+    else:
+        qn = jnp.sum(q * q, axis=-1)
+        d = qn[..., None] - scores
+    d = jnp.where(cand_ids >= 0, d, jnp.inf)
+    key_i = jnp.where(cand_ids < 0, jnp.int32(2**31 - 1), cand_ids)
+    d, _, ids = jax.lax.sort(
+        (d, key_i, cand_ids), dimension=-1, num_keys=2
+    )
+    return d[..., :k], ids[..., :k]
+
+
 def candidate_distance(
     queries: jnp.ndarray,  # (B, d)
     cand_vecs: jnp.ndarray,  # (B, K, d) gathered candidate rows

@@ -97,14 +97,28 @@ def blockmax_scan(
 
 
 def pack_ext_table(vectors: np.ndarray, metric: int, n_pad: int) -> np.ndarray:
-    """Host-side packed score table (see module docstring)."""
+    """Host-side packed score table (see module docstring).
+
+    The L2 norm term is residual-encoded over TWO columns (c0 =
+    bf16-rounded -||v||^2, c1 = the rounding remainder): ||v||^2 is the
+    largest magnitude in the row, and a single bf16 slot quantizes it at
+    ~||v||^2 * 2^-9 — measured +-8 absolute at d=128 synthetic scale,
+    bigger than true neighbor gaps, which capped ext-only re-rank recall
+    at 0.717 (docs/TPU_NOTES.md 20M section). The double-bf16 pair
+    carries ~16 mantissa bits; the query puts 1.0 in both columns so
+    every scan/re-rank dot picks the correction up for free."""
     n, d = vectors.shape
     v = vectors.astype(np.float32)
-    dp = -(-(d + 1) // 128) * 128  # lane-pad the feature dim
+    dp = -(-(d + 2) // 128) * 128  # lane-pad the feature dim
     ext = np.zeros((n_pad, dp), np.float32)
     if metric == METRIC_L2:
+        import ml_dtypes
+
         ext[:n, :d] = 2.0 * v
-        ext[:n, d] = -(v * v).sum(-1)
+        t = -(v * v).sum(-1)
+        c0 = t.astype(ml_dtypes.bfloat16).astype(np.float32)
+        ext[:n, d] = c0
+        ext[:n, d + 1] = t - c0
     else:
         ext[:n, :d] = v
     ext[n:, d] = NEG  # padding rows score -inf
@@ -115,5 +129,8 @@ def pack_ext_query(q: np.ndarray | jnp.ndarray, dp: int) -> jnp.ndarray:
     B, d = q.shape
     qe = jnp.zeros((B, dp), jnp.float32)
     qe = qe.at[:, :d].set(jnp.asarray(q, jnp.float32))
+    # 1.0 in BOTH norm columns (c0 + residual; IP tables keep d+1 = 0)
     qe = qe.at[:, d].set(1.0)
+    if d + 1 < dp:
+        qe = qe.at[:, d + 1].set(1.0)
     return qe

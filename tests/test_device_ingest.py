@@ -34,21 +34,30 @@ def test_flat_from_device_exact(dds):
 
 
 def test_pack_ext_device_matches_host(dds):
-    """The on-device bf16 ext packing must equal the host packer bit-for
-    bit (same scan results depend on it)."""
+    """The on-device bf16 ext packing must match the host packer: vector
+    columns bit-for-bit; the residual-encoded norm pair (cols d, d+1) as
+    a decoded SUM — host numpy and device XLA reduce ||v||^2 in different
+    f32 orders, so each encodes its own last-bit-accurate value and the
+    raw residuals legitimately differ."""
     from shine_tpu.config import METRIC_L2
     from shine_tpu.ops.pallas_scan import pack_ext_table
 
     base_np = np.asarray(dds.base_dev)
     n, d = base_np.shape
-    dp = -(-(d + 1) // 128) * 128
+    dp = -(-(d + 2) // 128) * 128
     host_ext = jnp.asarray(
         pack_ext_table(base_np, METRIC_L2, n), dtype=jnp.bfloat16
     )
     dev_ext = _pack_ext_device(dds.base_dev, metric=METRIC_L2, dp=dp)
     assert dev_ext.shape == host_ext.shape
-    np.testing.assert_array_equal(
-        np.asarray(dev_ext, np.float32), np.asarray(host_ext, np.float32)
+    he = np.asarray(host_ext, np.float32)
+    de = np.asarray(dev_ext, np.float32)
+    np.testing.assert_array_equal(de[:, :d], he[:, :d])
+    np.testing.assert_array_equal(de[:, d + 2 :], he[:, d + 2 :])
+    sq = (base_np.astype(np.float32) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        de[:, d] + de[:, d + 1], he[:, d] + he[:, d + 1],
+        atol=np.maximum(np.abs(sq), 1.0).max() * 2 ** -15,
     )
 
 
@@ -90,3 +99,66 @@ def test_ivf_from_device_routed(dds):
     )
     assert recall_at_k(ids, dds.ground_truth, 10) > 0.9
     assert stats["probe_coverage"] > 0.8
+
+
+def test_streaming_ext_dataset_and_capacity_mode():
+    """Streaming ingestion (device_synthetic_ext_dataset) + ext-only
+    FastFlatIndex (from_ext, bf16 re-rank): the f32 base never exists as
+    a whole array, yet search recall vs the exactly-folded GT holds."""
+    from shine_tpu.io.device_synth import device_synthetic_ext_dataset
+    from shine_tpu.models.flat import FastFlatIndex
+    from shine_tpu.io import recall_at_k
+
+    ds = device_synthetic_ext_dataset(
+        n=8192, dim=16, num_queries=64, seed=3, rchunk=4096
+    )
+    assert ds.ext_dev.shape[0] == 8192
+    idx = FastFlatIndex.from_ext(ds.ext_dev, ds.n)
+    idx.interpret = True  # CPU: v1 kernel path
+    ids, dists = idx.search(ds.queries, 10, kb=32, batch_size=64, tq=64)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r > 0.9, r
+    assert np.all(np.diff(dists, axis=1) >= -1e-2)
+
+
+def test_rerank_topk_ext_matches_exact():
+    """ext-based re-rank distances track the exact f32 distances within
+    bf16 row-storage tolerance."""
+    import jax.numpy as jnp
+
+    from shine_tpu.ops.distance import rerank_topk, rerank_topk_ext
+    from shine_tpu.ops.pallas_scan import pack_ext_table
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(500, 24)).astype(np.float32)
+    q = rng.normal(size=(8, 24)).astype(np.float32)
+    cand = np.tile(np.arange(64, dtype=np.int32), (8, 1))
+    ext = jnp.asarray(pack_ext_table(base, 0, 512), jnp.bfloat16)
+    sq = jnp.asarray((base * base).sum(-1))
+    d_exact, i_exact = rerank_topk(
+        jnp.asarray(base), sq, jnp.asarray(q), jnp.asarray(cand), 10, 0
+    )
+    d_ext, i_ext = rerank_topk_ext(ext, jnp.asarray(q), jnp.asarray(cand), 10, 0)
+    np.testing.assert_allclose(
+        np.asarray(d_ext), np.asarray(d_exact), rtol=0.02, atol=0.15
+    )
+    # top-1 should essentially always agree; top-10 sets mostly
+    assert (np.asarray(i_ext)[:, 0] == np.asarray(i_exact)[:, 0]).mean() >= 0.8
+
+
+def test_streaming_eps_recall_consistency():
+    """The regenerated chunks must reproduce the folded GT: gt rows'
+    exact distances pass their own threshold (eps-recall of gt vs gt is
+    1.0), and random wrong ids score lower."""
+    from shine_tpu.io.device_synth import (
+        device_synthetic_ext_dataset,
+        streaming_eps_recall,
+    )
+
+    ds = device_synthetic_ext_dataset(
+        n=8192, dim=16, num_queries=32, seed=5, rchunk=2048
+    )
+    assert streaming_eps_recall(ds, ds.ground_truth, 10) == 1.0
+    rng = np.random.default_rng(0)
+    junk = rng.integers(0, 8192, size=(32, 10)).astype(np.int32)
+    assert streaming_eps_recall(ds, junk, 10) < 0.5
