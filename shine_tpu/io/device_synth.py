@@ -116,6 +116,9 @@ class DeviceExtDataset:
     # re-derivable without ever being resident (used by
     # streaming_eps_recall for exact distance checks)
     rchunk: int = 0
+    row_source: object = None  # (key, centers) for row-keyed datasets:
+    # ANY row regenerable by global id via regen_rows — enables the
+    # exact in-jit re-rank (ops/distance.py:regen_rerank_topk)
 
 
 def device_synthetic_ext_dataset(
@@ -279,3 +282,180 @@ def streaming_eps_recall(
     dg = exact(gt)
     thresh = np.sort(dg, axis=1)[:, k - 1] * (1.0 + rtol) + 1e-12
     return float((df <= thresh[:, None]).mean())
+
+
+# ---------------------------------------------------------------------------
+# Row-keyed generation (r3): every row derives from fold_in(key, row_id),
+# so ANY row is exactly regenerable in O(d) inside a jit — independent of
+# chunking, sharding, or generation order. This powers
+# (1) the capacity mode's EXACT f32 re-rank without a resident base
+#     (ops/distance.py:regen_rerank_topk) — the precision escape hatch
+#     over bf16 ext-table re-ranking, and
+# (2) sharded streaming ingestion that is bit-identical to single-chip
+#     (each shard generates its own row range from the same keys).
+# The reference's analogue of (2) is round-robin NFS partitions streamed
+# straight into MN hugepages (/root/reference/src/io/read_data.hh:57-77).
+
+
+def regen_rows(key, centers, ids, *, normalize: bool = False):
+    """Exactly regenerate base rows by global id: (m,) i32 -> (m, d) f32.
+    Pure function of (key, centers, id) — jit/vmap/shard-safe."""
+    nc, d = centers.shape
+
+    def one(i):
+        kk = jax.random.fold_in(key, i)
+        ka, kn = jax.random.split(kk)
+        a = jax.random.randint(ka, (), 0, nc)
+        x = centers[a] + jax.random.normal(kn, (d,), jnp.float32)
+        if normalize:
+            x = x / (jnp.linalg.norm(x) + 1e-30)
+        return x
+
+    return jax.vmap(one)(ids)
+
+
+def _pack_ext_rows(x, sq, dp: int, metric_l2: bool):
+    """One chunk of f32 rows -> packed bf16 ext rows (residual-encoded
+    norm column, cf. pallas_scan.pack_ext_table)."""
+    m, d = x.shape
+    row = jnp.zeros((m, dp), jnp.float32)
+    if metric_l2:
+        c0 = (-sq).astype(jnp.bfloat16).astype(jnp.float32)
+        row = (
+            row.at[:, :d].set(2.0 * x)
+            .at[:, d].set(c0)
+            .at[:, d + 1].set(-sq - c0)
+        )
+    else:
+        row = row.at[:, :d].set(x)
+    return row.astype(jnp.bfloat16)
+
+
+def device_rowkeyed_ext_dataset(
+    n: int = 20_000_000,
+    dim: int = 128,
+    num_queries: int = 2048,
+    *,
+    metric: str = "l2",
+    num_clusters: int = 64,
+    seed: int = 0,
+    gt_k: int = 10,
+    rchunk: int = 131_072,
+    mesh=None,
+) -> DeviceExtDataset:
+    """Streaming row-keyed ingestion: generates the packed bf16 ext table
+    chunk by chunk (the f32 base is never resident), folds an exact f32
+    running ground truth, and — because rows are keyed by GLOBAL id —
+    produces bit-identical data whether built single-chip or row-sharded
+    over a mesh (mesh=...). The returned dataset carries `row_source`
+    (key, centers) for search-time exact regen re-ranking.
+    """
+    n = -(-n // 4096) * 4096
+    S = mesh.devices.size if mesh is not None else 1
+    while n % (rchunk * S) or rchunk > n // S:
+        rchunk //= 2
+        if rchunk == 0:
+            raise ValueError(f"n={n} not tileable over {S} shards")
+    dp = -(-(dim + 2) // 128) * 128
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    centers = jax.random.normal(k0, (num_clusters, dim), jnp.float32) * 4.0
+    metric_l2 = metric != "ip"
+
+    # queries anchored to real base rows (regenerable from any id — no
+    # chunk-0 special case as in device_synthetic_ext_dataset)
+    qidx = jax.random.randint(k2, (num_queries,), 0, n)
+    anchors = regen_rows(k1, centers, qidx, normalize=not metric_l2)
+    queries = anchors + 0.3 * jax.random.normal(
+        k3, (num_queries, dim), jnp.float32
+    )
+    if not metric_l2:
+        queries = queries / (
+            jnp.linalg.norm(queries, axis=1, keepdims=True) + 1e-30
+        )
+    queries = jax.device_put(np.asarray(queries))  # host-roundtrip: frozen
+    qn = jnp.sum(queries * queries, axis=1)
+
+    def ingest_span(lo, n_loc):
+        """Generate rows [lo, lo+n_loc): (n_loc, dp) bf16 ext + exact
+        local GT fold over the replicated queries. Pure jax — runs both
+        single-chip and inside shard_map."""
+
+        def body(carry, c):
+            gt_d, gt_i = carry
+            ids = lo + c * rchunk + jnp.arange(rchunk, dtype=jnp.int32)
+            x = regen_rows(k1, centers, ids, normalize=not metric_l2)
+            sq = jnp.sum(x * x, axis=1)
+            dots = jax.lax.dot_general(
+                queries, x, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            dd = (
+                qn[:, None] - 2.0 * dots + sq[None, :]
+            ) if metric_l2 else (1.0 - dots)
+            all_d = jnp.concatenate([gt_d, dd], axis=1)
+            all_i = jnp.concatenate(
+                [gt_i, jnp.broadcast_to(ids[None, :], dd.shape)], axis=1
+            )
+            nd, sel = jax.lax.top_k(-all_d, gt_k)
+            return (-nd, jnp.take_along_axis(all_i, sel, axis=1)), (
+                _pack_ext_rows(x, sq, dp, metric_l2)
+            )
+
+        gt0 = (
+            jnp.full((num_queries, gt_k), jnp.inf, jnp.float32),
+            jnp.full((num_queries, gt_k), -1, jnp.int32),
+        )
+        (gt_d, gt_i), ext = jax.lax.scan(
+            body, gt0, jnp.arange(n_loc // rchunk, dtype=jnp.int32)
+        )
+        return ext.reshape(n_loc, dp), gt_d, gt_i
+
+    if mesh is None:
+        ext, gt_d, gt_i = jax.jit(ingest_span, static_argnums=(0, 1))(0, n)
+        gt = np.asarray(gt_i)
+    else:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from shine_tpu.parallel.mesh import SHARD_AXIS
+
+        n_loc = n // S
+
+        def spmd():
+            my = jax.lax.axis_index(SHARD_AXIS)
+            ext_loc, gt_d, gt_i = ingest_span(my * n_loc, n_loc)
+            # merge per-shard exact folds into the global top-k
+            all_d = jax.lax.all_gather(gt_d, SHARD_AXIS)  # (S, q, k)
+            all_i = jax.lax.all_gather(gt_i, SHARD_AXIS)
+            all_d = jnp.moveaxis(all_d, 0, 1).reshape(num_queries, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(num_queries, -1)
+            nd, sel = jax.lax.top_k(-all_d, gt_k)
+            return ext_loc, jnp.take_along_axis(all_i, sel, axis=1)
+
+        run = jax.jit(
+            jax.shard_map(
+                spmd, mesh=mesh, in_specs=(),
+                out_specs=(P(SHARD_AXIS), P()), check_vma=False,
+            )
+        )
+        ext, gt_i = run()
+        gt = np.asarray(gt_i)
+
+    return DeviceExtDataset(
+        ext_dev=ext,
+        n=n,
+        queries=np.asarray(queries),
+        ground_truth=gt,
+        metric=metric,
+        name=f"device-rowkeyed-{n}x{dim}",
+        regen=jax.jit(
+            lambda c: regen_rows(
+                k1, centers,
+                c * rchunk + jnp.arange(rchunk, dtype=jnp.int32),
+                normalize=(metric == "ip"),
+            )
+        ),
+        rchunk=rchunk,
+        row_source=(k1, centers),
+    )

@@ -788,7 +788,9 @@ def device_build_graph(
                 B_up=B_up,
             )
         else:
-            B_up_loc = max(8, -(-B_up // S))
+            # ceil so S * B_up_loc >= B_up; clamp to the local batch slice
+            # (plan_round can't promote more rows than its shard holds)
+            B_up_loc = min(max(1, B // S), max(8, -(-B_up // S)))
             key = (B, B_up_loc)
             if key not in runs:
                 runs[key] = make_sharded_insert_round(

@@ -129,7 +129,11 @@ class DynamicHNSWIndex:
         from shine_tpu.models.build import make_sharded_insert_round
 
         S = self.mesh.devices.size
-        key = (B, max(1, B_up // S))
+        # same formula as device_build_graph (build.py): ceil division so
+        # S * B_up_loc >= B_up (bit-identity to single-chip for any mesh
+        # size), min-8 floor for lane efficiency, clamped to the local
+        # batch slice (plan_round can't promote more rows than it holds)
+        key = (B, min(max(1, B // S), max(8, -(-B_up // S))))
         run = self._sharded_runs.get(key)
         if run is None:
             run = make_sharded_insert_round(

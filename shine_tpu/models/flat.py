@@ -257,6 +257,15 @@ def _pack_ext_device(v: jnp.ndarray, *, metric: int, dp: int,
     return ext.reshape(n, dp)
 
 
+def keep2_auto(n_rows: int, cls: int) -> bool:
+    """Measured keep2 default (TPU_NOTES '1M x 64 keep2 refresh'): the
+    per-class runner-up slot pays for itself once rows-per-class reaches
+    ~500 — the regime where a single bf16 class slot starts losing
+    one-decoy near-ties (at 1M x 64 keep2 lifts recall 0.995 -> 0.9999
+    for ~14% QPS; at 200k rows/cls ~195 it only costs QPS)."""
+    return n_rows // max(cls, 1) >= 500
+
+
 class FastFlatIndex:
     """Near-exact brute force via the fused block-max Pallas scan
     (ops/pallas_scan.py): ~64x less HBM traffic than the streaming scan.
@@ -297,6 +306,7 @@ class FastFlatIndex:
         self.n, self.dim, self.tn = n, d, tn
         self.dp = ext.shape[1]
         self.interpret = interpret
+        self.row_source = None
 
     @classmethod
     def from_ext(
@@ -304,13 +314,26 @@ class FastFlatIndex:
         ext_dev,
         n: int,
         metric: str | int = "l2",
+        *,
+        dim: int | None = None,
+        row_source=None,
     ) -> "FastFlatIndex":
         """Capacity mode: build from a packed bf16 score table alone —
         no f32 base in HBM, re-rank via rerank_topk_ext. Halves the
         per-row footprint (the exact-rerank layout keeps base + ext,
         ceiling ~10-12M rows at d=128 on 16 GB; ext-only reaches ~2x).
         Pair with io/device_synth.device_synthetic_ext_dataset for
-        beyond-base-scale ingestion."""
+        beyond-base-scale ingestion.
+
+        dim is the TRUE feature dimension (the ext table is lane-padded,
+        so it can't be recovered from the shape); it drives the kb
+        auto-sizing threshold in search(). Defaults to the padded width
+        minus the norm columns — pass the real value when you have it.
+
+        row_source=(key, centers) (io/device_synth.py row-keyed datasets)
+        switches the re-rank from bf16 ext rows to EXACT f32 rows
+        regenerated in-jit from the ids (ops/distance.py:
+        regen_rerank_topk) — exact-re-rank recall at ext-only HBM cost."""
         self = cls.__new__(cls)
         self.metric = metric_id(metric)
         n_pad, dp = ext_dev.shape
@@ -319,7 +342,10 @@ class FastFlatIndex:
         self.vectors = None
         self.sqnorms = None
         self.perm = None
-        self.n, self.dim, self.tn = n, dp, 1024
+        self.row_source = row_source
+        if dim is None:
+            dim = dp - 2 if self.metric == METRIC_L2 else dp
+        self.n, self.dim, self.tn = n, dim, 1024
         self.dp = dp
         self.interpret = False
         return self
@@ -365,6 +391,7 @@ class FastFlatIndex:
         self.n, self.dim, self.tn = n, d, 1024
         self.dp = dp
         self.interpret = False
+        self.row_source = None
         return self
 
     def preload(self, queries: np.ndarray, *, batch_size: int = 4096):
@@ -390,15 +417,22 @@ class FastFlatIndex:
         cls: int = 1024,
         preloaded=None,
         with_dists: bool = True,
-        keep2: bool = False,
+        keep2: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
         with dimension, so high-dim needs a bigger margin (measured:
         kb=32 holds 0.992 at d=128; d=960 needs kb=128 for 0.988).
+        keep2=None auto-enables the per-class runner-up kernel once
+        rows-per-class exceeds ~500 — the regime where single-slot bf16
+        near-tie losses appear (measured: at 1M x 64 keep2 lifts recall
+        0.995 -> 0.9999 for ~14% QPS; at 200k, rows/cls ~195, it only
+        costs QPS — TPU_NOTES '1M x 64 keep2 refresh').
         with_dists=False skips the distance download (the dev tunnel
         moves ~20 MB/s; recall-only callers save a transfer)."""
         if kb <= 0:
             kb = 32 if self.dim < 512 else 128
+        if keep2 is None:
+            keep2 = keep2_auto(int(self.ext.shape[0]), cls)
         out_i, out_d = _fast_flat_search_host(
             self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
             with_dists=with_dists, keep2=keep2,
@@ -433,7 +467,7 @@ class FastFlatIndex:
 )
 def fast_flat_search_at(
     ext, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric, batch,
-    interpret=False, keep2=False, n=0,
+    interpret=False, keep2=False, n=0, row_source=None,
 ):
     """One fused program: slice the preloaded queries, pack the extended
     query, scan, select, re-rank — a single dispatch per batch."""
@@ -444,6 +478,7 @@ def fast_flat_search_at(
     return fast_flat_search(
         ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
         metric=metric, interpret=interpret, keep2=keep2, n=n,
+        row_source=row_source,
     )
 
 
@@ -455,7 +490,7 @@ def fast_flat_search_at(
 )
 def fast_flat_search(
     ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, cls, metric,
-    interpret=False, keep2=False, n=0,
+    interpret=False, keep2=False, n=0, row_source=None,
 ):
     from shine_tpu.ops.distance import rerank_topk
 
@@ -492,6 +527,13 @@ def fast_flat_search(
     limit = n or vectors.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
     if vectors is None:
+        if row_source is not None:
+            # capacity mode, EXACT: regenerate candidate rows from their
+            # ids (row-keyed synthetic base) and re-rank in f32
+            from shine_tpu.ops.distance import regen_rerank_topk
+
+            rkey, centers = row_source
+            return regen_rerank_topk(rkey, centers, q, cand, k, metric)
         # capacity mode: the f32 base is not HBM-resident — re-rank from
         # the packed bf16 table (ops/distance.py:rerank_topk_ext)
         from shine_tpu.ops.distance import rerank_topk_ext
@@ -532,7 +574,7 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                 idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
                 k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
                 batch=batch_size, interpret=idx.interpret, keep2=keep2,
-                n=idx.n,
+                n=idx.n, row_source=idx.row_source,
             )
         )
     # batches dispatch asynchronously; one host transfer at the end (the

@@ -374,7 +374,8 @@ def ivf_stage1(data: IVFData, queries: jnp.ndarray, *, metric: int):
     return pairwise_distance(queries.astype(jnp.float32), data.centroids, metric)
 
 
-@partial(jax.jit, static_argnames=("k", "p", "metric", "rerank", "probe_chunk"))
+@partial(jax.jit, static_argnames=("k", "p", "metric", "rerank", "probe_chunk",
+                                   "approx_probes"))
 def ivf_search(
     data: IVFData,
     queries: jnp.ndarray,  # (B, d)
@@ -384,16 +385,23 @@ def ivf_search(
     metric: int,
     rerank: int = 4,
     probe_chunk: int | None = None,
+    approx_probes: bool = False,
 ):
     """Per-query probed search: centroid scores -> top-p probes -> dense
     bf16 scan of the probe blocks -> exact f32 re-rank of the rerank*k
-    survivors. Returns (ids, dists) (B, k)."""
+    survivors. Returns (ids, dists) (B, k).
+
+    approx_probes opts into approx_max_k probe selection above 4096
+    clusters (~4x faster stage 1, measured); default is exact top_k so
+    the 'p == num_clusters scans everything' invariant and the routed
+    fallback's recall floor hold unconditionally. Never approximated
+    when p == num_clusters."""
     q = queries.astype(jnp.float32)
     B = q.shape[0]
     d = q.shape[1]
     cap = data.cap
     scores = pairwise_distance(q, data.centroids, metric)  # (B, C)
-    if data.num_clusters >= 4096:
+    if approx_probes and data.num_clusters >= 4096 and p < data.num_clusters:
         _, probes = jax.lax.approx_max_k(-scores, p, recall_target=0.999)
     else:
         _, probes = jax.lax.top_k(-scores, p)  # (B, p)
@@ -486,9 +494,11 @@ def ivf_routed_search(
     P = min(shared, C)
     q = queries.astype(jnp.float32)
 
-    # stage 1: per-query probes (replicated centroid tile)
+    # stage 1: per-query probes (replicated centroid tile). approx only
+    # under the explicit opt-in flag (wish misses here only shift probe
+    # wishes; the fallback spill path re-runs exact ivf_search)
     scores = pairwise_distance(q, data.centroids, metric)  # (B, C)
-    if C >= 4096:
+    if approx and C >= 4096 and p < C:
         _, probes = jax.lax.approx_max_k(-scores, p, recall_target=0.999)
     else:
         _, probes = jax.lax.top_k(-scores, p)
@@ -595,8 +605,31 @@ def ivf_routed_search(
     return i_out, d_out, coverage, q_granted
 
 
+def _auto_clusters(n: int, target_cap: int, layout: str) -> int:
+    """Measured cluster-count rules (TPU_NOTES 'Routed IVF' / '1M x 64
+    single-chip refresh'):
+
+    - "fine" (per-query ivf_search): cap ~ target_cap rows per cluster —
+      small enough that (B, p, cap, d) probe gathers stay HBM-friendly,
+      large enough for MXU-efficient dense scans.
+    - "routed" (tile-shared search_routed): COARSE clusters, C clamped to
+      ~1-2k at any N — at 1M a fine C=7813 layout drops tile coverage to
+      0.45 and recall to 0.55, while C~1.5-2k keeps coverage ~1.0 (the
+      two serving modes want different layouts; pick per mode).
+    """
+    if layout == "routed":
+        return max(8, min(2048, -(-n // 128)))
+    if layout != "fine":
+        raise ValueError(f"unknown layout {layout!r} (use 'fine'|'routed')")
+    return max(8, -(-n // target_cap))
+
+
 class IVFIndex:
-    """Clustered approximate index; probes tunes recall like ef."""
+    """Clustered approximate index; probes tunes recall like ef.
+
+    layout="routed" picks the coarse cluster count search_routed needs
+    (see _auto_clusters); the default fine layout serves per-query
+    search() best."""
 
     def __init__(
         self,
@@ -607,14 +640,12 @@ class IVFIndex:
         metric: str | int = "l2",
         train_size: int = 100_000,
         seed: int = 1234,
+        layout: str = "fine",
     ):
         self.metric = metric_id(metric)
         n = vectors.shape[0]
         if num_clusters is None:
-            # cap ~ target_cap rows per cluster: small enough that per-query
-            # (B, p, cap, d) probe gathers stay HBM-friendly, large enough
-            # for MXU-efficient dense scans
-            num_clusters = max(8, -(-n // target_cap))
+            num_clusters = _auto_clusters(n, target_cap, layout)
         self.data = build_ivf_layout(
             vectors,
             num_clusters,
@@ -636,6 +667,7 @@ class IVFIndex:
         iters: int = 20,
         seed: int = 1234,
         fill_chunk: int = 1024,
+        layout: str = "fine",
     ) -> "IVFIndex":
         """Build from a device-resident base (vectors never visit the
         host — required at 10M rows where the dev tunnel would spend
@@ -644,7 +676,7 @@ class IVFIndex:
         self.metric = metric_id(metric)
         n = v_dev.shape[0]
         if num_clusters is None:
-            num_clusters = max(8, -(-n // target_cap))
+            num_clusters = _auto_clusters(n, target_cap, layout)
         self.data = build_ivf_layout_device(
             v_dev,
             num_clusters,
@@ -665,6 +697,7 @@ class IVFIndex:
         probes: int = 8,
         batch_size: int = 2048,
         rerank: int = 4,
+        approx_probes: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         nq, d = queries.shape
         p = min(probes, self.data.num_clusters)
@@ -680,7 +713,7 @@ class IVFIndex:
                 )
             ii, dd = ivf_search(
                 self.data, jnp.asarray(q), k=k, p=p, metric=self.metric,
-                rerank=rerank,
+                rerank=rerank, approx_probes=approx_probes,
             )
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
@@ -698,7 +731,7 @@ class IVFIndex:
         rerank: int = 4,
         with_stats: bool = False,
         preloaded=None,
-        fallback: float = 0.0,
+        fallback: float | None = None,
     ):
         """Affinity-routed tile-shared probing (see ivf_routed_search).
 
@@ -711,16 +744,40 @@ class IVFIndex:
         fraction falls below it are rerun through the exact per-query
         probe path (ivf_search) in one extra dispatch — the spill path of
         the reference's budgeted batch composition
-        (query_router.hh:353-370).
+        (query_router.hh:353-370). Defaults to 0.5: on healthy coarse
+        layouts coverage is ~1.0 so the spill set is empty (no extra
+        dispatch), while fine layouts get a recall floor instead of the
+        measured 0.55 collapse (TPU_NOTES '1M x 64' table). Pass 0.0 to
+        disable.
         """
+        if fallback is None:
+            fallback = 0.5
+        if self.data.num_clusters > 2560:
+            import sys as _sys
+
+            print(
+                f"# WARNING: search_routed on a fine layout "
+                f"(C={self.data.num_clusters}): tile probe unions stop "
+                "overlapping and coverage collapses (measured 0.45 cov / "
+                "0.55 recall at 1M, C=7813) — build with layout='routed' "
+                "(coarse C<=2048) for this serving mode",
+                file=_sys.stderr,
+            )
         nq, d = queries.shape
         p = min(probes, self.data.num_clusters)
         shared = min(shared, self.data.num_clusters)
         batch_size = max(tile, -(-min(batch_size, max(nq, 1)) // tile) * tile)
         if preloaded is not None:
             q_dev, nq_real = preloaded
-            assert nq_real == nq and q_dev.shape[0] % batch_size == 0
-            nq_pad = q_dev.shape[0]
+            assert nq_real == nq
+            # preload() padded with the caller's original batch_size; the
+            # tile-rounded batch_size here may differ (non-power-of-two
+            # tile/batch combos) — re-pad on device rather than assert
+            nq_pad = -(-q_dev.shape[0] // batch_size) * batch_size
+            if nq_pad != q_dev.shape[0]:
+                q_dev = jnp.pad(
+                    q_dev, ((0, nq_pad - q_dev.shape[0]), (0, 0))
+                )
         else:
             nq_pad = -(-nq // batch_size) * batch_size
             q_all = np.zeros((nq_pad, d), np.float32)

@@ -151,3 +151,43 @@ def candidate_distance(
     cn = cand_sqnorm if cand_sqnorm is not None else jnp.sum(c * c, axis=-1)
     qn = squared_norms(q)
     return qn[:, None] - 2.0 * dots + cn
+
+
+def regen_rerank_topk(
+    key,  # PRNG key of the row-keyed synthetic base
+    centers: jnp.ndarray,  # (nc, d) f32 mixture centers
+    queries: jnp.ndarray,  # (..., d) f32
+    cand_ids: jnp.ndarray,  # (..., K) i32 global row ids, -1 pad
+    k: int,
+    metric: int = METRIC_L2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """EXACT f32 re-rank without a resident base: candidate rows are
+    regenerated from their global ids (io/device_synth.py:regen_rows — a
+    row is a pure function of fold_in(key, id)), so capacity-mode search
+    (FastFlatIndex.from_ext) recovers exact-re-rank recall at zero extra
+    HBM. Cost is O(K) threefry + one (B, K, d) einsum per batch — the
+    same shape as rerank_topk's gather, compute instead of memory."""
+    from shine_tpu.io.device_synth import regen_rows
+
+    q = queries.astype(jnp.float32)
+    shape = cand_ids.shape
+    safe = jnp.maximum(cand_ids, 0).reshape(-1)
+    rows = regen_rows(
+        key, centers, safe, normalize=(metric == METRIC_IP)
+    ).reshape(shape + (q.shape[-1],))
+    dots = jnp.einsum(
+        "...d,...kd->...k", q, rows,
+        precision=DIST_PRECISION, preferred_element_type=jnp.float32,
+    )
+    if metric == METRIC_IP:
+        d = 1.0 - dots
+    else:
+        qn = jnp.sum(q * q, axis=-1)
+        rn = jnp.sum(rows * rows, axis=-1)
+        d = qn[..., None] - 2.0 * dots + rn
+    d = jnp.where(cand_ids >= 0, d, jnp.inf)
+    key_i = jnp.where(cand_ids < 0, jnp.int32(2**31 - 1), cand_ids)
+    d, _, ids = jax.lax.sort(
+        (d, key_i, cand_ids), dimension=-1, num_keys=2
+    )
+    return d[..., :k], ids[..., :k]

@@ -176,7 +176,7 @@ def classmax2_scan(
         grid=(B // tq,),
         in_specs=[
             pl.BlockSpec((tq, dp), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[spec, spec, spec, spec],
         out_shape=[
@@ -209,7 +209,7 @@ def classmax_scan(
         grid=(B // tq,),
         in_specs=[
             pl.BlockSpec((tq, dp), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[spec, spec],
         out_shape=[

@@ -26,53 +26,63 @@ from shine_tpu.ops.pallas_scan3 import classmax_scan
 from shine_tpu.parallel.mesh import SHARD_AXIS
 
 
+def _local_scan(ext, q_ext, B, kb, tq, tn, cls, interpret, keep2):
+    """Per-shard fused class-max sweep -> local candidate rows."""
+    if keep2:
+        # per-class runner-up (ops/pallas_scan3.py v4): recovers bf16
+        # near-tie losses at large rows-per-class
+        from shine_tpu.ops.pallas_scan3 import classmax2_scan
+
+        m, r, m2, r2 = classmax2_scan(
+            ext, q_ext, tq=min(tq, B), tn=tn, cls=cls,
+            interpret=interpret,
+        )
+        kb_eff = min(kb, m.shape[1])
+        _, sel = jax.lax.top_k(m, kb_eff)
+        c1 = jnp.take_along_axis(r, sel, axis=1)
+        c2 = jnp.take_along_axis(r2, sel, axis=1)
+        v2 = jnp.take_along_axis(m2, sel, axis=1)
+        return jnp.concatenate(
+            [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+        ), kb_eff
+    m, r = classmax_scan(
+        ext, q_ext, tq=min(tq, B), tn=tn, cls=cls, interpret=interpret,
+    )
+    kb_eff = min(kb, m.shape[1])
+    _, sel = jax.lax.top_k(m, kb_eff)
+    return jnp.take_along_axis(r, sel, axis=1), kb_eff  # local rows
+
+
+def _merge_shards(dd, gi, k):
+    """all_gather the per-shard (B, kb) (dist, global id) lanes and take
+    the global (dist, id)-ascending top-k — the whole inter-chip cost."""
+    B = dd.shape[0]
+    all_d = jax.lax.all_gather(dd, SHARD_AXIS)  # (S, B, kb)
+    all_i = jax.lax.all_gather(gi, SHARD_AXIS)
+    all_d = jnp.moveaxis(all_d, 0, 1).reshape(B, -1)
+    all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, -1)
+    key_i = jnp.where(all_i < 0, jnp.int32(2**31 - 1), all_i)
+    md, _, mi = jax.lax.sort((all_d, key_i, all_i), dimension=1, num_keys=2)
+    return md[:, :k], mi[:, :k]
+
+
 def _make_search(
     mesh: Mesh, k: int, kb: int, tq: int, cls: int, tn: int, metric: int,
     rows_per_shard: int, interpret: bool, keep2: bool = False,
 ):
-    S = mesh.devices.size
-
     def spmd(ext, vectors, sqnorms, queries):
         B = queries.shape[0]
         q = queries.astype(jnp.float32)
         q_ext = pack_ext_query(q, ext.shape[1]).astype(jnp.bfloat16)
-        if keep2:
-            # per-class runner-up (ops/pallas_scan3.py v4): recovers bf16
-            # near-tie losses at large rows-per-class
-            from shine_tpu.ops.pallas_scan3 import classmax2_scan
-
-            m, r, m2, r2 = classmax2_scan(
-                ext, q_ext, tq=min(tq, B), tn=tn, cls=cls,
-                interpret=interpret,
-            )
-            kb_eff = min(kb, m.shape[1])
-            _, sel = jax.lax.top_k(m, kb_eff)
-            c1 = jnp.take_along_axis(r, sel, axis=1)
-            c2 = jnp.take_along_axis(r2, sel, axis=1)
-            v2 = jnp.take_along_axis(m2, sel, axis=1)
-            cand_local = jnp.concatenate(
-                [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
-            )
-        else:
-            m, r = classmax_scan(
-                ext, q_ext, tq=min(tq, B), tn=tn, cls=cls,
-                interpret=interpret,
-            )
-            kb_eff = min(kb, m.shape[1])
-            _, sel = jax.lax.top_k(m, kb_eff)
-            cand_local = jnp.take_along_axis(r, sel, axis=1)  # local rows
+        cand_local, kb_eff = _local_scan(
+            ext, q_ext, B, kb, tq, tn, cls, interpret, keep2
+        )
         cand_local = jnp.where(cand_local < vectors.shape[0], cand_local, -1)
         # exact f32 re-rank against OWNED rows
         dd, ii = rerank_topk(vectors, sqnorms, q, cand_local, kb_eff, metric)
         my = jax.lax.axis_index(SHARD_AXIS)
         gi = jnp.where(ii >= 0, ii + my * rows_per_shard, -1)
-        all_d = jax.lax.all_gather(dd, SHARD_AXIS)  # (S, B, kb)
-        all_i = jax.lax.all_gather(gi, SHARD_AXIS)
-        all_d = jnp.moveaxis(all_d, 0, 1).reshape(B, S * kb_eff)
-        all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, S * kb_eff)
-        key_i = jnp.where(all_i < 0, jnp.int32(2**31 - 1), all_i)
-        md, _, mi = jax.lax.sort((all_d, key_i, all_i), dimension=1, num_keys=2)
-        return md[:, :k], mi[:, :k]
+        return _merge_shards(dd, gi, k)
 
     @jax.jit
     def run(ext, vectors, sqnorms, queries):
@@ -84,6 +94,56 @@ def _make_search(
             check_vma=False,
         )
         return fn(ext, vectors, sqnorms, queries)
+
+    return run
+
+
+def _make_search_ext(
+    mesh: Mesh, k: int, kb: int, tq: int, cls: int, tn: int, metric: int,
+    rows_per_shard: int, interpret: bool, keep2: bool = False,
+    with_regen: bool = False,
+):
+    """Capacity-mode SPMD search: each shard holds ONLY its slice of the
+    packed bf16 ext table (no f32 base anywhere — per-chip capacity is
+    set by the 2-byte ext row alone). Re-rank is either bf16 ext rows
+    (rerank_topk_ext) or, with a row-keyed source, EXACT f32 rows
+    regenerated from the candidates' global ids in-jit
+    (ops/distance.py:regen_rerank_topk). This is the configuration that
+    scales to the reference's 100M-row envelope
+    (/root/reference/src/memory_node.hh:112-125 — 44 GB/MN x 5 MN; here
+    512 B/row x 100M over 8 chips = 6.4 GB/chip)."""
+    from shine_tpu.ops.distance import regen_rerank_topk, rerank_topk_ext
+
+    def spmd(ext, queries, *rs):
+        B = queries.shape[0]
+        q = queries.astype(jnp.float32)
+        q_ext = pack_ext_query(q, ext.shape[1]).astype(jnp.bfloat16)
+        cand_local, kb_eff = _local_scan(
+            ext, q_ext, B, kb, tq, tn, cls, interpret, keep2
+        )
+        cand_local = jnp.where(cand_local < ext.shape[0], cand_local, -1)
+        my = jax.lax.axis_index(SHARD_AXIS)
+        if with_regen:
+            rkey, centers = rs
+            gid = jnp.where(
+                cand_local >= 0, cand_local + my * rows_per_shard, -1
+            )
+            dd, gi = regen_rerank_topk(rkey, centers, q, gid, kb_eff, metric)
+        else:
+            dd, ii = rerank_topk_ext(ext, q, cand_local, kb_eff, metric)
+            gi = jnp.where(ii >= 0, ii + my * rows_per_shard, -1)
+        return _merge_shards(dd, gi, k)
+
+    @jax.jit
+    def run(ext, queries, *rs):
+        fn = jax.shard_map(
+            spmd,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P()) + (P(),) * len(rs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(ext, queries, *rs)
 
     return run
 
@@ -130,7 +190,53 @@ class ShardedFastFlatIndex:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
+        self.row_source = None
         self._runs: dict = {}
+
+    @classmethod
+    def from_ext(
+        cls,
+        ext_dev,
+        n: int,
+        mesh: Mesh,
+        metric: str | int = "l2",
+        *,
+        dim: int | None = None,
+        row_source=None,
+        tn: int = 1024,
+        interpret: bool | None = None,
+    ) -> "ShardedFastFlatIndex":
+        """Sharded CAPACITY mode: row-shard the packed bf16 score table
+        over the mesh with NO per-shard f32 base — per-chip rows are
+        limited by the 2-byte ext row alone (~2x the exact-rerank
+        layout; d=128 -> 512 B/row -> ~25M rows per 16 GB chip, so an
+        8-chip v5e slice holds a 100-200M-row table, the reference's
+        serving envelope, memory_node.hh:112-125). Re-rank per shard is
+        bf16 ext rows, or EXACT f32 via row_source=(key, centers)
+        regeneration (io/device_synth.py row-keyed datasets). Pair with
+        device_rowkeyed_ext_dataset(mesh=...) for sharded streaming
+        ingestion that never materializes the base."""
+        self = cls.__new__(cls)
+        self.metric = metric_id(metric)
+        self.mesh = mesh
+        S = mesh.devices.size
+        n_pad, dp = ext_dev.shape
+        assert n_pad % (4096 * S) == 0 and n <= n_pad
+        row_sh = NamedSharding(mesh, P(SHARD_AXIS))
+        self.ext = jax.device_put(ext_dev.astype(jnp.bfloat16), row_sh)
+        self.vectors = None
+        self.sqnorms = None
+        self.perm = None
+        if dim is None:
+            dim = dp - 2 if self.metric == METRIC_L2 else dp
+        self.n, self.dim, self.tn = n, dim, tn
+        self.rows = n_pad // S
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        self.row_source = row_source
+        self._runs = {}
+        return self
 
     def search(
         self,
@@ -141,20 +247,37 @@ class ShardedFastFlatIndex:
         batch_size: int = 4096,
         tq: int = 512,
         cls: int = 1024,
-        keep2: bool = False,
+        keep2: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
+        if keep2 is None:
+            # same measured rule as FastFlatIndex.search, per shard (the
+            # scan and its near-tie losses are per-shard-local)
+            from shine_tpu.models.flat import keep2_auto
+
+            keep2 = keep2_auto(self.rows, cls)
         nq, d = queries.shape
         batch_size = min(batch_size, max(nq, 1))
         batch_size = max(tq, -(-batch_size // tq) * tq)
         kb = max(kb, k)
+        capacity = self.vectors is None
         key = (k, kb, tq, cls, batch_size, keep2)
         if key not in self._runs:
-            self._runs[key] = _make_search(
-                self.mesh, k, kb, tq, cls, self.tn, self.metric,
-                self.rows, self.interpret, keep2=keep2,
-            )
+            if capacity:
+                self._runs[key] = _make_search_ext(
+                    self.mesh, k, kb, tq, cls, max(self.tn, cls),
+                    self.metric, self.rows, self.interpret, keep2=keep2,
+                    with_regen=self.row_source is not None,
+                )
+            else:
+                self._runs[key] = _make_search(
+                    self.mesh, k, kb, tq, cls, self.tn, self.metric,
+                    self.rows, self.interpret, keep2=keep2,
+                )
         run = self._runs[key]
         rep = NamedSharding(self.mesh, P())
+        extra = ()
+        if capacity and self.row_source is not None:
+            extra = tuple(self.row_source)
         out_i = np.empty((nq, k), np.int32)
         out_d = np.empty((nq, k), np.float32)
         for lo in range(0, nq, batch_size):
@@ -164,10 +287,11 @@ class ShardedFastFlatIndex:
                 q = np.concatenate(
                     [q, np.zeros((batch_size - (hi - lo), d), np.float32)]
                 )
-            dd, ii = run(
-                self.ext, self.vectors, self.sqnorms,
-                jax.device_put(jnp.asarray(q), rep),
-            )
+            qd = jax.device_put(jnp.asarray(q), rep)
+            if capacity:
+                dd, ii = run(self.ext, qd, *extra)
+            else:
+                dd, ii = run(self.ext, self.vectors, self.sqnorms, qd)
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
         # shards whose row range is entirely padding return pad rows with

@@ -547,6 +547,10 @@ def _sharded_search_spmd(
                 cand_all = jax.lax.all_gather(cand_cold, SHARD_AXIS).reshape(
                     num_shards * B_loc, -1
                 )
+                # this gather is real ICI traffic even though it only
+                # feeds the access counters — count it so the compact-vs-
+                # dense wire comparison stays honest under adaptive cache
+                ici_bytes += jnp.float32((num_shards - 1) * B_loc * K * 4)
         else:
             cand_all = jax.lax.all_gather(cand_cold, SHARD_AXIS).reshape(
                 num_shards * B_loc, -1

@@ -136,3 +136,72 @@ def test_cli_sharded_hnsw_compact_exchange(capsys):
     )
     assert doc["queries"]["recall"] > 0.9
     assert doc["queries"]["ici_exchange_bytes"] > 0
+
+
+def _load_data_tools():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "data_tools.py"
+    )
+    spec = importlib.util.spec_from_file_location("data_tools", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_cli_data_path_end_to_end(tmp_path, capsys):
+    """The on-disk ingestion path, end to end: data_tools synth writes the
+    reference's directory convention (base.fbin, queries/query.fbin,
+    groundtruth-query.bin — compute_node.cc:277-319), then the CLI's
+    --data-path flow (load_dataset discovery -> fbin readers -> .bin GT
+    alignment) must score recall 1.0 on the exact index."""
+    import argparse
+
+    dt = _load_data_tools()
+    root = str(tmp_path / "synthds")
+    dt.cmd_synth(
+        argparse.Namespace(shape="1500:12", queries=80, seed=5, out=root)
+    )
+    doc = run_cli(
+        ["--data-path", root, "--index", "flat", "--num-queries", "64"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] == pytest.approx(1.0)
+    assert doc["queries"]["num_queries"] == 64
+
+
+def test_cli_data_path_u8bin_and_row_filter(tmp_path):
+    """u8bin bases widen to f32 through the same discovery chain, and the
+    readers' round-robin row_filter tiles the base exactly (the
+    reference's CN partitioning, io/read_data.hh:57-77)."""
+    from shine_tpu.io import brute_force_knn, load_dataset, read_bin, write_bin
+    from shine_tpu.io.recall import recall_at_k
+    from shine_tpu.models.flat import FlatIndex
+
+    rng = np.random.default_rng(3)
+    base8 = rng.integers(0, 256, size=(1200, 16), dtype=np.uint8)
+    queries = base8[rng.integers(0, 1200, 50)].astype(np.float32)
+    queries += rng.normal(scale=2.0, size=queries.shape).astype(np.float32)
+    gt, _ = brute_force_knn(base8.astype(np.float32), queries, 10)
+    root = tmp_path / "u8ds"
+    write_bin(str(root / "base.u8bin"), base8)
+    write_bin(str(root / "queries" / "query.fbin"), queries)
+    write_bin(str(root / "groundtruth-query.bin"), gt.astype(np.uint32))
+
+    ds = load_dataset(str(root))
+    assert ds.base.dtype == np.float32 and ds.base.shape == (1200, 16)
+    ids, _ = FlatIndex(ds.base).search(ds.queries, 10, use_bf16=False)
+    assert recall_at_k(ids, ds.ground_truth, 10) == pytest.approx(1.0)
+
+    # round-robin shards reconstruct the base exactly
+    parts = [
+        read_bin(str(root / "base.u8bin"), row_filter=(s, 3))
+        for s in range(3)
+    ]
+    assert sum(p.shape[0] for p in parts) == 1200
+    recon = np.empty((1200, 16), np.float32)
+    for s, p in enumerate(parts):
+        recon[s::3] = p
+    np.testing.assert_array_equal(recon, base8.astype(np.float32))

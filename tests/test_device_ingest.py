@@ -113,7 +113,8 @@ def test_streaming_ext_dataset_and_capacity_mode():
         n=8192, dim=16, num_queries=64, seed=3, rchunk=4096
     )
     assert ds.ext_dev.shape[0] == 8192
-    idx = FastFlatIndex.from_ext(ds.ext_dev, ds.n)
+    idx = FastFlatIndex.from_ext(ds.ext_dev, ds.n, dim=16)
+    assert idx.dim == 16 and idx.dp == ds.ext_dev.shape[1]
     idx.interpret = True  # CPU: v1 kernel path
     ids, dists = idx.search(ds.queries, 10, kb=32, batch_size=64, tq=64)
     r = recall_at_k(ids, ds.ground_truth, 10)

@@ -213,3 +213,67 @@ def test_ivf_routed_chunked_scan_matches(ds):
     np.testing.assert_allclose(np.asarray(a_d), np.asarray(b_d),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(float(a_cov), float(b_cov))
+
+
+def test_measured_defaults_auto_clusters():
+    """The routed serving mode auto-picks COARSE clusters (C clamped to
+    ~2k at any N — TPU_NOTES '1M x 64': fine C=7813 collapses routed
+    coverage to 0.45/recall 0.55); fine stays cap~target_cap."""
+    from shine_tpu.models.ivf import _auto_clusters
+
+    assert _auto_clusters(200_000, 128, "fine") == -(-200_000 // 128)
+    assert _auto_clusters(200_000, 128, "routed") == 1563
+    assert _auto_clusters(1_000_000, 128, "routed") == 2048  # clamp
+    assert _auto_clusters(10_000_000, 128, "routed") == 2048
+    assert _auto_clusters(500, 128, "routed") == 8
+    with pytest.raises(ValueError):
+        _auto_clusters(1000, 128, "coarse")
+
+
+def test_measured_defaults_keep2_auto():
+    """keep2 auto-enables once rows-per-class >= ~500 (the measured
+    one-decoy regime, TPU_NOTES '1M x 64 keep2 refresh')."""
+    from shine_tpu.models.flat import keep2_auto
+
+    assert not keep2_auto(200_704, 1024)  # 200k x 128 bench: ~195 r/cls
+    assert keep2_auto(1_000_448, 1024)  # 1M: ~976 r/cls
+    assert not keep2_auto(1_000_448, 2048)  # rule is cls-aware: 488 r/cls
+    assert not keep2_auto(499 * 1024, 1024)
+    assert keep2_auto(500 * 1024, 1024)
+
+
+def test_ivf_search_exact_full_probes_large_c():
+    """p == num_clusters must scan everything EXACTLY even above the 4096-
+    cluster threshold where stage 1 used to switch to approx_max_k
+    silently (ADVICE r2, medium): default probe selection is exact."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4608, 8)).astype(np.float32)
+    q = rng.normal(size=(32, 8)).astype(np.float32)
+    gt, _ = brute_force_knn(base, q, 10)
+    idx = IVFIndex(base, num_clusters=4096, seed=7, train_size=4608)
+    ids, _ = idx.search(q, 10, probes=4096, rerank=8)
+    assert recall_at_k(ids, gt, 10) == pytest.approx(1.0)
+
+
+def test_ivf_routed_default_fallback_floor(ds):
+    """search_routed's default per-query fallback (0.5) spills starved
+    queries to the exact probe path — a deliberately tiny shared union
+    must still deliver probe-path recall (the reference's spill path,
+    query_router.hh:353-370)."""
+    idx = IVFIndex(ds.base, num_clusters=64, seed=7)
+    ids, _, stats = idx.search_routed(
+        ds.queries, 10, probes=8, shared=4, tile=64, with_stats=True
+    )
+    assert stats["fallback_queries"] > 0
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.85
+
+
+def test_ivf_routed_layout(ds):
+    """layout='routed' end-to-end: coarse auto-C, healthy coverage, no
+    fallback storm."""
+    idx = IVFIndex(ds.base, seed=7, layout="routed", train_size=6000)
+    assert idx.data.num_clusters <= 2048
+    ids, _, stats = idx.search_routed(
+        ds.queries, 10, probes=8, shared=32, tile=32, with_stats=True
+    )
+    assert recall_at_k(ids, ds.ground_truth, 10) > 0.9
