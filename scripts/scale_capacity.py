@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Capacity-mode scale validation (r3): row-keyed streaming ingestion +
+ext-only serving with the EXACT regen re-rank.
+
+The r2 capacity mode reached 20.97M rows/chip but its bf16 ext re-rank
+capped recall at ~0.72 on the synthetic density (TPU_NOTES "Capacity
+mode"). Row-keyed datasets (io/device_synth.py:regen_rows) regenerate
+any row exactly from fold_in(key, id), so the re-rank can use exact f32
+rows at zero extra HBM — this script measures that escape hatch at
+capacity scale, plus the bf16 re-rank baseline on the same table.
+
+This single-chip run IS the per-shard recipe of the sharded capacity
+mode (ShardedFastFlatIndex.from_ext): the sharded path adds one
+(B, kb)-lane all_gather on top of exactly this per-shard work, so a
+measured N-row point here grounds the S-chip cluster arithmetic at
+S x N rows (reference envelope: 100M rows over 5 MNs,
+/root/reference/src/memory_node.hh:112-125).
+
+Env: SHINE_CAP_N (default 20_971_520), SHINE_CAP_D (128),
+SHINE_CAP_RCHUNK (65536), SHINE_CAP_SKIP_BF16.
+Results append to results/scale_capacity.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+N = int(os.environ.get("SHINE_CAP_N", 20_971_520))
+D = int(os.environ.get("SHINE_CAP_D", 128))
+NQ = 2048
+RCHUNK = int(os.environ.get("SHINE_CAP_RCHUNK", 65_536))
+OUT = os.path.join(ROOT, "results", "scale_capacity.jsonl")
+
+
+def emit(rec: dict) -> None:
+    rec = {"n": N, "d": D, "nq": NQ, **rec}
+    print("#", json.dumps(rec), flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def timed_search(idx, queries, pre, **kw):
+    """Best-of-2 wall; np.asarray forces completion (block_until_ready
+    does not block on axon — docs/TPU_NOTES.md)."""
+    ids, _ = idx.search(queries, 10, preloaded=pre, with_dists=False, **kw)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        ids, _ = idx.search(
+            queries, 10, preloaded=pre, with_dists=False, **kw
+        )
+        best = min(best, time.time() - t0)
+    return len(queries) / best, ids
+
+
+def main() -> None:
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.io.device_synth import (
+        device_rowkeyed_ext_dataset,
+        streaming_eps_recall,
+    )
+    from shine_tpu.models.flat import FastFlatIndex
+
+    t0 = time.time()
+    ds = device_rowkeyed_ext_dataset(
+        n=N, dim=D, num_queries=NQ, seed=17, gt_k=10, rchunk=RCHUNK
+    )
+    np.asarray(ds.ext_dev[:1])  # force
+    emit({"stage": "rowkeyed-ingest+gt", "seconds": round(time.time() - t0, 1),
+          "ext_gb": round(ds.ext_dev.nbytes / 1e9, 2)})
+
+    # exact regen re-rank (the escape hatch)
+    idx = FastFlatIndex.from_ext(
+        ds.ext_dev, ds.n, dim=D, row_source=ds.row_source
+    )
+    pre = idx.preload(ds.queries, batch_size=2048)
+    for kb, keep2 in ((32, None), (64, None), (32, False)):
+        qps, ids = timed_search(
+            idx, ds.queries, pre, kb=kb, batch_size=2048, keep2=keep2
+        )
+        rec = recall_at_k(ids, ds.ground_truth, 10)
+        eps = streaming_eps_recall(ds, ids, 10, rtol=1e-4)
+        emit({"stage": "regen-exact", "kb": kb,
+              "keep2": "auto" if keep2 is None else keep2,
+              "qps": round(qps, 1), "recall10": round(rec, 4),
+              "eps_recall10": round(eps, 4)})
+
+    if os.environ.get("SHINE_CAP_SKIP_BF16", "") != "1":
+        # bf16 ext re-rank baseline on the same table (r2 behavior)
+        bf = FastFlatIndex.from_ext(ds.ext_dev, ds.n, dim=D)
+        qps, ids = timed_search(bf, ds.queries, pre, kb=32, batch_size=2048)
+        rec = recall_at_k(ids, ds.ground_truth, 10)
+        eps = streaming_eps_recall(ds, ids, 10, rtol=1e-4)
+        emit({"stage": "bf16-rerank", "kb": 32, "qps": round(qps, 1),
+              "recall10": round(rec, 4), "eps_recall10": round(eps, 4)})
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--exchange", choices=("dense", "compact"),
                    default="dense", help="sharded-HNSW ICI exchange "
                    "pattern (compact = bucketed all_to_all owner RPC)")
+    q.add_argument("--adaptive-slack", action="store_true",
+                   help="compact exchange: probe the bucket-slack ladder "
+                   "on live batches, serve at the measured-min wire bytes")
     q.add_argument("--no-recall", action="store_true")
     run = p.add_argument_group("run")
     run.add_argument("--shards", type=int, default=1, help="device mesh size")
@@ -149,7 +152,8 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
     )
     sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier,
-                      exchange=args.exchange)
+                      exchange=args.exchange,
+                      adaptive_slack=args.adaptive_slack)
     stats.set_params(params, sp)
 
     mesh = None
@@ -226,7 +230,8 @@ def _build(args, ds, params, mesh, timing):
     from shine_tpu.config import SearchParams
 
     sp = SearchParams(k=args.k, ef=args.ef_search, frontier=args.frontier,
-                      exchange=args.exchange)
+                      exchange=args.exchange,
+                      adaptive_slack=args.adaptive_slack)
     if args.index == "flat":
         if mesh is not None:
             from shine_tpu.parallel import ShardedFlatIndex

@@ -92,6 +92,12 @@ class SearchParams:
     # multi-round overflow) — parallel/sharded.py:_owner_rpc
     exchange_slack: float = 2.0  # compact bucket capacity = slack x
     # expected uniform per-destination load; lower forces more RPC rounds
+    adaptive_slack: bool = False  # compact mode: probe the slack ladder
+    # {1, 1.5, 2} on live batches and serve at the measured-min wire-byte
+    # level (parallel/sharded.py:SlackController — the doorbell batch
+    # sized to the actual WR count, batched_read.hh:28-60). Results are
+    # identical at any slack (overflow re-queues exactly); only the
+    # bucket shape and round count change.
 
     def resolved(self) -> "SearchParams":
         if self.frontier < 1:

@@ -9,11 +9,14 @@ tiny merge traffic as the sharded flat scan. The exact f32 re-rank of the
 survivors runs host-side against the numpy base (a few dozen rows per
 query), so no replicated f32 copy of the base is needed on device.
 
-Masked (non-owned) probe lanes still occupy fixed einsum lanes — the
-compute cost per chip is the full (B, p, cap) scan; what sharding buys is
-HBM capacity and gather locality. Compacting owned probes into fewer lanes
-is the planned next step once real multi-chip hardware is available to
-measure on.
+Probe lanes are COMPACTED per shard (r3): each chip packs the (query,
+cluster) wishes it owns into ~p/S lanes per query and scans only those,
+with overflow served in further rounds of the same loop (exact — nothing
+dropped; the _owner_rpc pattern minus the wire: queries and wishes are
+replicated, so compaction is purely local and costs zero extra ICI).
+Per-chip scanned lanes drop ~S/slack x vs the old masked full-width scan
+(kept as probe_lanes="dense" for comparison; the reference analogue is
+CNs reading only the rows they need, rdma_reads.hh:101-134).
 
 Structural analogue: the reference's k-means placement routes *queries* to
 compute nodes (/root/reference/src/cache/placement.hh); here the same
@@ -83,10 +86,10 @@ def _make_routed_search(
         colmask = neg > -(2**30)
 
         # owned lanes only: foreign lanes read block 0 and mask to -1
+        # (round-robin ownership, see ShardedIVFIndex.__init__)
         my = jax.lax.axis_index(SHARD_AXIS)
-        local = cols - my * C_loc
-        mine = colmask & (local >= 0) & (local < C_loc)
-        safe = jnp.clip(local, 0, C_loc - 1)
+        mine = colmask & ((cols % S) == my)
+        safe = jnp.clip(cols // S, 0, C_loc - 1)
         blk = blocks[safe]  # (G, P, cap, d) bf16
         sqs = block_sq[safe]
         ids = jnp.where(mine[..., None], block_ids[safe], -1)
@@ -128,6 +131,110 @@ def _make_routed_search(
     return run
 
 
+def _make_search_compact(
+    mesh: Mesh, p: int, kk: int, metric: int, C_loc: int, slack: float = 2.0
+):
+    """Owned-probe lane compaction (see module docstring): every shard
+    derives the same (B, p) probe plan from the replicated centroids,
+    keeps only its owned wishes, and packs them into PL ~ slack*p/S lanes
+    per query; a while_loop serves overflowing queries in further rounds
+    (exact). Scanned einsum lanes per chip drop from B*p to
+    rounds*B*PL ~ B*p/(S/slack). Returns (dists, ids, rounds,
+    scanned_lanes)."""
+    S = mesh.devices.size
+    PL = max(1, -(-int(p * slack) // S))
+
+    def spmd(blocks, block_sq, block_ids, centroids, queries):
+        B, d = queries.shape
+        cap = blocks.shape[1]
+        q = queries.astype(jnp.float32)
+        qn = jnp.sum(q * q, axis=-1)
+        scores = pairwise_distance(q, centroids, metric)
+        _, probes = jax.lax.top_k(-scores, p)  # (B, p) global, replicated
+        my = jax.lax.axis_index(SHARD_AXIS)
+        # round-robin ownership (see ShardedIVFIndex.__init__)
+        mine = (probes % S) == my
+        local = probes // S
+        qb = q.astype(jnp.bfloat16)
+        rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+        def cond(state):
+            todo = state[0].any().astype(jnp.int32)
+            return jax.lax.psum(todo, SHARD_AXIS) > 0
+
+        def body(state):
+            pending, bd, bi, rounds, lanes = state
+            rank = jnp.cumsum(pending.astype(jnp.int32), axis=1) - 1
+            take = pending & (rank < PL)
+            slot = jnp.where(take, rank, PL)  # PL = drop column
+            cols = (
+                jnp.zeros((B, PL + 1), jnp.int32)
+                .at[rowb, slot]
+                .set(jnp.where(take, local, 0), mode="drop")[:, :PL]
+            )
+            valid = (
+                jnp.zeros((B, PL + 1), bool)
+                .at[rowb, slot]
+                .set(take, mode="drop")[:, :PL]
+            )
+            blk = blocks[cols]  # (B, PL, cap, d) bf16 — owned lanes only
+            sqs = block_sq[cols]
+            ids = jnp.where(valid[..., None], block_ids[cols], -1)
+            dots = jnp.einsum(
+                "bd,bpcd->bpc", qb, blk, preferred_element_type=jnp.float32
+            )
+            if metric == METRIC_L2:
+                dd = qn[:, None, None] - 2.0 * dots + sqs
+            else:
+                dd = 1.0 - dots
+            dd = jnp.where(ids >= 0, dd, jnp.inf).reshape(B, PL * cap)
+            fid = ids.reshape(B, PL * cap)
+            # fold into the running top-kk ((query, cluster) pairs are
+            # scanned at most once, so no dedup is needed)
+            md = jnp.concatenate([bd, dd], axis=1)
+            mi = jnp.concatenate([bi, fid], axis=1)
+            nd, sel = jax.lax.top_k(-md, kk)
+            return (
+                pending & ~take,
+                -nd,
+                jnp.take_along_axis(mi, sel, axis=1),
+                rounds + 1,
+                lanes + B * PL,
+            )
+
+        init = (
+            mine,
+            jnp.full((B, kk), jnp.inf, jnp.float32),
+            jnp.full((B, kk), -1, jnp.int32),
+            jnp.int32(0),
+            jnp.int32(0),
+        )
+        _, bd, bi, rounds, lanes = jax.lax.while_loop(cond, body, init)
+        all_d = jax.lax.all_gather(bd, SHARD_AXIS)  # (S, B, kk)
+        all_i = jax.lax.all_gather(bi, SHARD_AXIS)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(B, S * kk)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, S * kk)
+        key_i = jnp.where(all_i < 0, jnp.int32(2**31 - 1), all_i)
+        md, _, mi = jax.lax.sort((all_d, key_i, all_i), dimension=1, num_keys=2)
+        return (
+            md[:, :kk], mi[:, :kk], rounds,
+            jax.lax.psum(lanes, SHARD_AXIS),
+        )
+
+    @jax.jit
+    def run(blocks, block_sq, block_ids, centroids, queries):
+        fn = jax.shard_map(
+            spmd,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return fn(blocks, block_sq, block_ids, centroids, queries)
+
+    return run
+
+
 def _make_search(mesh: Mesh, p: int, kk: int, metric: int, C_loc: int):
     S = mesh.devices.size
 
@@ -139,9 +246,9 @@ def _make_search(mesh: Mesh, p: int, kk: int, metric: int, C_loc: int):
         scores = pairwise_distance(q, centroids, metric)  # (B, C) replicated
         _, probes = jax.lax.top_k(-scores, p)  # (B, p) global cluster ids
         my = jax.lax.axis_index(SHARD_AXIS)
-        local = probes - my * C_loc
-        mine = (local >= 0) & (local < C_loc)
-        safe = jnp.clip(local, 0, C_loc - 1)
+        # round-robin ownership (see ShardedIVFIndex.__init__)
+        mine = (probes % S) == my
+        safe = jnp.clip(probes // S, 0, C_loc - 1)
         blk = blocks[safe]  # (B, p, cap, d) bf16 — owned lanes real
         sqs = block_sq[safe]
         ids = jnp.where(mine[:, :, None], block_ids[safe], -1)
@@ -204,17 +311,33 @@ class ShardedIVFIndex:
             vectors, num_clusters, metric=self.metric,
             train_size=train_size, seed=seed,
         )
+        # ROUND-ROBIN cluster ownership (owner = c % S, local = c // S):
+        # probe sets are spatially contiguous (clusters are spatially
+        # relabeled for the routed affinity sort), so contiguous-range
+        # ownership would hand most of a query's wishes to ONE shard and
+        # the compact probe lanes would degenerate to multi-round serving;
+        # dealing clusters mod-S spreads every query's p wishes ~evenly
+        # (the reference's round-robin row partitioning across MNs,
+        # io/read_data.hh:57-77, applied at cluster granularity). The
+        # physical array order interleaves so shard s's slice holds
+        # clusters {s, s+S, s+2S, ...}.
+        C = num_clusters
+        order = np.argsort(
+            (np.arange(C) % S) * (C // S) + np.arange(C) // S
+        ).astype(np.int32)
         row_sh = NamedSharding(mesh, P(SHARD_AXIS))
         rep = NamedSharding(mesh, P())
-        self.blocks = jax.device_put(data.blocks, row_sh)
-        self.block_sq = jax.device_put(data.block_sq, row_sh)
-        self.block_ids = jax.device_put(data.block_ids, row_sh)
+        self.blocks = jax.device_put(data.blocks[order], row_sh)
+        self.block_sq = jax.device_put(data.block_sq[order], row_sh)
+        self.block_ids = jax.device_put(data.block_ids[order], row_sh)
         self.centroids = jax.device_put(data.centroids, rep)
         self.C = num_clusters
         self.C_loc = num_clusters // S
         self.cap = data.cap
         self.base = np.ascontiguousarray(vectors, dtype=np.float32)
         self.n = n
+        self.rpc_rounds = 0  # compact probe-lane rounds
+        self.scanned_lanes = 0  # cluster-total probe lanes actually scanned
         self._runs: dict = {}
 
     def search(
@@ -225,14 +348,29 @@ class ShardedIVFIndex:
         probes: int = 8,
         batch_size: int = 2048,
         rerank: int = 4,
+        probe_lanes: str = "compact",
     ) -> tuple[np.ndarray, np.ndarray]:
+        """probe_lanes="compact" (default): each shard scans only the
+        probe wishes it owns, packed into ~p/S lanes per query with exact
+        multi-round overflow (_make_search_compact) — cluster-total
+        scanned lanes track B*p instead of S*B*p. "dense" keeps the old
+        masked full-width scan for comparison."""
+        if probe_lanes not in ("compact", "dense"):
+            raise ValueError("probe_lanes must be 'compact' or 'dense'")
+        compact = probe_lanes == "compact"
         nq, d = queries.shape
         p = min(probes, self.C)
         kk = min(max(rerank, 1) * k, p * self.cap)
         batch_size = min(batch_size, max(nq, 1))
-        key = (p, kk, batch_size)
+        key = (p, kk, batch_size, compact)
         if key not in self._runs:
-            self._runs[key] = _make_search(self.mesh, p, kk, self.metric, self.C_loc)
+            self._runs[key] = (
+                _make_search_compact(
+                    self.mesh, p, kk, self.metric, self.C_loc
+                )
+                if compact
+                else _make_search(self.mesh, p, kk, self.metric, self.C_loc)
+            )
         run = self._runs[key]
         rep = NamedSharding(self.mesh, P())
         out_i = np.empty((nq, k), np.int32)
@@ -244,10 +382,19 @@ class ShardedIVFIndex:
                 q = np.concatenate(
                     [q, np.zeros((batch_size - (hi - lo), d), np.float32)]
                 )
-            _, cand = run(
+            out = run(
                 self.blocks, self.block_sq, self.block_ids, self.centroids,
                 jax.device_put(jnp.asarray(q), rep),
             )
+            if compact:
+                _, cand, rounds, lanes = out
+                self.rpc_rounds += int(np.asarray(rounds))
+                self.scanned_lanes += int(np.asarray(lanes))
+            else:
+                _, cand = out
+                self.scanned_lanes += (
+                    self.mesh.devices.size * batch_size * p
+                )
             cand = np.asarray(cand)[: hi - lo]  # (b, kk)
             # exact host-side f32 re-rank of the survivors
             ii, dd = self._host_rerank(cand, q[: hi - lo], k)

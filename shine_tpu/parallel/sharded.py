@@ -697,6 +697,42 @@ def make_sharded_search(
     return run
 
 
+class SlackController:
+    """Measured-bytes probe over the compact-exchange bucket slack.
+
+    The right bucket slack depends on workload skew, routing, and the
+    replica hit rate — the static default (2.0) is measured-wrong under
+    zipf skew + affinity routing (TPU_NOTES 'Sharded skew'): occupancy
+    wins only convert to wire bytes if the bucket shrinks. This ladder
+    probes each level on one live batch (results are identical at any
+    slack — overflow re-queues exactly), then serves at the level with
+    the fewest measured wire bytes per batch; it re-probes periodically
+    to track workload drift. Compiled-program count is bounded by the
+    ladder size. Reference analogue: doorbell batches sized to the
+    actual WR count (rdma-library/library/batched_read.hh:28-60).
+    """
+
+    LADDER = (1.0, 1.5, 2.0)
+
+    def __init__(self, reprobe_every: int = 64):
+        self.reprobe_every = reprobe_every
+        self.samples: dict = {}
+        self.batches = 0
+
+    def pick(self) -> float:
+        self.batches += 1
+        if self.batches % self.reprobe_every == 0:
+            self.samples = {}
+        for lv in self.LADDER:
+            if lv not in self.samples:
+                return lv
+        return min(self.samples, key=self.samples.get)
+
+    def observe(self, level: float, nbytes: float) -> None:
+        if level not in self.samples:
+            self.samples[level] = nbytes
+
+
 class ShardedIndex:
     """Multi-chip index: host/native build + SPMD sharded search.
 
@@ -760,6 +796,7 @@ class ShardedIndex:
         self.rpc_rounds = 0  # compact-exchange rounds (0 on the dense path)
         self.ici_lanes = 0  # off-diagonal RPC lanes actually shipped
         self.ici_bytes = 0.0  # cluster wire bytes (both exchange modes)
+        self._slack_ctl: SlackController | None = None
         self._runs: dict = {}
 
     def _put_replica(self, rep) -> None:
@@ -813,6 +850,21 @@ class ShardedIndex:
             )
         return self._runs[key]
 
+    def _dispatch_batch(self, run, sp, batch_size: int, chunk, qsh):
+        """One batch; when the slack ladder is active (run is None), pick
+        the bucket slack for this batch and feed the measured wire bytes
+        back to the controller."""
+        if run is not None:
+            return self._run_batch(run, chunk, qsh)
+        import dataclasses as _dc
+
+        lv = self._slack_ctl.pick()
+        spb = _dc.replace(sp, exchange_slack=lv)
+        b0 = self.ici_bytes
+        out = self._run_batch(self._get_run(spb, batch_size), chunk, qsh)
+        self._slack_ctl.observe(lv, self.ici_bytes - b0)
+        return out
+
     def _run_batch(self, run, chunk: np.ndarray, qsh):
         """One fixed-shape batch on the mesh; folds cache counters and the
         adaptation loop. Returns (ids, dists, hops) as numpy."""
@@ -847,7 +899,10 @@ class ShardedIndex:
         batch_size = -(-batch_size // S) * S
         nq, d = queries.shape
         self.last_hops = 0  # per-call, like HNSWIndex.search
-        run = self._get_run(sp, batch_size)
+        ladder = sp.exchange == "compact" and sp.adaptive_slack
+        if ladder and self._slack_ctl is None:
+            self._slack_ctl = SlackController()
+        run = None if ladder else self._get_run(sp, batch_size)
         qsh = NamedSharding(self.mesh, P(SHARD_AXIS))
 
         if self.routing_mode == "adaptive":
@@ -870,7 +925,7 @@ class ShardedIndex:
                 chunk = np.concatenate(
                     [chunk, np.zeros((batch_size - (hi - lo), d), np.float32)]
                 )
-            ids, dd, _ = self._run_batch(run, chunk, qsh)
+            ids, dd, _ = self._dispatch_batch(run, sp, batch_size, chunk, qsh)
             out_i[lo:hi] = ids[: hi - lo]
             out_d[lo:hi] = dd[: hi - lo]
         if perm is not None:
@@ -895,7 +950,9 @@ class ShardedIndex:
         perm_parts, id_parts, d_parts = [], [], []
         while (pb := ar.next_batch()) is not None:
             routed, valid = QueryRouter.apply(queries, pb)
-            ids, dd, hops = self._run_batch(run, routed, qsh)
+            ids, dd, hops = self._dispatch_batch(
+                run, sp, batch_size, routed, qsh
+            )
             ar.observe(np.where(valid, hops, 0))
             perm_parts.append(pb)
             id_parts.append(ids)

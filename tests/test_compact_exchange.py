@@ -100,3 +100,29 @@ def test_compact_with_adaptive_cache(ds, graph):
     assert idx.refreshes >= 1
     c, _ = idx.search(ds.queries, sp, batch_size=64)  # post-refresh replica
     np.testing.assert_array_equal(a, c)
+
+
+def test_adaptive_slack_beats_static(ds, graph):
+    """The slack ladder (SlackController) under a skewed, affinity-routed
+    workload: identical results, measured wire bytes BELOW the static
+    slack=2 baseline, and no round blowup (VERDICT r2 #4 — occupancy
+    wins must convert to bytes)."""
+    from shine_tpu.io.skew import skewed_workload
+
+    _, timed, _ = skewed_workload(
+        ds.queries, total=512, alpha=1.25, warmup=0, seed=3
+    )
+    mesh = shard_mesh(4)
+    sp_static = SearchParams(k=10, ef=48, exchange="compact")
+    sp_adapt = SearchParams(
+        k=10, ef=48, exchange="compact", adaptive_slack=True
+    )
+    a = ShardedIndex(graph, mesh, routing=True)
+    b = ShardedIndex(graph, mesh, routing=True)
+    ai, _ = a.search(timed, sp_static, batch_size=32)
+    bi, _ = b.search(timed, sp_adapt, batch_size=32)
+    np.testing.assert_array_equal(ai, bi)
+    # all three ladder levels were probed on live batches
+    assert b._slack_ctl is not None and len(b._slack_ctl.samples) == 3
+    assert b.ici_bytes < a.ici_bytes, (b.ici_bytes, a.ici_bytes)
+    assert b.rpc_rounds <= 2 * a.rpc_rounds, (b.rpc_rounds, a.rpc_rounds)

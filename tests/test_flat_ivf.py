@@ -277,3 +277,26 @@ def test_ivf_routed_layout(ds):
         ds.queries, 10, probes=8, shared=32, tile=32, with_stats=True
     )
     assert recall_at_k(ids, ds.ground_truth, 10) > 0.9
+
+
+def test_sharded_ivf_compact_lanes_match_dense(ds):
+    """Owned-probe lane compaction (VERDICT r2 #5): identical results to
+    the masked full-width scan, with the cluster-total scanned-lane
+    counter dropping toward B*p (vs the dense path's S*B*p) — the
+    reference's 'owners serve only requested rows' (rdma_reads.hh:
+    101-134)."""
+    from shine_tpu.parallel import shard_mesh
+    from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
+
+    mesh = shard_mesh(4)
+    idx = ShardedIVFIndex(ds.base, mesh, num_clusters=32, seed=7)
+    ci, cd = idx.search(ds.queries, 10, probes=8)  # compact default
+    lanes_compact = idx.scanned_lanes
+    assert idx.rpc_rounds > 0
+    di, dd = idx.search(ds.queries, 10, probes=8, probe_lanes="dense")
+    lanes_dense = idx.scanned_lanes - lanes_compact
+    np.testing.assert_array_equal(ci, di)
+    np.testing.assert_allclose(cd, dd, rtol=1e-5, atol=1e-5)
+    # S=4, slack=2 -> PL=4 lanes/query vs p=8 dense: >=2x fewer scanned
+    # lanes even if every round runs on every shard
+    assert lanes_compact < lanes_dense / 1.5, (lanes_compact, lanes_dense)
