@@ -88,6 +88,7 @@ def main() -> None:
         ds = synthetic_dataset(n=n, dim=d, num_queries=nq, seed=7, gt_k=10)
         np.savez(ds_cache, base=ds.base, queries=ds.queries, gt=ds.ground_truth)
     results = []  # (name, qps, recall)
+    perf = {}  # name -> {tflops, hbm_gbs} achieved-rate attribution
 
     # --- flagship: fused block-max scan (pallas) ---
     try:
@@ -105,6 +106,17 @@ def main() -> None:
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# fastflat: qps={qps:.0f} recall@10={r:.4f}")
         results.append(("fastflat", qps, r))
+        # achieved kernel rates (statistics.hh:122-141 analogue): the
+        # scan computes 2*B*N_pad*dp flops and streams the bf16 ext
+        # table once per batch; rates are N-dependent (chunk-count
+        # amortization — docs/TPU_NOTES.md 'Scan perf model')
+        n_pad, dp = fast.ext.shape
+        wall = nq / qps
+        batches = -(-nq // batch)
+        perf["fastflat"] = {
+            "tflops": round(2.0 * nq * n_pad * dp / wall / 1e12, 1),
+            "hbm_gbs": round(batches * int(fast.ext.nbytes) / wall / 1e9, 1),
+        }
         # v4 kernel: per-class runner-up — higher recall point
         # (ops/pallas_scan3.py; measured 0.998 @ ~120k at 200k x 128)
         qps, ids = time_search(
@@ -194,16 +206,14 @@ def main() -> None:
         )
         raise SystemExit(1)
     name, qps, r = max(ok, key=lambda x: x[1])
-    print(
-        json.dumps(
-            {
-                "metric": f"qps_per_chip[{name}]@recall10={r:.3f}",
-                "value": round(qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(qps / BASELINE_QPS, 3),
-            }
-        )
-    )
+    doc = {
+        "metric": f"qps_per_chip[{name}]@recall10={r:.3f}",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+    }
+    doc.update(perf.get(name, {}))
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""1M-row HNSW graph family on chip (r3): build via fastbuild, serve via
+batched_search; position the graph path against the scan families at 1M.
+
+The r2 verdict's gap: the graph family had never been built or served
+above 200k rows on the chip. The kNN stage of fast_build_graph
+(models/fastbuild.py) is the same fused scan that serves 10M rows, so
+the build scales; this script measures 1M x 128 build wall (reference
+build-time metric: compute_node.cc:549-553) and QPS/recall at
+ef in {64, 96, 128} (knn semantics: hnsw.hh:253-307), plus a same-
+dataset fastflat row for the head-to-head.
+
+Env: SHINE_1M_N (default 1_048_576), SHINE_1M_D (128), SHINE_1M_EFS.
+Results append to results/scale_1m_hnsw.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+N = int(os.environ.get("SHINE_1M_N", 1_048_576))
+D = int(os.environ.get("SHINE_1M_D", 128))
+NQ = 2048
+EFS = tuple(
+    int(x) for x in os.environ.get("SHINE_1M_EFS", "64,96,128").split(",")
+)
+OUT = os.path.join(ROOT, "results", "scale_1m_hnsw.jsonl")
+
+
+def emit(rec: dict) -> None:
+    rec = {"n": N, "d": D, "nq": NQ, **rec}
+    print("#", json.dumps(rec), flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main() -> None:
+    from shine_tpu.config import HNSWParams, SearchParams
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.io.device_synth import device_synthetic_dataset
+    from shine_tpu.models import HNSWIndex
+    from shine_tpu.models.fastbuild import fast_build_graph
+    from shine_tpu.models.flat import FastFlatIndex
+
+    t0 = time.time()
+    ds = device_synthetic_dataset(
+        n=N, dim=D, num_queries=NQ, seed=23, gt_k=10
+    )
+    emit({"stage": "gen+gt", "seconds": round(time.time() - t0, 1)})
+
+    # same-dataset fastflat row for the head-to-head
+    t0 = time.time()
+    ff = FastFlatIndex.from_device(ds.base_dev)
+    pre = ff.preload(ds.queries, batch_size=2048)
+    ids, _ = ff.search(ds.queries, 10, batch_size=2048, preloaded=pre,
+                       with_dists=False)
+    best = float("inf")
+    for _ in range(2):
+        t1 = time.time()
+        ids, _ = ff.search(ds.queries, 10, batch_size=2048, preloaded=pre,
+                           with_dists=False)
+        best = min(best, time.time() - t1)
+    emit({"stage": "fastflat", "qps": round(NQ / best, 1),
+          "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4),
+          "build_seconds": round(time.time() - t0 - 2 * best, 1)})
+
+    # host copy for the graph build (fastbuild keeps the graph host-side)
+    t0 = time.time()
+    base = np.asarray(ds.base_dev)
+    emit({"stage": "base-download", "seconds": round(time.time() - t0, 1),
+          "gb": round(base.nbytes / 1e9, 2)})
+
+    os.environ["SHINE_FASTBUILD_TIMING"] = "1"
+    params = HNSWParams(M=16, ef_construction=200)
+    t0 = time.time()
+    graph = fast_build_graph(base, params)
+    build_s = time.time() - t0
+    emit({"stage": "fastbuild", "seconds": round(build_s, 1),
+          "M": params.M})
+
+    idx = HNSWIndex(graph)
+    for ef in EFS:
+        sp = SearchParams(k=10, ef=ef, frontier=8)
+        ids, _ = idx.search(ds.queries, sp, batch_size=2048)
+        best = float("inf")
+        for _ in range(2):
+            t1 = time.time()
+            ids, _ = idx.search(ds.queries, sp, batch_size=2048)
+            best = min(best, time.time() - t1)
+        emit({"stage": "hnsw", "ef": ef, "qps": round(NQ / best, 1),
+              "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4)})
+
+
+if __name__ == "__main__":
+    main()

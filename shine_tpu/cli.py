@@ -194,7 +194,13 @@ def main(argv: list[str] | None = None) -> int:
         s.recall = recall_at_k(ids, gt, args.k)
     s.expansions = getattr(index_obj, "last_hops", 0)
     if s.expansions:
-        s.distance_computations = s.expansions * params.M_max0
+        # exact per-computation count from the traversal loop (valid
+        # candidate lanes actually scored — statistics.hh:152-158); the
+        # sharded path keeps the hops*M_max0 estimate (last_dists = 0)
+        s.distance_computations = (
+            getattr(index_obj, "last_dists", 0)
+            or s.expansions * params.M_max0
+        )
         s.hbm_gather_bytes = s.distance_computations * 4 * (ds.dim + 1)
     elif hasattr(index_obj, "cost_counters"):
         # dense-scan families: costs are analytic in the shapes

@@ -152,15 +152,16 @@ def _greedy_descent(
     cur_id: jnp.ndarray,  # (B,)
     cur_dist: jnp.ndarray,  # (B,)
     level: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy 1-NN walk on one upper level for the whole batch."""
+):
+    """Greedy 1-NN walk on one upper level for the whole batch.
+    Returns (id, dist, distance_computations) per query."""
 
     def cond(state):
-        _, _, moved = state
+        moved = state[2]
         return jnp.any(moved)
 
     def body(state):
-        cid, cdist, moved = state
+        cid, cdist, moved, dc = state
         rows = jnp.maximum(g.upper_row[jnp.maximum(cid, 0)], 0)
         nbrs = g.upper_neighbors[rows, level - 1]  # (B, M)
         nbrs = jnp.where(moved[:, None], nbrs, -1)  # idle queries gather nothing
@@ -173,17 +174,24 @@ def _greedy_descent(
             jnp.where(better, bi, cid),
             jnp.where(better, bd, cdist),
             better,
+            dc + (nbrs >= 0).sum(axis=1),
         )
 
-    init = (cur_id, cur_dist, jnp.ones_like(cur_id, dtype=jnp.bool_))
-    cid, cdist, _ = jax.lax.while_loop(cond, body, init)
-    return cid, cdist
+    init = (
+        cur_id, cur_dist, jnp.ones_like(cur_id, dtype=jnp.bool_),
+        jnp.zeros_like(cur_id),
+    )
+    cid, cdist, _, dc = jax.lax.while_loop(cond, body, init)
+    return cid, cdist, dc
 
 
 class _BeamState(NamedTuple):
     beam: Beam
     step: jnp.ndarray
-    hops: jnp.ndarray  # (B,) expansions per query (distcomp-style counter)
+    hops: jnp.ndarray  # (B,) expansions per query
+    dists: jnp.ndarray  # (B,) EXACT distance computations (valid candidate
+    # lanes actually scored — the reference's per-computation counter,
+    # statistics.hh:152-158; hops * M_max0 overcounts masked/dedup lanes)
 
 
 def _beam_search_l0(
@@ -193,7 +201,7 @@ def _beam_search_l0(
     ep_id: jnp.ndarray,  # (B,)
     ep_dist: jnp.ndarray,  # (B,)
     sp: SearchParams,
-) -> tuple[Beam, jnp.ndarray]:
+):
     return _beam_search_l0_seeded(
         g, q_ext, bias, ep_id[:, None], ep_dist[:, None], sp
     )
@@ -222,11 +230,16 @@ def _beam_search_l0_seeded(
         nbrs = jnp.where(active[:, :, None], nbrs, -1).reshape(B, -1)
         d = _dist_ext(g, q_ext, bias, nbrs, use_pallas=sp.pallas_gather)
         beam = beam_merge(beam, d, nbrs)
-        return _BeamState(beam, s.step + 1, s.hops + active.sum(axis=1))
+        return _BeamState(
+            beam, s.step + 1, s.hops + active.sum(axis=1),
+            s.dists + (nbrs >= 0).sum(axis=1),
+        )
 
-    init = _BeamState(beam, jnp.int32(0), jnp.zeros(B, jnp.int32))
+    init = _BeamState(
+        beam, jnp.int32(0), jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32)
+    )
     out = jax.lax.while_loop(cond, body, init)
-    return out.beam, out.hops
+    return out.beam, out.hops, out.dists
 
 
 @partial(
@@ -266,17 +279,26 @@ def batched_search(
         nd, sel = jax.lax.top_k(-du, m)
         seed_ids = g.upper_ids[sel]  # (B, m)
         seed_d = -nd
-        beam, hops = _beam_search_l0_seeded(g, q_ext, bias, seed_ids, seed_d, sp)
+        beam, hops, dc = _beam_search_l0_seeded(
+            g, q_ext, bias, seed_ids, seed_d, sp
+        )
+        # the dense entry tile scores every upper vertex per query
+        dc = dc + jnp.int32(g.upper_ids.shape[0])
     else:
         ep = jnp.broadcast_to(g.entry_point, (B,)).astype(jnp.int32)
         ep_dist = _dist_ext(g, q_ext, bias, ep[:, None])[:, 0]
+        dc = jnp.ones(B, jnp.int32)  # the entry-point distance
         for level in range(top_level, 0, -1):
-            ep, ep_dist = _greedy_descent(g, q_ext, bias, ep, ep_dist, level)
-        beam, hops = _beam_search_l0(g, q_ext, bias, ep, ep_dist, sp)
+            ep, ep_dist, d_lvl = _greedy_descent(
+                g, q_ext, bias, ep, ep_dist, level
+            )
+            dc = dc + d_lvl
+        beam, hops, d_l0 = _beam_search_l0(g, q_ext, bias, ep, ep_dist, sp)
+        dc = dc + d_l0
     ids = beam.ids[:, : sp.k]
     dists = beam.dists[:, : sp.k]
     if with_stats:
-        return ids, dists, hops
+        return ids, dists, hops, dc
     return ids, dists
 
 
@@ -319,13 +341,14 @@ class HNSWIndex:
         out_i = np.empty((nq, sp.k), dtype=np.int32)
         out_d = np.empty((nq, sp.k), dtype=np.float32)
         self.last_hops = 0
+        self.last_dists = 0  # exact distance computations (see _BeamState)
         for lo in range(0, nq, batch_size):
             hi = min(lo + batch_size, nq)
             chunk = queries[lo:hi]
             if hi - lo < batch_size:
                 pad = np.zeros((batch_size - (hi - lo), d), chunk.dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            ids, dd, hops = batched_search(
+            ids, dd, hops, dc = batched_search(
                 self.device,
                 jnp.asarray(chunk),
                 top_level=self.top_level,
@@ -336,4 +359,5 @@ class HNSWIndex:
             out_i[lo:hi] = np.asarray(ids)[: hi - lo]
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
             self.last_hops += int(np.asarray(hops)[: hi - lo].sum())
+            self.last_dists += int(np.asarray(dc)[: hi - lo].sum())
         return out_i, out_d

@@ -114,3 +114,17 @@ def test_dataset_registry():
 
     with _pytest.raises(KeyError):
         dataset_defaults("nope")
+
+
+def test_exact_distance_counter(ds, graph):
+    """last_dists counts the candidate lanes actually scored — strictly
+    positive, and strictly below the old hops*M_max0 estimate (which
+    charged masked/dedup lanes too; reference counts per computation,
+    statistics.hh:152-158)."""
+    from shine_tpu.config import SearchParams
+    from shine_tpu.models import HNSWIndex
+
+    idx = HNSWIndex(graph)
+    idx.search(ds.queries[:64], SearchParams(k=10, ef=48), batch_size=64)
+    assert idx.last_hops > 0
+    assert 0 < idx.last_dists < idx.last_hops * graph.params.M_max0
