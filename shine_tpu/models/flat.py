@@ -414,7 +414,7 @@ class FastFlatIndex:
         kb: int = 0,
         batch_size: int = 4096,
         tq: int = 512,
-        cls: int = 1024,
+        cls: int = 0,
         preloaded=None,
         with_dists: bool = True,
         keep2: bool | None = None,
@@ -422,6 +422,10 @@ class FastFlatIndex:
         """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
         with dimension, so high-dim needs a bigger margin (measured:
         kb=32 holds 0.992 at d=128; d=960 needs kb=128 for 0.988).
+        cls=0 auto-sizes the class count: 2048 classes halve the
+        collision loss (~C(k,2)/cls) at identical QPS (measured at 200k:
+        0.9953 -> 0.9977, TPU_NOTES r3 'tune grid'), EXCEPT at ~1M+ rows
+        where keep2@cls=1024 is the measured-best regime.
         keep2=None auto-enables the per-class runner-up kernel once
         rows-per-class exceeds ~500 — the regime where single-slot bf16
         near-tie losses appear (measured: at 1M x 64 keep2 lifts recall
@@ -431,6 +435,8 @@ class FastFlatIndex:
         moves ~20 MB/s; recall-only callers save a transfer)."""
         if kb <= 0:
             kb = 32 if self.dim < 512 else 128
+        if cls <= 0:
+            cls = 1024 if keep2_auto(int(self.ext.shape[0]), 2048) else 2048
         if keep2 is None:
             keep2 = keep2_auto(int(self.ext.shape[0]), cls)
         out_i, out_d = _fast_flat_search_host(

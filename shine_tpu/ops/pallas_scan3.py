@@ -185,6 +185,12 @@ def classmax2_scan(
             jax.ShapeDtypeStruct((B, cls), jnp.float32),
             jax.ShapeDtypeStruct((B, cls), jnp.int32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # running state is (tq, cls) x4 f32/i32 in VMEM; the default
+            # 16 MB scoped cap rejects tq=1024 x cls>=1024 tilings that
+            # are otherwise profitable (fewer grid steps)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q_ext, ext)
 
@@ -216,5 +222,8 @@ def classmax_scan(
             jax.ShapeDtypeStruct((B, cls), jnp.float32),
             jax.ShapeDtypeStruct((B, cls), jnp.int32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(q_ext, ext)

@@ -246,14 +246,16 @@ class ShardedFastFlatIndex:
         kb: int = 32,
         batch_size: int = 4096,
         tq: int = 512,
-        cls: int = 1024,
+        cls: int = 0,
         keep2: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        if keep2 is None:
-            # same measured rule as FastFlatIndex.search, per shard (the
-            # scan and its near-tie losses are per-shard-local)
-            from shine_tpu.models.flat import keep2_auto
+        from shine_tpu.models.flat import keep2_auto
 
+        if cls <= 0:
+            # same measured auto-cls rule as FastFlatIndex.search, on the
+            # per-shard row count (the scan is shard-local)
+            cls = 1024 if keep2_auto(self.rows, 2048) else 2048
+        if keep2 is None:
             keep2 = keep2_auto(self.rows, cls)
         nq, d = queries.shape
         batch_size = min(batch_size, max(nq, 1))
@@ -270,8 +272,8 @@ class ShardedFastFlatIndex:
                 )
             else:
                 self._runs[key] = _make_search(
-                    self.mesh, k, kb, tq, cls, self.tn, self.metric,
-                    self.rows, self.interpret, keep2=keep2,
+                    self.mesh, k, kb, tq, cls, max(self.tn, cls),
+                    self.metric, self.rows, self.interpret, keep2=keep2,
                 )
         run = self._runs[key]
         rep = NamedSharding(self.mesh, P())
