@@ -65,7 +65,10 @@ def _device_select(
     vdev = jnp.asarray(vectors)
     sdev = jnp.asarray(sqn)
     B, C = cand.shape
-    batch = min(batch, B)
+    # bucket the batch to a power of two (floor 256) so the levels of a
+    # hierarchy share compiled select programs — the 1M build spent
+    # ~250 s compiling per-level shapes (axon compile service latency)
+    batch = min(batch, 1 << max(8, (B - 1).bit_length()))
 
     parts = []
     for lo in range(0, B, batch):
@@ -208,6 +211,11 @@ def fast_build_graph(
             return np.full((len(ids), cap), -1, np.int32)
         t0 = _time.perf_counter()
         cand, cd = _knn_candidates(vectors, ids, k, metric, interpret, mesh)
+        if cand.shape[1] < 2 * m_out:
+            # fixed candidate width across levels -> shared select compiles
+            pad = 2 * m_out - cand.shape[1]
+            cand = np.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+            cd = np.pad(cd, ((0, 0), (0, pad)), constant_values=np.inf)
         t1 = _time.perf_counter()
         # selection returns its own query distances (no O(n*C*M) host
         # id-matching pass — that was minutes at 1M rows on this 1-core
