@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""10M-row HNSW graph on chip (r3 stretch): device-resident fastbuild.
+
+The reference's core index is HNSW at 100M rows across 5 memory nodes
+(src/hnsw/hnsw.hh, memory_node.hh:112-125) — ~20M rows per node. This
+builds a 10M x 128 graph on ONE chip + one host core: layer-0 self-kNN
+as a fused device sweep (fastbuild._knn_device_sweep — only the (n, k)
+results cross the tunnel), selects against the resident base, host-side
+deterministic reverse merge, then serves it with batched_search.
+
+Env: SHINE_10MH_N (default 10_485_760), SHINE_10MH_D (128).
+Appends results/scale_10m_hnsw.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+N = int(os.environ.get("SHINE_10MH_N", 10_485_760))
+D = int(os.environ.get("SHINE_10MH_D", 128))
+NQ = 2048
+OUT = os.path.join(ROOT, "results", "scale_10m_hnsw.jsonl")
+
+
+def emit(rec: dict) -> None:
+    rec = {"n": N, "d": D, "nq": NQ, **rec}
+    print("#", json.dumps(rec), flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main() -> None:
+    from shine_tpu.config import HNSWParams, SearchParams
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.io.device_synth import device_synthetic_dataset
+    from shine_tpu.models import HNSWIndex
+    from shine_tpu.models.fastbuild import fast_build_graph
+
+    t0 = time.time()
+    ds = device_synthetic_dataset(
+        n=N, dim=D, num_queries=NQ, seed=29, gt_k=10
+    )
+    emit({"stage": "gen+gt", "seconds": round(time.time() - t0, 1)})
+
+    t0 = time.time()
+    base = np.asarray(ds.base_dev)  # host copy for the graph + selects
+    emit({"stage": "base-download", "seconds": round(time.time() - t0, 1),
+          "gb": round(base.nbytes / 1e9, 2)})
+
+    os.environ["SHINE_FASTBUILD_TIMING"] = "1"
+    params = HNSWParams(M=16, ef_construction=200)
+    t0 = time.time()
+    graph = fast_build_graph(base, params, base_dev=ds.base_dev)
+    build_s = time.time() - t0
+    emit({"stage": "fastbuild", "seconds": round(build_s, 1), "M": params.M})
+
+    del ds.base_dev  # free 5 GB HBM before the search graph uploads
+    idx = HNSWIndex(graph)
+    for ef in (64, 96, 128):
+        sp = SearchParams(k=10, ef=ef, frontier=8)
+        ids, _ = idx.search(ds.queries, sp, batch_size=2048)
+        best = float("inf")
+        for _ in range(2):
+            t1 = time.time()
+            ids, _ = idx.search(ds.queries, sp, batch_size=2048)
+            best = min(best, time.time() - t1)
+        emit({"stage": "hnsw", "ef": ef, "qps": round(NQ / best, 1),
+              "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4)})
+
+
+if __name__ == "__main__":
+    main()

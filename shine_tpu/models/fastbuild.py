@@ -47,8 +47,8 @@ def _select_batch(vdev, sdev, ci, cd, *, M_out, metric, with_dists=False):
 
 
 def _device_select(
-    vectors: np.ndarray,
-    sqn: np.ndarray,
+    vectors,
+    sqn,
     node_ids: np.ndarray,  # (B,) query nodes
     cand: np.ndarray,  # (B, C) candidate ids sorted by (dist, id), -1 pad
     cand_d: np.ndarray,  # (B, C)
@@ -61,9 +61,12 @@ def _device_select(
     n_sel (B,)[, sel_d (B, M_out)]). Batches dispatch asynchronously; one
     transfer at the end (tunnel round trips cost ~50-100 ms each,
     docs/TPU_NOTES.md). The select program is a module-level jit so it
-    compiles once per (shape, M_out, metric) across all calls."""
-    vdev = jnp.asarray(vectors)
-    sdev = jnp.asarray(sqn)
+    compiles once per (shape, M_out, metric) across all calls.
+    vectors/sqn may already be device arrays (the 10M device build —
+    re-uploading a 5 GB base per level would cost minutes on the
+    tunnel)."""
+    vdev = vectors if isinstance(vectors, jnp.ndarray) else jnp.asarray(vectors)
+    sdev = sqn if isinstance(sqn, jnp.ndarray) else jnp.asarray(sqn)
     B, C = cand.shape
     # bucket the batch to a power of two (floor 256) so the levels of a
     # hierarchy share compiled select programs — the 1M build spent
@@ -132,6 +135,55 @@ def _knn_candidates(
     return gi.astype(np.int32), dd.astype(np.float32)
 
 
+def _knn_device_sweep(
+    base_dev, k: int, metric: int, *, batch: int = 4096,
+    interpret: bool = False, flush_every: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Self-kNN of a DEVICE-resident base via the fused class-max scan —
+    the layer-0 stage of the 10M-scale graph build. The base is both
+    table and query set, so nothing crosses the tunnel except the
+    (n, k+1) results, downloaded in bounded flushes. Returns global-id
+    (cand (n, k), dists) with self-matches removed."""
+    from shine_tpu.models.flat import FastFlatIndex, fast_flat_search_at
+
+    idx = FastFlatIndex.from_device(base_dev, metric=metric)
+    idx.interpret = interpret
+    n = int(idx.n)
+    assert n % batch == 0, "device sweep wants batch | n"
+    kb = max(k + 17, 48)
+    out_i = np.empty((n, k + 1), np.int32)
+    out_d = np.empty((n, k + 1), np.float32)
+    q_dev = idx.vectors
+    buf: list = []
+
+    def flush():
+        for lo_, (dd_, ii_) in buf:
+            out_d[lo_: lo_ + batch] = np.asarray(dd_)
+            out_i[lo_: lo_ + batch] = np.asarray(ii_)
+        buf.clear()
+
+    tq = 128 if interpret else 512
+    for lo in range(0, n, batch):
+        dd, ii = fast_flat_search_at(
+            idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
+            k=k + 1, kb=kb, tq=tq, tn=1024, cls=1024, metric=metric,
+            batch=batch, interpret=interpret, n=n,
+        )
+        buf.append((lo, (dd, ii)))
+        if len(buf) >= flush_every:
+            flush()
+    flush()
+    # drop self matches, re-sort by (dist, id), keep k
+    local = np.arange(n)[:, None]
+    self_hit = out_i == local
+    out_d = np.where(self_hit, np.inf, out_d)
+    out_i = np.where(self_hit, -1, out_i)
+    order = np.lexsort((np.where(out_i < 0, 2**31 - 1, out_i), out_d), axis=1)
+    out_i = np.take_along_axis(out_i, order, axis=1)[:, :k]
+    out_d = np.take_along_axis(out_d, order, axis=1)[:, :k]
+    return out_i.astype(np.int32), out_d.astype(np.float32)
+
+
 def _reverse_merge(
     fwd_sel: np.ndarray,  # (n, M) selected forward edges (global ids)
     fwd_d: np.ndarray,  # (n, M) their distances
@@ -185,8 +237,14 @@ def fast_build_graph(
     level_cap: int = 12,
     interpret: bool = False,
     mesh=None,
+    base_dev=None,
 ) -> GraphSoA:
-    """Construct a GraphSoA at scan speed (see module docstring)."""
+    """Construct a GraphSoA at scan speed (see module docstring).
+
+    base_dev: an already-device-resident copy of `vectors` (10M-scale
+    builds: the layer-0 self-kNN runs as a device sweep with only the
+    (n, k) results crossing the tunnel, and the select stages reuse the
+    resident base instead of re-uploading 5 GB per level)."""
     params = params or HNSWParams()
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     n, d = vectors.shape
@@ -195,6 +253,14 @@ def fast_build_graph(
     sqn = (vectors * vectors).sum(-1).astype(np.float32)
     if metric != METRIC_L2:
         sqn = np.zeros(n, np.float32)
+    vsel, ssel = vectors, sqn
+    if base_dev is not None:
+        vsel = base_dev.astype(jnp.float32)
+        ssel = (
+            jnp.sum(vsel * vsel, axis=-1)
+            if metric == METRIC_L2
+            else jnp.zeros(n, jnp.float32)
+        )
 
     levels = np.minimum(draw_levels(n, params), level_cap)
     levels[0] = max(levels[0], levels.max())  # deterministic top at node 0
@@ -210,7 +276,13 @@ def fast_build_graph(
         if k <= 0:
             return np.full((len(ids), cap), -1, np.int32)
         t0 = _time.perf_counter()
-        cand, cd = _knn_candidates(vectors, ids, k, metric, interpret, mesh)
+        if base_dev is not None and len(ids) == n:
+            cand, cd = _knn_device_sweep(
+                base_dev, k, metric, interpret=interpret
+            )
+        else:
+            cand, cd = _knn_candidates(vectors, ids, k, metric, interpret,
+                                       mesh)
         if cand.shape[1] < 2 * m_out:
             # fixed candidate width across levels -> shared select compiles
             pad = 2 * m_out - cand.shape[1]
@@ -221,13 +293,13 @@ def fast_build_graph(
         # id-matching pass — that was minutes at 1M rows on this 1-core
         # host); reverse capping consumes them directly
         sel, _, sel_d = _device_select(
-            vectors, sqn, ids, cand, cd, m_out, metric, with_dists=True
+            vsel, ssel, ids, cand, cd, m_out, metric, with_dists=True
         )
         t2 = _time.perf_counter()
         merged, md = _reverse_merge(sel, sel_d, ids, cap_c=cap + m_out)
         t3 = _time.perf_counter()
         out, n_out = _device_select(
-            vectors, sqn, ids, merged, md, cap, metric
+            vsel, ssel, ids, merged, md, cap, metric
         )
         if timing:
             import sys as _sys

@@ -202,3 +202,24 @@ def test_dynamic_sharded_matches_single(ds):
     gt, _ = brute_force_knn(base, ds.queries, 10)
     ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=64)
     assert recall_at_k(ids, gt, 10) > 0.93
+
+
+def test_fast_build_graph_device_base():
+    """The device-resident build path (base_dev=): layer-0 self-kNN runs
+    as the fused device sweep, selects reuse the resident base — recall
+    must match the host-path build within noise (the 10M-scale path)."""
+    import jax.numpy as jnp
+
+    from shine_tpu.io import synthetic_dataset
+    from shine_tpu.models.fastbuild import fast_build_graph
+
+    ds = synthetic_dataset(n=8192, dim=16, num_queries=100, seed=21)
+    p = HNSWParams(M=8, ef_construction=50)
+    g = fast_build_graph(
+        ds.base, p, interpret=True, base_dev=jnp.asarray(ds.base)
+    )
+    g.validate()
+    idx = HNSWIndex(g)
+    ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=100)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r > 0.9, r
