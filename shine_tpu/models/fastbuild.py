@@ -323,11 +323,19 @@ def fast_build_graph(
     from scipy.sparse import csr_matrix
     from scipy.sparse.csgraph import connected_components
 
-    src = np.repeat(np.arange(n), neighbors0.shape[1])
-    dst = neighbors0.reshape(-1)
-    ok = dst >= 0
+    # neighbors0 is already row-major adjacency: build the CSR directly
+    # (indptr from valid-degree cumsum). The COO route (coo_matrix +
+    # implicit sort/dedup) took ~50 min at 10M x 32 edges on this 1-core
+    # host; this is seconds.
+    flat = neighbors0.reshape(-1)
+    ok = flat >= 0
+    deg = ok.reshape(n, -1).sum(axis=1)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
     adj = csr_matrix(
-        (np.ones(ok.sum(), np.int8), (src[ok], dst[ok])), shape=(n, n)
+        (np.ones(int(indptr[-1]), np.int8), flat[ok].astype(np.int64),
+         indptr),
+        shape=(n, n),
     )
     n_comp, comp = connected_components(adj, directed=True, connection="weak")
     covered = np.zeros(n_comp, bool)
