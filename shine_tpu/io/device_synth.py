@@ -350,8 +350,10 @@ def device_rowkeyed_ext_dataset(
     over a mesh (mesh=...). The returned dataset carries `row_source`
     (key, centers) for search-time exact regen re-ranking.
     """
-    n = -(-n // 4096) * 4096
     S = mesh.devices.size if mesh is not None else 1
+    # per-shard row counts must stay multiples of the 4096 scan quantum
+    # (ShardedFastFlatIndex.from_ext asserts n_pad % (4096 * S))
+    n = -(-n // (4096 * S)) * 4096 * S
     while n % (rchunk * S) or rchunk > n // S:
         rchunk //= 2
         if rchunk == 0:

@@ -125,3 +125,16 @@ def test_sharded_capacity_bf16_rerank_path():
     ids, dists = cap.search(ds.queries, 10, kb=32, tq=64, batch_size=64)
     assert recall_at_k(ids, ds.ground_truth, 10) > 0.9
     assert np.all(np.diff(dists, axis=1) >= -1e-2)
+
+
+def test_rowkeyed_mesh_rounds_to_shard_quantum():
+    """mesh ingestion must round n so every shard's slice is a multiple
+    of the 4096 scan quantum (from_ext asserts it)."""
+    mesh = shard_mesh(8)
+    ds = device_rowkeyed_ext_dataset(
+        n=4096 * 6, dim=8, num_queries=16, seed=1, rchunk=1024, mesh=mesh
+    )
+    assert ds.n % (4096 * 8) == 0
+    cap = ShardedFastFlatIndex.from_ext(ds.ext_dev, ds.n, mesh, dim=8)
+    ids, _ = cap.search(ds.queries, 5, kb=16, tq=16, batch_size=16)
+    assert recall_at_k(ids, ds.ground_truth, 5) > 0.9
