@@ -85,30 +85,76 @@ def _make_routed_search(
         neg, cols = jax.lax.top_k(-minpos, P)  # (G, P) global cluster ids
         colmask = neg > -(2**30)
 
-        # owned lanes only: foreign lanes read block 0 and mask to -1
-        # (round-robin ownership, see ShardedIVFIndex.__init__)
+        # owned lanes COMPACTED (round-robin ownership, see __init__):
+        # each shard packs the union columns it owns into PL ~ P/S * slack
+        # lanes per tile and scans only those; overflow re-queues exactly
+        # (the per-query compact path's pattern at tile granularity)
         my = jax.lax.axis_index(SHARD_AXIS)
         mine = colmask & ((cols % S) == my)
-        safe = jnp.clip(cols // S, 0, C_loc - 1)
-        blk = blocks[safe]  # (G, P, cap, d) bf16
-        sqs = block_sq[safe]
-        ids = jnp.where(mine[..., None], block_ids[safe], -1)
-        qf = q_s.reshape(G, T, d)
-        dots = jnp.einsum(
-            "gtd,gpcd->gtpc", qf.astype(jnp.bfloat16), blk,
-            preferred_element_type=jnp.float32,
+        local = cols // S
+        PL = max(1, -(-int(P * 2.0) // S))
+        qf = q_s.reshape(G, T, d).astype(jnp.bfloat16)
+        qn_t = qn_s.reshape(G, T)
+        rowg = jnp.arange(G, dtype=jnp.int32)[:, None]
+
+        def cond(state):
+            todo = state[0].any().astype(jnp.int32)
+            return jax.lax.psum(todo, SHARD_AXIS) > 0
+
+        def body(state):
+            pending, bd, bi, rounds = state
+            rank = jnp.cumsum(pending.astype(jnp.int32), axis=1) - 1
+            take = pending & (rank < PL)
+            slot = jnp.where(take, rank, PL)
+            ccols = (
+                jnp.zeros((G, PL + 1), jnp.int32)
+                .at[rowg, slot]
+                .set(jnp.where(take, local, 0), mode="drop")[:, :PL]
+            )
+            valid = (
+                jnp.zeros((G, PL + 1), bool)
+                .at[rowg, slot]
+                .set(take, mode="drop")[:, :PL]
+            )
+            blk = blocks[ccols]  # (G, PL, cap, d)
+            sqs = block_sq[ccols]
+            ids = jnp.where(valid[..., None], block_ids[ccols], -1)
+            dots = jnp.einsum(
+                "gtd,gpcd->gtpc", qf, blk,
+                preferred_element_type=jnp.float32,
+            )
+            if metric == METRIC_L2:
+                dd = qn_t[..., None, None] - 2.0 * dots + sqs[:, None]
+            else:
+                dd = 1.0 - dots
+            dd = jnp.where(
+                ids[:, None] >= 0, dd, jnp.inf
+            ).reshape(G, T, PL * cap)
+            fid = jnp.broadcast_to(
+                ids.reshape(G, 1, PL * cap), (G, T, PL * cap)
+            )
+            md = jnp.concatenate([bd, dd], axis=-1)
+            mi = jnp.concatenate([bi, fid], axis=-1)
+            nd, sel = jax.lax.top_k(-md, kk)
+            return (
+                pending & ~take,
+                -nd,
+                jnp.take_along_axis(mi, sel, axis=-1),
+                rounds + 1,
+            )
+
+        init = (
+            mine,
+            jnp.full((G, T, kk), jnp.inf, jnp.float32),
+            jnp.full((G, T, kk), -1, jnp.int32),
+            jnp.int32(0),
         )
-        if metric == METRIC_L2:
-            dd = qn_s.reshape(G, T)[..., None, None] - 2.0 * dots + sqs[:, None]
-        else:
-            dd = 1.0 - dots
-        dd = jnp.where(ids[:, None] >= 0, dd, jnp.inf).reshape(G, T, P * cap)
-        fid = jnp.broadcast_to(ids.reshape(G, 1, P * cap), (G, T, P * cap))
-        nd, sel = jax.lax.top_k(-dd, kk)
-        cand = jnp.take_along_axis(fid, sel, axis=-1).reshape(B, kk)
+        _, bd, bi, rounds = jax.lax.while_loop(cond, body, init)
+        nd = -bd.reshape(B, kk)
+        cand = bi.reshape(B, kk)
         # merge per-shard survivors (each global survivor is in its owning
         # shard's top-kk, so the union contains the global top-kk)
-        all_d = jax.lax.all_gather(-nd.reshape(B, kk), SHARD_AXIS)  # (S, B, kk)
+        all_d = jax.lax.all_gather(-nd, SHARD_AXIS)  # (S, B, kk)
         all_i = jax.lax.all_gather(cand, SHARD_AXIS)
         all_d = jnp.moveaxis(all_d, 0, 1).reshape(B, S * kk)
         all_i = jnp.moveaxis(all_i, 0, 1).reshape(B, S * kk)
