@@ -50,7 +50,9 @@ def main() -> None:
             ds.queries, total=NQ, alpha=alpha, warmup=0, seed=3
         )
         gt = ds.ground_truth[pool_idx]
-        for exchange in ("dense", "compact"):
+        for exchange, adaptive in (
+            ("dense", False), ("compact", False), ("compact", True)
+        ):
             for routing, cache_ratio in (
                 (None, 0.0),
                 (None, 0.15),
@@ -61,12 +63,13 @@ def main() -> None:
                     cache_capacity=int(cache_ratio * N),
                     routing=routing or False,
                 )
-                sp = SearchParams(k=10, ef=64, exchange=exchange)
+                sp = SearchParams(k=10, ef=64, exchange=exchange,
+                                  adaptive_slack=adaptive)
                 ids, _ = idx.search(q, sp, batch_size=256)
                 r = recall_at_k(ids, gt, 10)
                 tot = idx.cache_hits + idx.cache_misses
                 row = {
-                    "exchange": exchange,
+                    "exchange": exchange + ("+adaptive" if adaptive else ""),
                     "routing": routing or "none",
                     "cache_ratio": cache_ratio,
                     "zipf": alpha,
