@@ -55,11 +55,6 @@ def main() -> None:
     )
     emit({"stage": "gen+gt", "seconds": round(time.time() - t0, 1)})
 
-    t0 = time.time()
-    base = np.asarray(ds.base_dev)  # host copy for the graph + selects
-    emit({"stage": "base-download", "seconds": round(time.time() - t0, 1),
-          "gb": round(base.nbytes / 1e9, 2)})
-
     os.environ["SHINE_FASTBUILD_TIMING"] = "1"
     params = HNSWParams(M=16, ef_construction=200)
     ckpt = os.path.join(ROOT, ".bench_cache", f"hnsw10m_{N}x{D}.npz")
@@ -69,6 +64,11 @@ def main() -> None:
         graph = load_graph(ckpt)
         emit({"stage": "fastbuild", "seconds": 0.0, "loaded": ckpt})
     else:
+        t0 = time.time()
+        base = np.asarray(ds.base_dev)  # host copy for the graph + selects
+        emit({"stage": "base-download",
+              "seconds": round(time.time() - t0, 1),
+              "gb": round(base.nbytes / 1e9, 2)})
         t0 = time.time()
         graph = fast_build_graph(base, params, base_dev=ds.base_dev)
         build_s = time.time() - t0

@@ -35,6 +35,12 @@ from shine_tpu.ops.beam import (
 )
 from shine_tpu.ops.distance import DIST_PRECISION, squared_norms
 
+# dense-entry sweep chunk: above this many upper vertices the one-shot
+# (B, U) f32 tile is HBM-expensive (10M rows -> U=655k -> 5.4 GB, which
+# OOMed the 10M graph's search program), so the entry stage streams
+# U-chunks with a running top-m instead
+ENTRY_UCHUNK = 131_072
+
 
 class DeviceGraph(NamedTuple):
     """Device-resident SoA graph (a pytree — jit/shard_map friendly).
@@ -265,19 +271,58 @@ def batched_search(
         )
     q_ext, bias = _extend_query(q, metric, g.vectors_ext.shape[1])
     if sp.entry_mode == "dense":
-        # dense entry: one (B, U) MXU tile over the upper-level vertices
+        # dense entry: a (B, U) MXU sweep over the upper-level vertices
         # finds the *globally* nearest entry — a strictly better seed than
         # the reference's greedy descent (which can stop at a local
         # optimum), at negligible MXU cost (U ~ N/M rows). The descent
         # loops (and their per-iteration overhead) disappear entirely.
-        dots = jax.lax.dot_general(
-            q_ext, g.upper_vecs_ext, (((1,), (1,)), ((), ())),
-            precision=DIST_PRECISION, preferred_element_type=jnp.float32,
-        )  # (B, U)
-        du = bias[:, None] + dots
-        m = min(sp.entry_seeds, g.upper_ids.shape[0])
-        nd, sel = jax.lax.top_k(-du, m)
-        seed_ids = g.upper_ids[sel]  # (B, m)
+        # Above ~128k upper vertices the one-shot (B, U) f32 tile is
+        # HBM-expensive (10M rows -> U=655k -> 5.4 GB; it OOMed the 10M
+        # graph), so the sweep streams U-chunks with a running top-m.
+        U = g.upper_ids.shape[0]
+        m = min(sp.entry_seeds, U)
+        UCHUNK = ENTRY_UCHUNK
+        if U <= UCHUNK:
+            dots = jax.lax.dot_general(
+                q_ext, g.upper_vecs_ext, (((1,), (1,)), ((), ())),
+                precision=DIST_PRECISION, preferred_element_type=jnp.float32,
+            )  # (B, U)
+            du = bias[:, None] + dots
+            nd, sel = jax.lax.top_k(-du, m)
+            seed_ids = g.upper_ids[sel]  # (B, m)
+        else:
+            num_c = -(-U // UCHUNK)
+
+            def entry_chunk(c, carry):
+                bd, bi = carry
+                lo = c * UCHUNK
+                blk = jax.lax.dynamic_slice_in_dim(
+                    g.upper_vecs_ext, jnp.minimum(lo, U - UCHUNK), UCHUNK, 0
+                )
+                off = jnp.minimum(lo, U - UCHUNK)
+                dots = jax.lax.dot_general(
+                    q_ext, blk, (((1,), (1,)), ((), ())),
+                    precision=DIST_PRECISION,
+                    preferred_element_type=jnp.float32,
+                )
+                du = bias[:, None] + dots
+                idx = off + jax.lax.broadcasted_iota(
+                    jnp.int32, (B, UCHUNK), 1
+                )
+                all_d = jnp.concatenate([bd, du], axis=1)
+                all_i = jnp.concatenate([bi, idx], axis=1)
+                nd_, sel_ = jax.lax.top_k(-all_d, m)
+                return -nd_, jnp.take_along_axis(all_i, sel_, axis=1)
+
+            bd0 = jnp.full((B, m), jnp.inf, jnp.float32)
+            bi0 = jnp.zeros((B, m), jnp.int32)
+            nd, sel = jax.lax.fori_loop(
+                0, num_c, entry_chunk, (bd0, bi0)
+            )
+            # duplicate rows from the clamped tail window are harmless:
+            # the beam's id-dedup merge drops them
+            seed_ids = g.upper_ids[sel]
+            nd = -nd
         seed_d = -nd
         beam, hops, dc = _beam_search_l0_seeded(
             g, q_ext, bias, seed_ids, seed_d, sp

@@ -128,3 +128,30 @@ def test_exact_distance_counter(ds, graph):
     idx.search(ds.queries[:64], SearchParams(k=10, ef=48), batch_size=64)
     assert idx.last_hops > 0
     assert 0 < idx.last_dists < idx.last_hops * graph.params.M_max0
+
+
+def test_chunked_dense_entry_matches_oneshot(ds, graph):
+    """Above ENTRY_UCHUNK upper vertices the dense entry stage streams
+    chunks with a running top-m; forcing the chunked path on a small
+    graph must reproduce the one-shot results exactly."""
+    from shine_tpu.config import SearchParams
+    from shine_tpu.models import hnsw as hnsw_mod
+    from shine_tpu.models.hnsw import HNSWIndex
+
+    idx = HNSWIndex(graph)
+    sp = SearchParams(k=10, ef=48)
+    a, da = idx.search(ds.queries[:64], sp, batch_size=64)
+    old = hnsw_mod.ENTRY_UCHUNK
+    try:
+        hnsw_mod.ENTRY_UCHUNK = 64  # much smaller than U -> chunked sweep
+        # the constant isn't part of the jit cache key — force a retrace
+        hnsw_mod.batched_search.clear_cache()
+        idx2 = HNSWIndex(graph)
+        b, db = idx2.search(ds.queries[:64], sp, batch_size=64)
+    finally:
+        hnsw_mod.ENTRY_UCHUNK = old
+        hnsw_mod.batched_search.clear_cache()
+    np.testing.assert_array_equal(a, b)
+    # seed distances come from the chunked matmul's different reduction
+    # grouping (~1e-4 float noise); ids must still match exactly
+    np.testing.assert_allclose(da, db, rtol=1e-4, atol=1e-3)
