@@ -45,38 +45,44 @@ ENTRY_UCHUNK = 131_072
 class DeviceGraph(NamedTuple):
     """Device-resident SoA graph (a pytree — jit/shard_map friendly).
 
-    vectors_ext packs the squared norm as an extra trailing column
-    ([v | ||v||^2], zeros for IP), so one traversal step needs a single
-    row gather: with q_ext = [-2q | 1] the L2 distance is
-    ||q||^2 + q_ext . v_ext — sqnorms never need a second gather.
+    Rows are stored at their natural width d (no fused norm column: the
+    (8, 128) tile layout would pad d+1 to the next 128 lanes — a 2.0x
+    HBM + gather-byte tax whenever d % 128 == 0). One traversal step is
+    still a single row gather: the L2 norm term is recomputed from the
+    gathered row inside the distance fusion (_dist_ext).
     """
 
-    vectors_ext: jnp.ndarray  # (N, d+1) f32
+    vectors_ext: jnp.ndarray  # (N, d) f32 (lane_pad may widen with zeros)
     neighbors0: jnp.ndarray  # (N, 2M) i32
     upper_row: jnp.ndarray  # (N,) i32
     upper_neighbors: jnp.ndarray  # (U, L, M) i32
     entry_point: jnp.ndarray  # () i32
     upper_ids: jnp.ndarray  # (U,) i32 — global id of each upper vertex
-    upper_vecs_ext: jnp.ndarray  # (U, d+1) f32 — dense entry stage
+    upper_vecs_ext: jnp.ndarray  # (U, d) f32 — dense entry stage
 
     @property
     def n(self) -> int:
         return self.vectors_ext.shape[0]
 
-    # NOTE: the ext row may carry zero padding beyond column d+1 (lane_pad)
-
 
 def _extend_query(
     q: jnp.ndarray, metric: int, width: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(q_ext (B, width), bias (B,)): dist = bias + q_ext . v_ext."""
+    """(q_ext (B, width), bias (B,)): dist = bias + q_ext . v [+ ||v||^2].
+
+    Rows are stored UNpadded (width = d, or the lane_pad width): a fused
+    [v | ||v||^2] column made every row d+1 wide, which the TPU (8, 128)
+    tile layout pads to the next 128 lanes — a 2.0x HBM and gather-byte
+    tax at d % 128 == 0 (it OOMed the 10M graph). The norm term is
+    instead computed from the gathered row itself (_dist_ext) — zero
+    extra gathers, a VPU square-sum fused into the consumer."""
     B, d = q.shape
-    pad = jnp.zeros((B, width - d - 1), q.dtype)
+    pad = jnp.zeros((B, width - d), q.dtype)
     if metric == METRIC_L2:
-        q_ext = jnp.concatenate([-2.0 * q, jnp.ones((B, 1), q.dtype), pad], axis=1)
+        q_ext = jnp.concatenate([-2.0 * q, pad], axis=1)
         bias = jnp.sum(q * q, axis=-1)
     else:
-        q_ext = jnp.concatenate([-q, jnp.zeros((B, 1), q.dtype), pad], axis=1)
+        q_ext = jnp.concatenate([-q, pad], axis=1)
         bias = jnp.ones((B,), q.dtype)
     return q_ext, bias
 
@@ -88,13 +94,7 @@ def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGrap
     ops/pallas_gather.FLAT_ALIGN) so the Pallas row-DMA gather can fetch
     it (required for SearchParams(pallas_gather=True); an 8x row-size tax
     at d=128, ~6% at d=960)."""
-    vecs = jnp.asarray(graph.vectors, dtype=jnp.float32)
-    sq = (
-        squared_norms(vecs)
-        if graph.params.metric_id == METRIC_L2
-        else jnp.zeros((graph.n,), jnp.float32)
-    )
-    vectors_ext = jnp.concatenate([vecs, sq[:, None]], axis=1)
+    vectors_ext = jnp.asarray(graph.vectors, dtype=jnp.float32)
     if lane_pad:
         from shine_tpu.ops.pallas_gather import FLAT_ALIGN
 
@@ -125,9 +125,11 @@ def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGrap
 
 def _dist_ext(
     g: DeviceGraph, q_ext: jnp.ndarray, bias: jnp.ndarray, ids: jnp.ndarray,
-    use_pallas: bool = False,
+    use_pallas: bool = False, l2: bool = True,
 ) -> jnp.ndarray:
-    """(B, K) distances via one fused gather + einsum; inf where id<0."""
+    """(B, K) distances via one fused gather + einsum; inf where id<0.
+    For L2 the row norm is computed from the gathered row (no stored
+    norm column — see _extend_query; lane_pad zeros don't disturb it)."""
     safe = jnp.maximum(ids, 0)
     if use_pallas:
         from shine_tpu.ops.pallas_gather import gather_rows_pallas_flat
@@ -137,11 +139,13 @@ def _dist_ext(
             B, K, -1
         )
     else:
-        ve = g.vectors_ext[safe]  # (B, K, d+1)
+        ve = g.vectors_ext[safe]  # (B, K, d)
     dots = jnp.einsum(
         "bd,bkd->bk", q_ext, ve, precision=DIST_PRECISION,
         preferred_element_type=jnp.float32,
     )
+    if l2:
+        dots = dots + jnp.sum(ve * ve, axis=-1)
     return jnp.where(ids >= 0, bias[:, None] + dots, jnp.inf)
 
 
@@ -153,11 +157,12 @@ def _lex_better(d_new, i_new, d_old, i_old):
 
 def _greedy_descent(
     g: DeviceGraph,
-    q_ext: jnp.ndarray,  # (B, d+1)
+    q_ext: jnp.ndarray,  # (B, d)
     bias: jnp.ndarray,  # (B,)
     cur_id: jnp.ndarray,  # (B,)
     cur_dist: jnp.ndarray,  # (B,)
     level: int,
+    l2: bool = True,
 ):
     """Greedy 1-NN walk on one upper level for the whole batch.
     Returns (id, dist, distance_computations) per query."""
@@ -171,7 +176,7 @@ def _greedy_descent(
         rows = jnp.maximum(g.upper_row[jnp.maximum(cid, 0)], 0)
         nbrs = g.upper_neighbors[rows, level - 1]  # (B, M)
         nbrs = jnp.where(moved[:, None], nbrs, -1)  # idle queries gather nothing
-        d = _dist_ext(g, q_ext, bias, nbrs)
+        d = _dist_ext(g, q_ext, bias, nbrs, l2=l2)
         j = jnp.argmin(d, axis=1)
         bd = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
         bi = jnp.take_along_axis(nbrs, j[:, None], axis=1)[:, 0]
@@ -202,24 +207,26 @@ class _BeamState(NamedTuple):
 
 def _beam_search_l0(
     g: DeviceGraph,
-    q_ext: jnp.ndarray,  # (B, d+1)
+    q_ext: jnp.ndarray,  # (B, d)
     bias: jnp.ndarray,  # (B,)
     ep_id: jnp.ndarray,  # (B,)
     ep_dist: jnp.ndarray,  # (B,)
     sp: SearchParams,
+    l2: bool = True,
 ):
     return _beam_search_l0_seeded(
-        g, q_ext, bias, ep_id[:, None], ep_dist[:, None], sp
+        g, q_ext, bias, ep_id[:, None], ep_dist[:, None], sp, l2=l2
     )
 
 
 def _beam_search_l0_seeded(
     g: DeviceGraph,
-    q_ext: jnp.ndarray,  # (B, d+1)
+    q_ext: jnp.ndarray,  # (B, d)
     bias: jnp.ndarray,  # (B,)
     seed_ids: jnp.ndarray,  # (B, m)
     seed_d: jnp.ndarray,  # (B, m)
     sp: SearchParams,
+    l2: bool = True,
 ) -> tuple[Beam, jnp.ndarray]:
     B = q_ext.shape[0]
     E = sp.frontier
@@ -234,7 +241,8 @@ def _beam_search_l0_seeded(
         beam = beam_mark_expanded(s.beam, slots, active)
         nbrs = g.neighbors0[jnp.maximum(fids, 0)]  # (B, E, 2M)
         nbrs = jnp.where(active[:, :, None], nbrs, -1).reshape(B, -1)
-        d = _dist_ext(g, q_ext, bias, nbrs, use_pallas=sp.pallas_gather)
+        d = _dist_ext(g, q_ext, bias, nbrs, use_pallas=sp.pallas_gather,
+                      l2=l2)
         beam = beam_merge(beam, d, nbrs)
         return _BeamState(
             beam, s.step + 1, s.hops + active.sum(axis=1),
@@ -270,6 +278,7 @@ def batched_search(
             "pallas_gather needs a tile-padded graph: HNSWIndex(..., pallas=True)"
         )
     q_ext, bias = _extend_query(q, metric, g.vectors_ext.shape[1])
+    l2 = metric == METRIC_L2
     if sp.entry_mode == "dense":
         # dense entry: a (B, U) MXU sweep over the upper-level vertices
         # finds the *globally* nearest entry — a strictly better seed than
@@ -288,6 +297,8 @@ def batched_search(
                 precision=DIST_PRECISION, preferred_element_type=jnp.float32,
             )  # (B, U)
             du = bias[:, None] + dots
+            if l2:
+                du = du + squared_norms(g.upper_vecs_ext)[None, :]
             nd, sel = jax.lax.top_k(-du, m)
             seed_ids = g.upper_ids[sel]  # (B, m)
         else:
@@ -306,6 +317,8 @@ def batched_search(
                     preferred_element_type=jnp.float32,
                 )
                 du = bias[:, None] + dots
+                if l2:
+                    du = du + squared_norms(blk)[None, :]
                 idx = off + jax.lax.broadcasted_iota(
                     jnp.int32, (B, UCHUNK), 1
                 )
@@ -325,20 +338,22 @@ def batched_search(
             nd = -nd
         seed_d = -nd
         beam, hops, dc = _beam_search_l0_seeded(
-            g, q_ext, bias, seed_ids, seed_d, sp
+            g, q_ext, bias, seed_ids, seed_d, sp, l2=l2
         )
         # the dense entry tile scores every upper vertex per query
         dc = dc + jnp.int32(g.upper_ids.shape[0])
     else:
         ep = jnp.broadcast_to(g.entry_point, (B,)).astype(jnp.int32)
-        ep_dist = _dist_ext(g, q_ext, bias, ep[:, None])[:, 0]
+        ep_dist = _dist_ext(g, q_ext, bias, ep[:, None], l2=l2)[:, 0]
         dc = jnp.ones(B, jnp.int32)  # the entry-point distance
         for level in range(top_level, 0, -1):
             ep, ep_dist, d_lvl = _greedy_descent(
-                g, q_ext, bias, ep, ep_dist, level
+                g, q_ext, bias, ep, ep_dist, level, l2=l2
             )
             dc = dc + d_lvl
-        beam, hops, d_l0 = _beam_search_l0(g, q_ext, bias, ep, ep_dist, sp)
+        beam, hops, d_l0 = _beam_search_l0(
+            g, q_ext, bias, ep, ep_dist, sp, l2=l2
+        )
         dc = dc + d_l0
     ids = beam.ids[:, : sp.k]
     dists = beam.dists[:, : sp.k]
