@@ -29,6 +29,7 @@ from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 enable_compile_cache()
 
 N = int(os.environ.get("SHINE_10MH_N", 10_485_760))
+M = int(os.environ.get("SHINE_10MH_M", 16))
 D = int(os.environ.get("SHINE_10MH_D", 128))
 NQ = 2048
 OUT = os.path.join(ROOT, "results", "scale_10m_hnsw.jsonl")
@@ -56,8 +57,11 @@ def main() -> None:
     emit({"stage": "gen+gt", "seconds": round(time.time() - t0, 1)})
 
     os.environ["SHINE_FASTBUILD_TIMING"] = "1"
-    params = HNSWParams(M=16, ef_construction=200)
-    ckpt = os.path.join(ROOT, ".bench_cache", f"hnsw10m_{N}x{D}.npz")
+    params = HNSWParams(M=M, ef_construction=200)
+    ckpt = os.path.join(
+        ROOT, ".bench_cache",
+        f"hnsw10m_{N}x{D}.npz" if M == 16 else f"hnsw10m_{N}x{D}_m{M}.npz",
+    )
     if os.path.exists(ckpt):
         from shine_tpu.io import load_graph
 
