@@ -25,6 +25,7 @@ from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 enable_compile_cache()
 
 N, D, NQ = 10_485_760, 128, 2048
+M = int(os.environ.get("SHINE_10MH_M", 16))
 OUT = os.path.join(ROOT, "results", "scale_10m_hnsw.jsonl")
 
 
@@ -47,7 +48,10 @@ def main() -> None:
         n=N, dim=D, num_queries=NQ, seed=29, gt_k=10
     )
     emit({"stage": "gen+gt(eps)", "seconds": round(time.time() - t0, 1)})
-    ckpt = os.path.join(ROOT, ".bench_cache", f"hnsw10m_{N}x{D}.npz")
+    ckpt = os.path.join(
+        ROOT, ".bench_cache",
+        f"hnsw10m_{N}x{D}.npz" if M == 16 else f"hnsw10m_{N}x{D}_m{M}.npz",
+    )
     graph = load_graph(ckpt)
     idx = HNSWIndex(graph)
     for ef in (96, 128):
