@@ -30,7 +30,7 @@ OUT = os.path.join(ROOT, "results", "scale_10m_hnsw.jsonl")
 
 
 def emit(rec: dict) -> None:
-    rec = {"n": N, "d": D, "nq": NQ, **rec}
+    rec = {"n": N, "d": D, "nq": NQ, "m": M, **rec}
     print("#", json.dumps(rec), flush=True)
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
