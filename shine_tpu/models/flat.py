@@ -464,6 +464,304 @@ class FastFlatIndex:
         }
 
 
+class SplitFlatIndex:
+    """Near-exact brute force on the SPLIT layout (ops/pallas_scan_split):
+    lane-exact component table (bf16 or int8) + one f32 (nrm, scl) pair
+    per row, fused class-max scan + re-rank.
+
+    vs FastFlatIndex's packed ext rows at d % 128 == 0 this halves both
+    the HBM bytes AND the MXU work per row (dp 256 -> 128 at d=128 — the
+    norm columns forced a whole extra 128-lane tile), and the f32 norm
+    carries more precision than the residual-encoded bf16 column pair.
+    comp_dtype="int8" halves bytes again (136 B/row at d=128) for
+    ~3.8x FastFlatIndex capacity; pair with row_source regen re-rank
+    (exact f32) to keep the recall envelope.
+
+    Reference role: the serving-scale flat scan (the promoted
+    ground-truth oracle, compute_node.cc:578-600) at the reference's
+    100M-rows-per-cluster class on single chips.
+    """
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        metric: str | int = "l2",
+        *,
+        comp_dtype: str = "bf16",
+        shuffle: bool = True,
+        seed: int = 0,
+        interpret: bool = False,
+    ):
+        from shine_tpu.ops.pallas_scan_split import pack_split_tables
+
+        self.metric = metric_id(metric)
+        v = np.ascontiguousarray(vectors, dtype=np.float32)
+        n, d = v.shape
+        self.perm = None
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            self.perm = rng.permutation(n).astype(np.int32)
+            v = v[self.perm]
+        from shine_tpu.ops.pallas_scan_split import SPLIT_QUANTUM
+
+        n_pad = -(-n // SPLIT_QUANTUM) * SPLIT_QUANTUM
+        comp, aux = pack_split_tables(
+            v, self.metric, n_pad,
+            comp_dtype=np.int8 if comp_dtype == "int8" else np.float16,
+        )
+        self.comp = jnp.asarray(comp) if comp_dtype == "int8" else (
+            jnp.asarray(comp).astype(jnp.bfloat16)
+        )
+        self.aux = jnp.asarray(aux)
+        self.vectors = jnp.asarray(v)
+        sq = (v * v).sum(-1) if self.metric == METRIC_L2 else np.zeros(
+            n, np.float32
+        )
+        self.sqnorms = jnp.asarray(sq.astype(np.float32))
+        self.n, self.dim = n, d
+        self.comp_dtype = comp_dtype
+        self.interpret = interpret
+        self.row_source = None
+
+    @classmethod
+    def from_device(
+        cls,
+        v_dev,
+        metric: str | int = "l2",
+        *,
+        comp_dtype: str = "bf16",
+        keep_base: bool = True,
+    ) -> "SplitFlatIndex":
+        """Build from a device-resident base (n % 4096 == 0). With
+        keep_base=False the f32 base is dropped after packing (capacity
+        mode; re-rank falls back to the split tables unless a row_source
+        is attached afterwards)."""
+        from shine_tpu.ops.pallas_scan_split import (
+            NEG,
+            SPLIT_QUANTUM,
+            comp_width,
+            pack_split_device,
+        )
+
+        self = cls.__new__(cls)
+        self.metric = metric_id(metric)
+        n, d = v_dev.shape
+        if n % 4096:
+            raise ValueError("from_device requires n % 4096 == 0")
+        v = v_dev.astype(jnp.float32)
+        self.perm = None
+        self.comp, self.aux = pack_split_device(
+            v, metric=self.metric, dpc=comp_width(d),
+            int8=(comp_dtype == "int8"),
+        )
+        if n % SPLIT_QUANTUM:
+            pad = SPLIT_QUANTUM - n % SPLIT_QUANTUM
+            self.comp = jnp.concatenate(
+                [self.comp, jnp.zeros((pad, self.comp.shape[1]),
+                                      self.comp.dtype)]
+            )
+            aux_pad = jnp.concatenate([
+                jnp.full((1, pad), NEG, jnp.float32),
+                jnp.ones((1, pad), jnp.float32),
+            ])
+            self.aux = jnp.concatenate([self.aux, aux_pad], axis=1)
+        if keep_base:
+            self.vectors = v
+            sq = (
+                jnp.sum(v * v, axis=-1)
+                if self.metric == METRIC_L2
+                else jnp.zeros(n, jnp.float32)
+            )
+            self.sqnorms = sq.astype(jnp.float32)
+        else:
+            self.vectors = None
+            self.sqnorms = None
+        self.n, self.dim = n, d
+        self.comp_dtype = comp_dtype
+        self.interpret = False
+        self.row_source = None
+        return self
+
+    @classmethod
+    def from_parts(
+        cls,
+        comp_dev,
+        aux_dev,
+        n: int,
+        metric: str | int = "l2",
+        *,
+        dim: int | None = None,
+        row_source=None,
+    ) -> "SplitFlatIndex":
+        """Capacity mode: adopt pre-packed split tables (e.g. from
+        io/device_synth streaming ingestion). row_source=(key, centers)
+        switches re-ranking to EXACT f32 regen (regen_rerank_topk)."""
+        self = cls.__new__(cls)
+        self.metric = metric_id(metric)
+        n_pad, dpc = comp_dev.shape
+        assert n_pad % 4096 == 0 and n <= n_pad
+        assert aux_dev.shape == (2, n_pad)
+        self.comp = comp_dev
+        self.aux = aux_dev
+        self.vectors = None
+        self.sqnorms = None
+        self.perm = None
+        self.row_source = row_source
+        self.n = n
+        self.dim = dim if dim is not None else dpc
+        self.comp_dtype = "int8" if comp_dev.dtype == jnp.int8 else "bf16"
+        self.interpret = False
+        return self
+
+    preload = FastFlatIndex.preload
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        *,
+        kb: int = 0,
+        batch_size: int = 4096,
+        tq: int = 512,
+        cls: int = 0,
+        preloaded=None,
+        with_dists: bool = True,
+        keep2: bool | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Same defaults/auto-rules as FastFlatIndex.search (measured:
+        TPU_NOTES r3 'tune grid' + keep2_auto); int8 components widen
+        bf16-class score noise to ~s/127 per row, so int8 keeps the same
+        kb margin but leans on keep2 + exact regen re-rank for recall."""
+        if kb <= 0:
+            kb = 32 if self.dim < 512 else 128
+        if cls <= 0:
+            cls = 1024 if keep2_auto(int(self.comp.shape[0]), 2048) else 2048
+        if keep2 is None:
+            keep2 = keep2_auto(int(self.comp.shape[0]), cls)
+        nq, d = queries.shape
+        if self.interpret:
+            tq = min(tq, 128)
+        batch_size = max(tq, -(-min(batch_size, max(nq, 1)) // tq) * tq)
+        out_i = np.empty((nq, k), np.int32)
+        out_d = np.empty((nq, k), np.float32)
+        if preloaded is not None:
+            q_dev, nq_real = preloaded
+            assert nq_real == nq and q_dev.shape[0] % batch_size == 0
+            nq_pad = q_dev.shape[0]
+        else:
+            nq_pad = -(-nq // batch_size) * batch_size
+            q_all = np.zeros((nq_pad, d), np.float32)
+            q_all[:nq] = queries.astype(np.float32)
+            q_dev = jnp.asarray(q_all)
+        n_pad = int(self.comp.shape[0])
+        if self.interpret:
+            tn = max(1024, cls)
+        else:
+            # aux chunk slices need tn/cls % 8 == 0 (Mosaic sublane
+            # tiling); double up when that halves the chunk count
+            tn = 8 * cls
+            if tn < 16384 and n_pad % (2 * tn) == 0:
+                tn *= 2
+            if n_pad % tn:
+                raise ValueError(
+                    f"n_pad={n_pad} not divisible by tn={tn}; pad split "
+                    f"tables to SPLIT_QUANTUM or lower cls"
+                )
+        parts = []
+        for lo in range(0, nq_pad, batch_size):
+            parts.append(
+                split_flat_search_at(
+                    self.comp, self.aux, self.vectors, self.sqnorms,
+                    q_dev, lo, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
+                    metric=self.metric, batch=batch_size,
+                    interpret=self.interpret, keep2=keep2, n=self.n,
+                    row_source=self.row_source,
+                )
+            )
+        if len(parts) == 1:
+            all_d, all_i = parts[0]
+        else:
+            all_d = jnp.concatenate([p[0] for p in parts], axis=0)
+            all_i = jnp.concatenate([p[1] for p in parts], axis=0)
+        out_i[:] = np.asarray(all_i)[:nq]
+        if with_dists:
+            out_d[:] = np.asarray(all_d)[:nq]
+        else:
+            out_d.fill(0)
+        if self.perm is not None:
+            out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
+        return out_i, out_d
+
+    def cost_counters(self, nq: int, k: int = 10, *, kb: int = 0,
+                      batch_size: int = 4096) -> dict:
+        if kb <= 0:
+            kb = 32 if self.dim < 512 else 128
+        n_pad = int(self.comp.shape[0])
+        batches = -(-nq // max(batch_size, 1))
+        table = int(self.comp.nbytes) + int(self.aux.nbytes)
+        return {
+            "distance_computations": nq * n_pad + nq * kb,
+            "scanned_rows": nq * n_pad,
+            "hbm_gather_bytes": batches * table + nq * kb * self.dim * 4,
+            "ici_exchange_bytes": 0,
+        }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
+        "keep2", "n",
+    ),
+)
+def split_flat_search_at(
+    comp, aux, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric,
+    batch, interpret=False, keep2=False, n=0, row_source=None,
+):
+    """One fused program on the split layout: slice queries, pad to the
+    component lanes, class-max scan, select, re-rank."""
+    from shine_tpu.ops.pallas_scan_split import (
+        classmax_scan_split,
+        pack_split_query,
+    )
+
+    qj = jax.lax.dynamic_slice_in_dim(q_dev, lo, batch, 0)
+    q_pad = pack_split_query(qj, comp.shape[1])
+    out = classmax_scan_split(
+        comp, aux, q_pad, tq=tq, tn=tn, cls=cls, keep2=keep2,
+        interpret=interpret,
+    )
+    if keep2:
+        m1, a1, m2, a2 = out
+        kb_eff = min(kb, m1.shape[1])
+        _, sel = jax.lax.top_k(m1, kb_eff)
+        cand1 = jnp.take_along_axis(a1, sel, axis=1)
+        c2 = jnp.take_along_axis(a2, sel, axis=1)
+        v2 = jnp.take_along_axis(m2, sel, axis=1)
+        cand = jnp.concatenate(
+            [cand1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+        )
+    else:
+        m1, a1 = out
+        kb_eff = min(kb, m1.shape[1])
+        _, sel = jax.lax.top_k(m1, kb_eff)
+        cand = jnp.take_along_axis(a1, sel, axis=1)
+    limit = n or comp.shape[0]
+    cand = jnp.where(cand < limit, cand, -1)
+    if vectors is not None:
+        from shine_tpu.ops.distance import rerank_topk
+
+        return rerank_topk(vectors, sqnorms, qj, cand, k, metric)
+    if row_source is not None:
+        from shine_tpu.ops.distance import regen_rerank_topk
+
+        rkey, centers = row_source
+        return regen_rerank_topk(rkey, centers, qj, cand, k, metric)
+    from shine_tpu.ops.distance import rerank_topk_split
+
+    return rerank_topk_split(comp, aux, qj, cand, k, metric)
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -123,6 +123,41 @@ def rerank_topk_ext(
     return d[..., :k], ids[..., :k]
 
 
+def rerank_topk_split(
+    comp: jnp.ndarray,  # (N_pad, dpc) bf16 or int8 component table
+    aux: jnp.ndarray,  # (2, N_pad) f32: [0]=nrm, [1]=scl
+    queries: jnp.ndarray,  # (..., d) f32
+    cand_ids: jnp.ndarray,  # (..., K) i32, -1 pad
+    k: int,
+    metric: int = METRIC_L2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Re-rank from the split-layout tables (ops/pallas_scan_split.py)
+    when no f32 base is resident: distance = ||q||^2 - score with
+    score = scl[id] * <q, comp[id]> + nrm[id]. Precision is the component
+    storage (bf16 ~0.4%, int8 per-row ~s/127); use regen_rerank_topk for
+    exact re-ranking when the base is row-keyed."""
+    q = queries.astype(jnp.float32)
+    d = q.shape[-1]
+    safe = jnp.maximum(cand_ids, 0)
+    rows = comp[safe][..., :d].astype(jnp.float32)  # (..., K, d)
+    dots = jnp.einsum(
+        "...d,...kd->...k", q, rows, precision=DIST_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+    scores = aux[1][safe] * dots + aux[0][safe]
+    if metric == METRIC_IP:
+        dd = 1.0 - scores
+    else:
+        qn = jnp.sum(q * q, axis=-1)
+        dd = qn[..., None] - scores
+    dd = jnp.where(cand_ids >= 0, dd, jnp.inf)
+    key_i = jnp.where(cand_ids < 0, jnp.int32(2**31 - 1), cand_ids)
+    dd, _, ids = jax.lax.sort(
+        (dd, key_i, cand_ids), dimension=-1, num_keys=2
+    )
+    return dd[..., :k], ids[..., :k]
+
+
 def candidate_distance(
     queries: jnp.ndarray,  # (B, d)
     cand_vecs: jnp.ndarray,  # (B, K, d) gathered candidate rows

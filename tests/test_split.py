@@ -1,0 +1,191 @@
+"""Split-layout scan (ops/pallas_scan_split.py, models/flat.SplitFlatIndex):
+interpret mode on CPU; real lowering is exercised on TPU by bench runs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shine_tpu.config import METRIC_L2
+
+
+def _ref_scores(v, q, metric=METRIC_L2):
+    """Exact f32 scores on the same rounding the kernel applies (bf16
+    components, f32 norm)."""
+    vb = np.asarray(jnp.asarray(v).astype(jnp.bfloat16).astype(jnp.float32))
+    qb = np.asarray(jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32))
+    dots = qb @ vb.T
+    if metric == METRIC_L2:
+        return 2.0 * dots - (vb * vb).sum(1)[None, :]
+    return dots
+
+
+def test_classmax_scan_split_matches_numpy(rng):
+    from shine_tpu.ops.pallas_scan_split import (
+        classmax_scan_split,
+        pack_split_query,
+        pack_split_tables,
+    )
+
+    n, d, B = 4096, 64, 128
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(B, d)).astype(np.float32)
+    comp, aux = pack_split_tables(v, METRIC_L2, n)
+    cls, tn = 512, 1024
+    m1, a1 = classmax_scan_split(
+        jnp.asarray(comp).astype(jnp.bfloat16), jnp.asarray(aux),
+        pack_split_query(jnp.asarray(q), comp.shape[1]),
+        tq=128, tn=tn, cls=cls, interpret=True,
+    )
+    scores = _ref_scores(v, q)
+    # class of row r = r % cls under the strided layout
+    want = np.full((B, cls), -3e38, np.float32)
+    wrow = np.zeros((B, cls), np.int32)
+    for r in range(n):
+        c = r % cls
+        better = scores[:, r] > want[:, c]
+        wrow[:, c] = np.where(better, r, wrow[:, c])
+        want[:, c] = np.maximum(want[:, c], scores[:, r])
+    np.testing.assert_array_equal(np.asarray(a1), wrow)
+    np.testing.assert_allclose(np.asarray(m1), want, rtol=1e-5, atol=1e-3)
+
+
+def test_classmax_scan_split_keep2(rng):
+    from shine_tpu.ops.pallas_scan_split import (
+        classmax_scan_split,
+        pack_split_query,
+        pack_split_tables,
+    )
+
+    n, d, B, cls = 2048, 32, 128, 256
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(B, d)).astype(np.float32)
+    comp, aux = pack_split_tables(v, METRIC_L2, n)
+    m1, a1, m2, a2 = classmax_scan_split(
+        jnp.asarray(comp).astype(jnp.bfloat16), jnp.asarray(aux),
+        pack_split_query(jnp.asarray(q), comp.shape[1]),
+        tq=128, tn=512, cls=cls, keep2=True, interpret=True,
+    )
+    scores = _ref_scores(v, q)
+    m1n, m2n = np.asarray(m1), np.asarray(m2)
+    for b in range(0, B, 17):
+        for c in range(0, cls, 37):
+            col = scores[b, c::cls]
+            srt = np.sort(col)[::-1]
+            assert abs(srt[0] - m1n[b, c]) < 2e-3
+            assert abs(srt[1] - m2n[b, c]) < 2e-3
+    # runner-up never equals the winner row
+    assert not (np.asarray(a1) == np.asarray(a2)).all()
+
+
+def test_split_index_exact_rerank_recall(rng):
+    """bf16 components + exact f32 re-rank: recall ~1 vs brute force."""
+    from shine_tpu.io import recall_at_k, synthetic_dataset
+    from shine_tpu.models.flat import FlatIndex, SplitFlatIndex
+
+    ds = synthetic_dataset(n=6000, dim=48, num_queries=64, seed=3, gt_k=10)
+    idx = SplitFlatIndex(ds.base, interpret=True)
+    ids, dd = idx.search(ds.queries, 10, kb=16, cls=256, keep2=False)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r >= 0.97, r
+    # distances are the exact f32 distances of the returned ids
+    flat = FlatIndex(ds.base)
+    fi, fd = flat.search(ds.queries, 10)
+    match = (ids == fi)
+    np.testing.assert_allclose(dd[match], fd[match], rtol=1e-4, atol=1e-3)
+
+
+def test_split_index_int8_recall(rng):
+    """int8 components, exact f32 re-rank from the resident base: the
+    scan's candidate lists absorb the ~s/127 quantization noise."""
+    from shine_tpu.io import recall_at_k, synthetic_dataset
+    from shine_tpu.models.flat import SplitFlatIndex
+
+    ds = synthetic_dataset(n=6000, dim=48, num_queries=64, seed=5, gt_k=10)
+    idx = SplitFlatIndex(ds.base, comp_dtype="int8", interpret=True)
+    ids, _ = idx.search(ds.queries, 10, kb=24, cls=256, keep2=True)
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r >= 0.93, r
+
+
+def test_split_capacity_rerank_paths(rng):
+    """from_parts (no resident base): split-table re-rank, and the exact
+    regen re-rank when a row_source is attached."""
+    import jax
+
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.io.device_synth import regen_rows
+    from shine_tpu.models.flat import FlatIndex, SplitFlatIndex
+    from shine_tpu.ops.pallas_scan_split import (
+        comp_width,
+        pack_split_device,
+    )
+
+    key = jax.random.PRNGKey(11)
+    centers = jax.random.normal(
+        jax.random.PRNGKey(1), (8, 32), jnp.float32
+    ) * 4.0
+    n, d = 4096, 32
+    base = np.asarray(
+        regen_rows(key, centers, jnp.arange(n, dtype=jnp.int32))
+    )
+    q = base[rng.integers(0, n, 48)] + 0.3 * rng.normal(
+        size=(48, d)
+    ).astype(np.float32)
+    gt, _ = FlatIndex(base).search(q, 10)
+    comp, aux = pack_split_device(
+        jnp.asarray(base), metric=METRIC_L2, dpc=comp_width(d)
+    )
+    idx = SplitFlatIndex.from_parts(comp, aux, n, dim=d)
+    idx.interpret = True
+    ids, _ = idx.search(q, 10, kb=16, cls=256, keep2=False)
+    assert recall_at_k(ids, gt, 10) >= 0.95
+    # exact regen re-rank
+    idx2 = SplitFlatIndex.from_parts(
+        comp, aux, n, dim=d, row_source=(key, centers)
+    )
+    idx2.interpret = True
+    ids2, dd2 = idx2.search(q, 10, kb=16, cls=256, keep2=False)
+    assert recall_at_k(ids2, gt, 10) >= 0.97
+    # regen re-rank distances are exact f32 distances
+    fd, fi = FlatIndex(base).search(q, 10)[1], gt
+    match = ids2 == fi
+    np.testing.assert_allclose(dd2[match], fd[match], rtol=1e-4, atol=1e-3)
+
+
+def test_pack_split_device_matches_host(rng):
+    from shine_tpu.ops.pallas_scan_split import (
+        comp_width,
+        pack_split_device,
+        pack_split_tables,
+    )
+
+    n, d = 4096, 40
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    ch, ah = pack_split_tables(v, METRIC_L2, n)
+    cd, ad = pack_split_device(
+        jnp.asarray(v), metric=METRIC_L2, dpc=comp_width(d)
+    )
+    np.testing.assert_allclose(
+        np.asarray(cd.astype(jnp.float32)), ch, rtol=0, atol=0
+    )
+    np.testing.assert_allclose(np.asarray(ad), ah, rtol=1e-6, atol=1e-5)
+    # int8 variants agree too
+    ch8, ah8 = pack_split_tables(v, METRIC_L2, n, comp_dtype=np.int8)
+    cd8, ad8 = pack_split_device(
+        jnp.asarray(v), metric=METRIC_L2, dpc=comp_width(d), int8=True
+    )
+    assert cd8.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(cd8), ch8)
+    np.testing.assert_allclose(np.asarray(ad8), ah8, rtol=1e-5, atol=1e-5)
+
+
+def test_split_ip_metric(rng):
+    from shine_tpu.io import recall_at_k, synthetic_dataset
+    from shine_tpu.models.flat import SplitFlatIndex
+
+    ds = synthetic_dataset(
+        n=4096, dim=32, num_queries=48, seed=9, gt_k=10, metric="ip"
+    )
+    idx = SplitFlatIndex(ds.base, metric="ip", interpret=True)
+    ids, _ = idx.search(ds.queries, 10, kb=16, cls=256, keep2=False)
+    assert recall_at_k(ids, ds.ground_truth, 10) >= 0.95
