@@ -243,6 +243,151 @@ def device_synthetic_ext_dataset(
     )
 
 
+@dataclass
+class DeviceSplitDataset:
+    comp_dev: jnp.ndarray  # (n_pad, dpc) bf16 or int8 component table
+    aux_dev: jnp.ndarray  # (2, n_pad) f32: [0]=nrm, [1]=scl
+    n: int
+    queries: np.ndarray
+    ground_truth: np.ndarray | None
+    metric: str = "l2"
+    name: str = "device-split"
+    row_source: object = None  # (key, centers): exact per-id regen
+
+
+def device_rowkeyed_split_dataset(
+    n: int = 40_000_000,
+    dim: int = 128,
+    num_queries: int = 2048,
+    *,
+    metric: str = "l2",
+    comp_dtype: str = "int8",
+    num_clusters: int = 64,
+    seed: int = 0,
+    gt_k: int = 10,
+    rchunk: int = 131_072,
+    mesh=None,
+) -> DeviceSplitDataset:
+    """Row-keyed streaming ingestion into the SPLIT layout
+    (ops/pallas_scan_split.py): lane-exact bf16/int8 components + f32
+    (nrm, scl) — 264 B/row (bf16) or 136 B/row (int8) at d=128 vs the
+    packed ext table's 512, so one chip reaches ~60-100M rows. Same
+    bit-identical single-chip/sharded property as
+    device_rowkeyed_ext_dataset (rows are pure functions of
+    fold_in(key, global_id)); exact f32 GT folded during the stream;
+    `row_source` enables exact regen re-ranking at search time."""
+    from shine_tpu.ops.pallas_scan_split import (
+        SPLIT_QUANTUM,
+        comp_width,
+        pack_split_device,
+    )
+
+    S = mesh.devices.size if mesh is not None else 1
+    n = -(-n // (SPLIT_QUANTUM * S)) * SPLIT_QUANTUM * S
+    while n % (rchunk * S) or rchunk > n // S:
+        rchunk //= 2
+        if rchunk == 0:
+            raise ValueError(f"n={n} not tileable over {S} shards")
+    dpc = comp_width(dim)
+    int8 = comp_dtype == "int8"
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    centers = jax.random.normal(k0, (num_clusters, dim), jnp.float32) * 4.0
+    metric_l2 = metric != "ip"
+    metric_id_ = 0 if metric_l2 else 1
+
+    qidx = jax.random.randint(k2, (num_queries,), 0, n)
+    anchors = regen_rows(k1, centers, qidx, normalize=not metric_l2)
+    queries = anchors + 0.3 * jax.random.normal(
+        k3, (num_queries, dim), jnp.float32
+    )
+    if not metric_l2:
+        queries = queries / (
+            jnp.linalg.norm(queries, axis=1, keepdims=True) + 1e-30
+        )
+    queries = jax.device_put(np.asarray(queries))
+    qn = jnp.sum(queries * queries, axis=1)
+
+    def ingest_span(lo, n_loc):
+        def body(carry, c):
+            gt_d, gt_i = carry
+            ids = lo + c * rchunk + jnp.arange(rchunk, dtype=jnp.int32)
+            x = regen_rows(k1, centers, ids, normalize=not metric_l2)
+            sq = jnp.sum(x * x, axis=1)
+            dots = jax.lax.dot_general(
+                queries, x, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            dd = (
+                qn[:, None] - 2.0 * dots + sq[None, :]
+            ) if metric_l2 else (1.0 - dots)
+            all_d = jnp.concatenate([gt_d, dd], axis=1)
+            all_i = jnp.concatenate(
+                [gt_i, jnp.broadcast_to(ids[None, :], dd.shape)], axis=1
+            )
+            nd, sel = jax.lax.top_k(-all_d, gt_k)
+            comp_c, aux_c = pack_split_device(
+                x, metric=metric_id_, dpc=dpc, int8=int8, rchunk=rchunk
+            )
+            return (-nd, jnp.take_along_axis(all_i, sel, axis=1)), (
+                comp_c, aux_c
+            )
+
+        gt0 = (
+            jnp.full((num_queries, gt_k), jnp.inf, jnp.float32),
+            jnp.full((num_queries, gt_k), -1, jnp.int32),
+        )
+        (gt_d, gt_i), (comp, aux) = jax.lax.scan(
+            body, gt0, jnp.arange(n_loc // rchunk, dtype=jnp.int32)
+        )
+        # aux chunks stack as (chunks, 2, rchunk) -> (2, n_loc)
+        aux = jnp.moveaxis(aux, 1, 0).reshape(2, n_loc)
+        return comp.reshape(n_loc, dpc), aux, gt_d, gt_i
+
+    if mesh is None:
+        comp, aux, _, gt_i = jax.jit(
+            ingest_span, static_argnums=(0, 1)
+        )(0, n)
+        gt = np.asarray(gt_i)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from shine_tpu.parallel.mesh import SHARD_AXIS
+
+        n_loc = n // S
+
+        def spmd():
+            my = jax.lax.axis_index(SHARD_AXIS)
+            comp_loc, aux_loc, gt_d, gt_i = ingest_span(my * n_loc, n_loc)
+            all_d = jax.lax.all_gather(gt_d, SHARD_AXIS)
+            all_i = jax.lax.all_gather(gt_i, SHARD_AXIS)
+            all_d = jnp.moveaxis(all_d, 0, 1).reshape(num_queries, -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(num_queries, -1)
+            nd, sel = jax.lax.top_k(-all_d, gt_k)
+            return comp_loc, aux_loc, jnp.take_along_axis(all_i, sel, axis=1)
+
+        run = jax.jit(
+            jax.shard_map(
+                spmd, mesh=mesh, in_specs=(),
+                out_specs=(P(SHARD_AXIS), P(None, SHARD_AXIS), P()),
+                check_vma=False,
+            )
+        )
+        comp, aux, gt_i = run()
+        gt = np.asarray(gt_i)
+
+    return DeviceSplitDataset(
+        comp_dev=comp,
+        aux_dev=aux,
+        n=n,
+        queries=np.asarray(queries),
+        ground_truth=gt,
+        metric=metric,
+        name=f"device-rowkeyed-split-{n}x{dim}-{comp_dtype}",
+        row_source=(k1, centers),
+    )
+
+
 def streaming_eps_recall(
     ds: DeviceExtDataset,
     found_ids: np.ndarray,

@@ -148,6 +148,197 @@ def _make_search_ext(
     return run
 
 
+def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2):
+    """Per-shard split-layout class-max sweep -> local candidate rows
+    (ops/pallas_scan_split.py; tn follows the 8*cls Mosaic rule)."""
+    from shine_tpu.ops.pallas_scan_split import classmax_scan_split
+
+    n_loc = comp.shape[0]
+    if interpret:
+        tn = min(max(1024, cls), n_loc)
+    else:
+        tn = 8 * cls
+        if tn < 16384 and n_loc % (2 * tn) == 0:
+            tn *= 2
+    out = classmax_scan_split(
+        comp, aux, q_pad, tq=min(tq, B), tn=tn, cls=cls, keep2=keep2,
+        interpret=interpret,
+    )
+    if keep2:
+        m, r, m2, r2 = out
+        kb_eff = min(kb, m.shape[1])
+        _, sel = jax.lax.top_k(m, kb_eff)
+        c1 = jnp.take_along_axis(r, sel, axis=1)
+        c2 = jnp.take_along_axis(r2, sel, axis=1)
+        v2 = jnp.take_along_axis(m2, sel, axis=1)
+        return jnp.concatenate(
+            [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+        ), kb_eff
+    m, r = out
+    kb_eff = min(kb, m.shape[1])
+    _, sel = jax.lax.top_k(m, kb_eff)
+    return jnp.take_along_axis(r, sel, axis=1), kb_eff
+
+
+def _make_search_split(
+    mesh: Mesh, k: int, kb: int, tq: int, cls: int, metric: int,
+    rows_per_shard: int, interpret: bool, keep2: bool = False,
+    with_regen: bool = False,
+):
+    """Capacity-mode SPMD search on the SPLIT layout: each shard holds
+    its slice of the component table (bf16: 264 B/row, int8: 136 B/row
+    at d=128) + the f32 aux pair — per-chip capacity 2-3.8x the packed
+    ext layout, so an 8-chip slice reaches 500M-1B rows (the reference's
+    whole-cluster envelope is 100M, memory_node.hh:112-125). Re-rank is
+    split-table dequant or EXACT f32 regen via row_source."""
+    from shine_tpu.ops.distance import regen_rerank_topk, rerank_topk_split
+    from shine_tpu.ops.pallas_scan_split import pack_split_query
+
+    def spmd(comp, aux, queries, *rs):
+        B = queries.shape[0]
+        q = queries.astype(jnp.float32)
+        q_pad = pack_split_query(q, comp.shape[1])
+        cand_local, kb_eff = _local_scan_split(
+            comp, aux, q_pad, B, kb, tq, cls, interpret, keep2
+        )
+        cand_local = jnp.where(cand_local < comp.shape[0], cand_local, -1)
+        my = jax.lax.axis_index(SHARD_AXIS)
+        if with_regen:
+            rkey, centers = rs
+            gid = jnp.where(
+                cand_local >= 0, cand_local + my * rows_per_shard, -1
+            )
+            dd, gi = regen_rerank_topk(rkey, centers, q, gid, kb_eff, metric)
+        else:
+            dd, ii = rerank_topk_split(comp, aux, q, cand_local, kb_eff,
+                                       metric)
+            gi = jnp.where(ii >= 0, ii + my * rows_per_shard, -1)
+        return _merge_shards(dd, gi, k)
+
+    @jax.jit
+    def run(comp, aux, queries, *rs):
+        fn = jax.shard_map(
+            spmd,
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(None, SHARD_AXIS), P())
+            + (P(),) * len(rs),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(comp, aux, queries, *rs)
+
+    return run
+
+
+class ShardedSplitFlatIndex:
+    """Row-sharded capacity-mode k-NN on the split layout — the
+    100M-1B-class serving configuration (see _make_search_split)."""
+
+    def __init__(
+        self,
+        comp_dev,
+        aux_dev,
+        n: int,
+        mesh: Mesh,
+        metric: str | int = "l2",
+        *,
+        dim: int | None = None,
+        row_source=None,
+        interpret: bool | None = None,
+    ):
+        from shine_tpu.ops.pallas_scan_split import SPLIT_QUANTUM
+
+        self.metric = metric_id(metric)
+        self.mesh = mesh
+        S = mesh.devices.size
+        n_pad, dpc = comp_dev.shape
+        assert n_pad % (SPLIT_QUANTUM * S) == 0 and n <= n_pad
+        assert aux_dev.shape == (2, n_pad)
+        row_sh = NamedSharding(mesh, P(SHARD_AXIS))
+        aux_sh = NamedSharding(mesh, P(None, SHARD_AXIS))
+        self.comp = jax.device_put(comp_dev, row_sh)
+        self.aux = jax.device_put(aux_dev, aux_sh)
+        self.n = n
+        self.dim = dim if dim is not None else dpc
+        self.rows = n_pad // S
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        self.row_source = row_source
+        self._runs: dict = {}
+
+    @classmethod
+    def from_dataset(cls, ds, mesh: Mesh, **kw) -> "ShardedSplitFlatIndex":
+        """From io/device_synth.device_rowkeyed_split_dataset (already
+        mesh-sharded when built with mesh=...)."""
+        return cls(
+            ds.comp_dev, ds.aux_dev, ds.n, mesh, ds.metric,
+            row_source=ds.row_source, **kw,
+        )
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        *,
+        kb: int = 32,
+        batch_size: int = 4096,
+        tq: int = 512,
+        cls: int = 0,
+        keep2: bool | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        from shine_tpu.models.flat import keep2_auto
+
+        if cls <= 0:
+            cls = 1024 if keep2_auto(self.rows, 2048) else 2048
+        if keep2 is None:
+            keep2 = keep2_auto(self.rows, cls)
+        nq, d = queries.shape
+        batch_size = min(batch_size, max(nq, 1))
+        batch_size = max(tq, -(-batch_size // tq) * tq)
+        kb = max(kb, k)
+        key = (k, kb, tq, cls, batch_size, keep2)
+        if key not in self._runs:
+            self._runs[key] = _make_search_split(
+                self.mesh, k, kb, tq, cls, self.metric, self.rows,
+                self.interpret, keep2=keep2,
+                with_regen=self.row_source is not None,
+            )
+        run = self._runs[key]
+        rep = NamedSharding(self.mesh, P())
+        extra = tuple(self.row_source) if self.row_source is not None else ()
+        out_i = np.empty((nq, k), np.int32)
+        out_d = np.empty((nq, k), np.float32)
+        for lo in range(0, nq, batch_size):
+            hi = min(lo + batch_size, nq)
+            q = queries[lo:hi].astype(np.float32)
+            if hi - lo < batch_size:
+                q = np.concatenate(
+                    [q, np.zeros((batch_size - (hi - lo), d), np.float32)]
+                )
+            qd = jax.device_put(jnp.asarray(q), rep)
+            dd, ii = run(self.comp, self.aux, qd, *extra)
+            out_d[lo:hi] = np.asarray(dd)[: hi - lo]
+            out_i[lo:hi] = np.asarray(ii)[: hi - lo]
+        out_i = np.where(out_i < self.n, out_i, -1)
+        return out_i, out_d
+
+    def cost_counters(self, nq: int, k: int = 10, *, kb: int = 32,
+                      batch_size: int = 4096) -> dict:
+        S = self.mesh.devices.size
+        n_pad = int(self.comp.shape[0])
+        batches = -(-nq // max(batch_size, 1))
+        table = int(self.comp.nbytes) + int(self.aux.nbytes)
+        return {
+            "distance_computations": nq * n_pad + nq * kb * S,
+            "scanned_rows": nq * n_pad,
+            "hbm_gather_bytes": batches * table
+            + nq * kb * S * self.dim * 4,
+            "ici_exchange_bytes": nq * self.dim * 4 * (S - 1)
+            + nq * kb * 8 * (S - 1),
+        }
+
+
 class ShardedFastFlatIndex:
     """Row-sharded exact-ish k-NN with the fused class-max kernel."""
 
