@@ -132,6 +132,38 @@ def main() -> None:
     except Exception as e:
         log(f"# fastflat failed: {e!r}")
 
+    # --- split layout (lane-exact components + f32 aux; the capacity
+    # family's kernel, ops/pallas_scan_split.py — at d%128==0 it halves
+    # HBM and MXU work per row vs the packed ext table) ---
+    try:
+        from shine_tpu.models.flat import SplitFlatIndex
+
+        spl = SplitFlatIndex(ds.base)
+        spre = spl.preload(ds.queries, batch_size=batch)
+        qps, ids = time_search(
+            lambda: spl.search(
+                ds.queries, 10, batch_size=batch, preloaded=spre,
+                with_dists=False,
+            ),
+            nq,
+        )
+        r = recall_at_k(ids, ds.ground_truth, 10)
+        log(f"# split: qps={qps:.0f} recall@10={r:.4f}")
+        results.append(("split", qps, r))
+        n_pad, dpc = spl.comp.shape
+        wall = nq / qps
+        batches = -(-nq // batch)
+        perf["split"] = {
+            "tflops": round(2.0 * nq * n_pad * dpc / wall / 1e12, 1),
+            "hbm_gbs": round(
+                batches * (int(spl.comp.nbytes) + int(spl.aux.nbytes))
+                / wall / 1e9, 1
+            ),
+        }
+        del spl, spre
+    except Exception as e:
+        log(f"# split failed: {e!r}")
+
     # --- exact MXU brute force (streaming XLA scan) ---
     flat = FlatIndex(ds.base)
     qps, ids = time_search(

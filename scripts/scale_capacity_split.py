@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Split-layout capacity validation: how many rows can ONE chip serve?
+
+The packed-ext capacity mode tops out ~21-25M rows/chip at d=128
+(512 B/row). The split layout (ops/pallas_scan_split.py) stores
+lane-exact components + f32 (nrm, scl): 264 B/row (bf16) or 136 B/row
+(int8) — so one chip reaches the 40-100M class, and an 8-chip v5e slice
+the 0.3-0.8B class, vs the reference's 100M across a 5-MN cluster
+(/root/reference/src/memory_node.hh:112-125, scripts/datasets.py:13-20).
+
+Search re-ranks against EXACT f32 rows regenerated in-jit from the
+row-keyed PRNG (ops/distance.py:regen_rerank_topk), so the recall
+envelope is set by scan candidate quality, not storage precision.
+
+Env: SHINE_CAPS_N (rows, default 41_943_040), SHINE_CAPS_D (128),
+SHINE_CAPS_COMP (int8|bf16), SHINE_CAPS_KB (comma list, default 32,64).
+Appends results/scale_capacity_split.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+N = int(os.environ.get("SHINE_CAPS_N", 41_943_040))
+D = int(os.environ.get("SHINE_CAPS_D", 128))
+COMP = os.environ.get("SHINE_CAPS_COMP", "int8")
+KBS = [int(x) for x in os.environ.get("SHINE_CAPS_KB", "32,64").split(",")]
+NQ = 2048
+OUT = os.path.join(ROOT, "results", "scale_capacity_split.jsonl")
+
+
+def emit(rec: dict) -> None:
+    rec = {"n": N, "d": D, "nq": NQ, "comp": COMP, **rec}
+    print("#", json.dumps(rec), flush=True)
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main() -> None:
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.io.device_synth import device_rowkeyed_split_dataset
+    from shine_tpu.models.flat import SplitFlatIndex
+
+    t0 = time.time()
+    ds = device_rowkeyed_split_dataset(
+        n=N, dim=D, num_queries=NQ, seed=17, gt_k=10, comp_dtype=COMP
+    )
+    gb = (ds.comp_dev.nbytes + ds.aux_dev.nbytes) / 1e9
+    emit({"stage": "ingest", "seconds": round(time.time() - t0, 1),
+          "table_gb": round(gb, 2)})
+
+    idx = SplitFlatIndex.from_parts(
+        ds.comp_dev, ds.aux_dev, ds.n, dim=D, row_source=ds.row_source
+    )
+    pre = idx.preload(ds.queries, batch_size=2048)
+    for kb in KBS:
+        ids, _ = idx.search(
+            ds.queries, 10, kb=kb, batch_size=2048, preloaded=pre,
+            with_dists=False,
+        )
+        best = float("inf")
+        for _ in range(2):
+            t1 = time.time()
+            ids, _ = idx.search(
+                ds.queries, 10, kb=kb, batch_size=2048, preloaded=pre,
+                with_dists=False,
+            )
+            best = min(best, time.time() - t1)
+        emit({
+            "stage": "search", "kb": kb,
+            "qps": round(NQ / best, 1),
+            "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4),
+        })
+
+
+if __name__ == "__main__":
+    main()
