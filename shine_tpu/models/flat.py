@@ -418,6 +418,7 @@ class FastFlatIndex:
         preloaded=None,
         with_dists: bool = True,
         keep2: bool | None = None,
+        approx_sel: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
         with dimension, so high-dim needs a bigger margin (measured:
@@ -441,7 +442,7 @@ class FastFlatIndex:
             keep2 = keep2_auto(int(self.ext.shape[0]), cls)
         out_i, out_d = _fast_flat_search_host(
             self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
-            with_dists=with_dists, keep2=keep2,
+            with_dists=with_dists, keep2=keep2, approx_sel=approx_sel,
         )
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
@@ -627,6 +628,7 @@ class SplitFlatIndex:
         preloaded=None,
         with_dists: bool = True,
         keep2: bool | None = None,
+        approx_sel: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Same defaults/auto-rules as FastFlatIndex.search (measured:
         TPU_NOTES r3 'tune grid' + keep2_auto); int8 components widen
@@ -675,7 +677,7 @@ class SplitFlatIndex:
                     q_dev, lo, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
                     metric=self.metric, batch=batch_size,
                     interpret=self.interpret, keep2=keep2, n=self.n,
-                    row_source=self.row_source,
+                    row_source=self.row_source, approx_sel=approx_sel,
                 )
             )
         if len(parts) == 1:
@@ -707,16 +709,28 @@ class SplitFlatIndex:
         }
 
 
+def _select_kb(m1, kb_eff, approx):
+    """Class-winner selection: exact top_k, or the TPU-optimized
+    approx_max_k (PartialReduce) — the select over (B, cls) is part of
+    the fixed per-dispatch cost T0 (docs/TPU_NOTES.md 'Scan perf
+    model'), so a faster reduction converts directly to small-N QPS.
+    recall_target=0.99 bounds the chance of dropping a true class."""
+    if approx:
+        return jax.lax.approx_max_k(m1, kb_eff, recall_target=0.99)
+    return jax.lax.top_k(m1, kb_eff)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
-        "keep2", "n",
+        "keep2", "n", "approx_sel",
     ),
 )
 def split_flat_search_at(
     comp, aux, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric,
     batch, interpret=False, keep2=False, n=0, row_source=None,
+    approx_sel=False,
 ):
     """One fused program on the split layout: slice queries, pad to the
     component lanes, class-max scan, select, re-rank."""
@@ -734,7 +748,7 @@ def split_flat_search_at(
     if keep2:
         m1, a1, m2, a2 = out
         kb_eff = min(kb, m1.shape[1])
-        _, sel = jax.lax.top_k(m1, kb_eff)
+        _, sel = _select_kb(m1, kb_eff, approx_sel)
         cand1 = jnp.take_along_axis(a1, sel, axis=1)
         c2 = jnp.take_along_axis(a2, sel, axis=1)
         v2 = jnp.take_along_axis(m2, sel, axis=1)
@@ -744,7 +758,7 @@ def split_flat_search_at(
     else:
         m1, a1 = out
         kb_eff = min(kb, m1.shape[1])
-        _, sel = jax.lax.top_k(m1, kb_eff)
+        _, sel = _select_kb(m1, kb_eff, approx_sel)
         cand = jnp.take_along_axis(a1, sel, axis=1)
     limit = n or comp.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
@@ -766,12 +780,12 @@ def split_flat_search_at(
     jax.jit,
     static_argnames=(
         "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
-        "keep2", "n",
+        "keep2", "n", "approx_sel",
     ),
 )
 def fast_flat_search_at(
     ext, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric, batch,
-    interpret=False, keep2=False, n=0, row_source=None,
+    interpret=False, keep2=False, n=0, row_source=None, approx_sel=False,
 ):
     """One fused program: slice the preloaded queries, pack the extended
     query, scan, select, re-rank — a single dispatch per batch."""
@@ -782,19 +796,20 @@ def fast_flat_search_at(
     return fast_flat_search(
         ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
         metric=metric, interpret=interpret, keep2=keep2, n=n,
-        row_source=row_source,
+        row_source=row_source, approx_sel=approx_sel,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "kb", "tq", "tn", "cls", "metric", "interpret", "keep2", "n"
+        "k", "kb", "tq", "tn", "cls", "metric", "interpret", "keep2", "n",
+        "approx_sel",
     ),
 )
 def fast_flat_search(
     ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, cls, metric,
-    interpret=False, keep2=False, n=0, row_source=None,
+    interpret=False, keep2=False, n=0, row_source=None, approx_sel=False,
 ):
     from shine_tpu.ops.distance import rerank_topk
 
@@ -813,7 +828,7 @@ def fast_flat_search(
 
         m1, a1, m2, a2 = classmax2_scan(ext, q_ext, tq=tq, tn=tn, cls=cls)
         kb_eff = min(kb, m1.shape[1])
-        _, sel = jax.lax.top_k(m1, kb_eff)
+        _, sel = _select_kb(m1, kb_eff, approx_sel)
         cand1 = jnp.take_along_axis(a1, sel, axis=1)
         # runner-up of each selected class (recovers the one-decoy bf16
         # near-tie loss at large rows-per-class; ops/pallas_scan3.py v4)
@@ -826,7 +841,7 @@ def fast_flat_search(
 
         m1, a1 = classmax_scan(ext, q_ext, tq=tq, tn=tn, cls=cls)
         kb_eff = min(kb, m1.shape[1])
-        _, sel = jax.lax.top_k(m1, kb_eff)
+        _, sel = _select_kb(m1, kb_eff, approx_sel)
         cand = jnp.take_along_axis(a1, sel, axis=1)
     limit = n or vectors.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
@@ -847,7 +862,8 @@ def fast_flat_search(
 
 
 def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
-                           preloaded=None, with_dists=True, keep2=False):
+                           preloaded=None, with_dists=True, keep2=False,
+                           approx_sel=False):
     nq, d = queries.shape
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
@@ -878,7 +894,7 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                 idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
                 k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
                 batch=batch_size, interpret=idx.interpret, keep2=keep2,
-                n=idx.n, row_source=idx.row_source,
+                n=idx.n, row_source=idx.row_source, approx_sel=approx_sel,
             )
         )
     # batches dispatch asynchronously; one host transfer at the end (the

@@ -179,6 +179,26 @@ def test_pack_split_device_matches_host(rng):
     np.testing.assert_allclose(np.asarray(ad8), ah8, rtol=1e-5, atol=1e-5)
 
 
+def test_approx_select_paths(rng):
+    """approx_sel=True (lax.approx_max_k class selection) keeps recall
+    within noise of the exact top_k select on both scan families."""
+    from shine_tpu.io import recall_at_k, synthetic_dataset
+    from shine_tpu.models.flat import FastFlatIndex, SplitFlatIndex
+
+    ds = synthetic_dataset(n=6000, dim=48, num_queries=64, seed=4, gt_k=10)
+    spl = SplitFlatIndex(ds.base, interpret=True)
+    ids_e, _ = spl.search(ds.queries, 10, kb=16, cls=256, keep2=False)
+    ids_a, _ = spl.search(
+        ds.queries, 10, kb=16, cls=256, keep2=False, approx_sel=True
+    )
+    re = recall_at_k(ids_e, ds.ground_truth, 10)
+    ra = recall_at_k(ids_a, ds.ground_truth, 10)
+    assert ra >= re - 0.02, (re, ra)
+    fast = FastFlatIndex(ds.base, interpret=True)
+    ids_f, _ = fast.search(ds.queries, 10, kb=16, approx_sel=True)
+    assert recall_at_k(ids_f, ds.ground_truth, 10) >= 0.95
+
+
 def test_split_ip_metric(rng):
     from shine_tpu.io import recall_at_k, synthetic_dataset
     from shine_tpu.models.flat import SplitFlatIndex
