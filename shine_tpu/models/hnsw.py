@@ -50,15 +50,28 @@ class DeviceGraph(NamedTuple):
     HBM + gather-byte tax whenever d % 128 == 0). One traversal step is
     still a single row gather: the L2 norm term is recomputed from the
     gathered row inside the distance fusion (_dist_ext).
+
+    Traversal is gather-BANDWIDTH-bound (TPU_NOTES: the r3 norm-column
+    removal halved row bytes and lifted 10M QPS ~1.5x), so rows may be
+    stored quantized — selected at UPLOAD time, no rebuild:
+      * f32  (default): 512 B/row at d=128, exact distances.
+      * bf16: 256 B/row; distances are exact f32 distances to the
+        bf16-rounded rows (~0.4% relative — the flat-scan noise class).
+      * int8: 128 B/row + per-row (scale, norm) f32 in row_scl/row_nrm;
+        distance = bias + <q_ext, row>*scl + nrm.
+    The dense-entry sweep table (upper_vecs_ext) stays f32: it is
+    MXU-swept, not gathered, and holds only ~N/M rows.
     """
 
-    vectors_ext: jnp.ndarray  # (N, d) f32 (lane_pad may widen with zeros)
+    vectors_ext: jnp.ndarray  # (N, d) f32/bf16/int8 (see above)
     neighbors0: jnp.ndarray  # (N, 2M) i32
     upper_row: jnp.ndarray  # (N,) i32
     upper_neighbors: jnp.ndarray  # (U, L, M) i32
     entry_point: jnp.ndarray  # () i32
     upper_ids: jnp.ndarray  # (U,) i32 — global id of each upper vertex
     upper_vecs_ext: jnp.ndarray  # (U, d) f32 — dense entry stage
+    row_scl: jnp.ndarray | None = None  # (N,) f32, int8 rows only
+    row_nrm: jnp.ndarray | None = None  # (N,) f32 = ||v_q||^2, int8+L2
 
     @property
     def n(self) -> int:
@@ -87,8 +100,14 @@ def _extend_query(
     return q_ext, bias
 
 
-def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGraph, int]:
+def device_graph(
+    graph: GraphSoA, *, lane_pad: bool = False, rows: str = "f32"
+) -> tuple[DeviceGraph, int]:
     """Upload a host graph; returns (device pytree, static top_level).
+
+    rows selects the traversal-row storage ("f32"|"bf16"|"int8" — see
+    DeviceGraph; quantization happens here, so one built/checkpointed
+    graph serves at any precision).
 
     lane_pad pads the ext row width to the 1-D DMA tile (1024 elements,
     ops/pallas_gather.FLAT_ALIGN) so the Pallas row-DMA gather can fetch
@@ -98,6 +117,8 @@ def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGrap
     if lane_pad:
         from shine_tpu.ops.pallas_gather import FLAT_ALIGN
 
+        if rows != "f32":
+            raise ValueError("pallas_gather supports only f32 rows")
         dp = -(-vectors_ext.shape[1] // FLAT_ALIGN) * FLAT_ALIGN
         vectors_ext = jnp.concatenate(
             [
@@ -109,6 +130,22 @@ def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGrap
     upper_ids = np.where(graph.levels >= 1)[0].astype(np.int32)
     if len(upper_ids) == 0:
         upper_ids = np.array([graph.entry_point], dtype=np.int32)
+    upper_vecs = vectors_ext[jnp.asarray(upper_ids)]
+    row_scl = row_nrm = None
+    if rows == "bf16":
+        vectors_ext = vectors_ext.astype(jnp.bfloat16)
+    elif rows == "int8":
+        s = jnp.maximum(jnp.max(jnp.abs(vectors_ext), axis=1), 1e-30)
+        qv = jnp.clip(
+            jnp.rint(vectors_ext * (127.0 / s[:, None])), -127, 127
+        )
+        row_scl = (s / 127.0).astype(jnp.float32)
+        row_nrm = (
+            jnp.sum(qv * qv, axis=1) * row_scl * row_scl
+        ).astype(jnp.float32)
+        vectors_ext = qv.astype(jnp.int8)
+    elif rows != "f32":
+        raise ValueError(f"rows must be f32|bf16|int8, got {rows!r}")
     return (
         DeviceGraph(
             vectors_ext=vectors_ext,
@@ -117,7 +154,9 @@ def device_graph(graph: GraphSoA, *, lane_pad: bool = False) -> tuple[DeviceGrap
             upper_neighbors=jnp.asarray(graph.upper_neighbors),
             entry_point=jnp.asarray(graph.entry_point, dtype=jnp.int32),
             upper_ids=jnp.asarray(upper_ids),
-            upper_vecs_ext=vectors_ext[jnp.asarray(upper_ids)],
+            upper_vecs_ext=upper_vecs,
+            row_scl=row_scl,
+            row_nrm=row_nrm,
         ),
         graph.top_level,
     )
@@ -139,12 +178,17 @@ def _dist_ext(
             B, K, -1
         )
     else:
-        ve = g.vectors_ext[safe]  # (B, K, d)
+        ve = g.vectors_ext[safe]  # (B, K, d) — f32/bf16/int8 (DeviceGraph)
+    ve = ve.astype(jnp.float32)
     dots = jnp.einsum(
         "bd,bkd->bk", q_ext, ve, precision=DIST_PRECISION,
         preferred_element_type=jnp.float32,
     )
-    if l2:
+    if g.row_scl is not None:  # int8 rows: dequant after the dot
+        dots = dots * g.row_scl[safe]
+        if l2:
+            dots = dots + g.row_nrm[safe]
+    elif l2:
         dots = dots + jnp.sum(ve * ve, axis=-1)
     return jnp.where(ids >= 0, bias[:, None] + dots, jnp.inf)
 
@@ -369,9 +413,13 @@ class HNSWIndex:
     reference's ComputeNode+HNSW pair in the one-CN configuration.
     """
 
-    def __init__(self, graph: GraphSoA, *, pallas: bool = False):
+    def __init__(
+        self, graph: GraphSoA, *, pallas: bool = False, rows: str = "f32"
+    ):
         self.graph = graph
-        self.device, self.top_level = device_graph(graph, lane_pad=pallas)
+        self.device, self.top_level = device_graph(
+            graph, lane_pad=pallas, rows=rows
+        )
         self.metric = graph.params.metric_id
 
     @classmethod

@@ -155,3 +155,26 @@ def test_chunked_dense_entry_matches_oneshot(ds, graph):
     # seed distances come from the chunked matmul's different reduction
     # grouping (~1e-4 float noise); ids must still match exactly
     np.testing.assert_allclose(da, db, rtol=1e-4, atol=1e-3)
+
+
+def test_quantized_row_serving(ds, graph):
+    """One built graph serves at f32/bf16/int8 row storage (quantized at
+    upload, models/hnsw.py:device_graph): traversal is gather-bound, so
+    narrower rows halve bytes; recall must stay within the storage-noise
+    envelope of f32 serving."""
+    sp = SearchParams(k=10, ef=64)
+    base_ids, base_d = HNSWIndex(graph).search(ds.queries, sp, batch_size=64)
+    r0 = recall_at_k(base_ids, ds.ground_truth, 10)
+    for rows, tol in (("bf16", 0.02), ("int8", 0.04)):
+        idx = HNSWIndex(graph, rows=rows)
+        assert idx.device.vectors_ext.dtype.name == (
+            "bfloat16" if rows == "bf16" else "int8"
+        )
+        ids, dd = idx.search(ds.queries, sp, batch_size=64)
+        r = recall_at_k(ids, ds.ground_truth, 10)
+        assert r >= r0 - tol, (rows, r0, r)
+        # distances are to the quantized rows: close to exact, not equal
+        same = ids == base_ids
+        np.testing.assert_allclose(
+            dd[same], base_d[same], rtol=0.05, atol=0.5
+        )
