@@ -113,39 +113,48 @@ def device_graph(
     ops/pallas_gather.FLAT_ALIGN) so the Pallas row-DMA gather can fetch
     it (required for SearchParams(pallas_gather=True); an 8x row-size tax
     at d=128, ~6% at d=960)."""
-    vectors_ext = jnp.asarray(graph.vectors, dtype=jnp.float32)
+    upper_ids = np.where(graph.levels >= 1)[0].astype(np.int32)
+    if len(upper_ids) == 0:
+        upper_ids = np.array([graph.entry_point], dtype=np.int32)
+    host_v = np.asarray(graph.vectors, dtype=np.float32)
+    # dense-entry table: always f32, sliced host-side (U ~ N/M rows)
+    upper_vecs = jnp.asarray(host_v[upper_ids])
+    row_scl = row_nrm = None
+    # quantization happens HOST-side so the tunnel moves 2-4x fewer
+    # bytes and HBM never holds an f32 temp (at 10M the f32 rows alone
+    # are 5.4 GB; see docs/TPU_NOTES.md '~20 MB/s dev tunnel')
+    if rows == "bf16":
+        import ml_dtypes
+
+        vectors_ext = jnp.asarray(host_v.astype(ml_dtypes.bfloat16))
+    elif rows == "int8":
+        s = np.maximum(np.abs(host_v).max(axis=1), 1e-30)
+        qv = np.clip(np.rint(host_v * (127.0 / s[:, None])), -127, 127)
+        scl = (s / 127.0).astype(np.float32)
+        row_scl = jnp.asarray(scl)
+        row_nrm = jnp.asarray(
+            ((qv * qv).sum(axis=1) * scl * scl).astype(np.float32)
+        )
+        vectors_ext = jnp.asarray(qv.astype(np.int8))
+    elif rows == "f32":
+        vectors_ext = jnp.asarray(host_v)
+    else:
+        raise ValueError(f"rows must be f32|bf16|int8, got {rows!r}")
     if lane_pad:
         from shine_tpu.ops.pallas_gather import FLAT_ALIGN
 
         if rows != "f32":
             raise ValueError("pallas_gather supports only f32 rows")
         dp = -(-vectors_ext.shape[1] // FLAT_ALIGN) * FLAT_ALIGN
+        pad_w = dp - vectors_ext.shape[1]
         vectors_ext = jnp.concatenate(
-            [
-                vectors_ext,
-                jnp.zeros((graph.n, dp - vectors_ext.shape[1]), jnp.float32),
-            ],
-            axis=1,
+            [vectors_ext, jnp.zeros((graph.n, pad_w), jnp.float32)], axis=1
         )
-    upper_ids = np.where(graph.levels >= 1)[0].astype(np.int32)
-    if len(upper_ids) == 0:
-        upper_ids = np.array([graph.entry_point], dtype=np.int32)
-    upper_vecs = vectors_ext[jnp.asarray(upper_ids)]
-    row_scl = row_nrm = None
-    if rows == "bf16":
-        vectors_ext = vectors_ext.astype(jnp.bfloat16)
-    elif rows == "int8":
-        s = jnp.maximum(jnp.max(jnp.abs(vectors_ext), axis=1), 1e-30)
-        qv = jnp.clip(
-            jnp.rint(vectors_ext * (127.0 / s[:, None])), -127, 127
+        # q_ext width tracks vectors_ext; the dense-entry table shares it
+        upper_vecs = jnp.concatenate(
+            [upper_vecs, jnp.zeros((upper_vecs.shape[0], pad_w),
+                                   jnp.float32)], axis=1
         )
-        row_scl = (s / 127.0).astype(jnp.float32)
-        row_nrm = (
-            jnp.sum(qv * qv, axis=1) * row_scl * row_scl
-        ).astype(jnp.float32)
-        vectors_ext = qv.astype(jnp.int8)
-    elif rows != "f32":
-        raise ValueError(f"rows must be f32|bf16|int8, got {rows!r}")
     return (
         DeviceGraph(
             vectors_ext=vectors_ext,
