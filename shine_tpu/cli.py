@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--ivf-tile", type=int, default=256,
                    help="queries per routed tile (--ivf-routed)")
     q.add_argument("--batch", type=int, default=2048)
+    q.add_argument(
+        "--rows", choices=("f32", "bf16", "int8"), default="f32",
+        help="HNSW traversal-row storage (quantized at upload; traversal "
+        "is gather-bound so narrower rows raise QPS — models/hnsw.py)",
+    )
     q.add_argument("--exchange", choices=("dense", "compact"),
                    default="dense", help="sharded-HNSW ICI exchange "
                    "pattern (compact = bucketed all_to_all owner RPC)")
@@ -330,7 +335,7 @@ def _build(args, ds, params, mesh, timing):
     else:
         from shine_tpu.models import HNSWIndex
 
-        idx = HNSWIndex(graph)
+        idx = HNSWIndex(graph, rows=args.rows)
     return lambda q: idx.search(q, sp, batch_size=args.batch)[0], nbytes, idx
 
 

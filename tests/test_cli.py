@@ -205,3 +205,15 @@ def test_cli_data_path_u8bin_and_row_filter(tmp_path):
     for s, p in enumerate(parts):
         recon[s::3] = p
     np.testing.assert_array_equal(recon, base8.astype(np.float32))
+
+
+def test_cli_hnsw_quantized_rows(capsys):
+    """--rows int8 serves the same build with quantized traversal rows
+    (models/hnsw.py:device_graph)."""
+    doc = run_cli(
+        ["--synthetic", "2000:16", "--index", "hnsw", "-m", "8",
+         "--ef-construction", "50", "--ef-search", "64",
+         "--num-queries", "100", "--rows", "int8"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.85
