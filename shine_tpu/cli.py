@@ -62,8 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--batch", type=int, default=2048)
     q.add_argument(
         "--rows", choices=("f32", "bf16", "int8"), default="f32",
-        help="HNSW traversal-row storage (quantized at upload; traversal "
-        "is gather-bound so narrower rows raise QPS — models/hnsw.py)",
+        help="HNSW traversal-row storage (quantized at upload — "
+        "models/hnsw.py; sharded meshes accept f32|bf16 only)",
     )
     q.add_argument("--exchange", choices=("dense", "compact"),
                    default="dense", help="sharded-HNSW ICI exchange "
@@ -331,6 +331,7 @@ def _build(args, ds, params, mesh, timing):
             graph, mesh, cache_capacity=cache_cap,
             routing="adaptive" if args.adaptive_routing else args.routing,
             adaptive_cache=args.adaptive_cache and cache_cap > 0,
+            rows=args.rows,  # int8 raises: sharded path is f32|bf16 only
         )
     else:
         from shine_tpu.models import HNSWIndex

@@ -41,7 +41,7 @@ class HotReplica(NamedTuple):
     int32 max so searchsorted stays monotone."""
 
     hot_ids: jnp.ndarray  # (H,) i32 sorted, 2^31-1 pad
-    hot_vecs: jnp.ndarray  # (H, d) f32
+    hot_vecs: jnp.ndarray  # (H, d) f32 or bf16 (matches shard_graph rows=)
     hot_sq: jnp.ndarray  # (H,) f32
     hot_neighbors: jnp.ndarray  # (H, 2M) i32
 
@@ -69,15 +69,28 @@ def select_hot_ids(
     return np.sort(top).astype(np.int32)
 
 
-def build_replica(graph: GraphSoA, hot_ids: np.ndarray) -> HotReplica:
-    H = len(hot_ids)
+def build_replica(
+    graph: GraphSoA, hot_ids: np.ndarray, *, rows: str = "f32"
+) -> HotReplica:
+    """rows must match the sharded graph's row storage (shard_graph):
+    replica hits must serve bit-the-same values the owner exchange would,
+    so bf16 replicas store the ROUNDED rows and norms of the rounded
+    values."""
     vecs = graph.vectors[hot_ids].astype(np.float32)
+    store = vecs
+    if rows == "bf16":
+        import ml_dtypes
+
+        store = vecs.astype(ml_dtypes.bfloat16)
+        vecs = store.astype(np.float32)
+    elif rows != "f32":
+        raise ValueError(f"replica rows must be f32|bf16, got {rows!r}")
     sq = (vecs * vecs).sum(-1)
     if graph.params.metric_id != METRIC_L2:
         sq = np.zeros_like(sq)
     return HotReplica(
         hot_ids=jnp.asarray(hot_ids),
-        hot_vecs=jnp.asarray(vecs),
+        hot_vecs=jnp.asarray(store),
         hot_sq=jnp.asarray(sq.astype(np.float32)),
         hot_neighbors=jnp.asarray(graph.neighbors0[hot_ids]),
     )
@@ -139,6 +152,8 @@ class AccessCounter:
         )
         self.counts = self.decay * self.counts + np.asarray(dev, dtype=np.float64)
 
-    def refresh(self, graph: GraphSoA, capacity: int) -> HotReplica:
+    def refresh(
+        self, graph: GraphSoA, capacity: int, *, rows: str = "f32"
+    ) -> HotReplica:
         ids = select_hot_ids(graph, capacity, self.counts)
-        return build_replica(graph, ids)
+        return build_replica(graph, ids, rows=rows)

@@ -106,14 +106,40 @@ def build_upper_tables(graph: GraphSoA) -> tuple[np.ndarray, np.ndarray, np.ndar
     return upper_ids, adj_u, entry_u
 
 
-def shard_graph(graph: GraphSoA, mesh: Mesh) -> ShardedGraph:
-    """Pad to the shard grid and place arrays on the mesh."""
+def shard_graph(
+    graph: GraphSoA, mesh: Mesh, *, rows: str = "f32"
+) -> ShardedGraph:
+    """Pad to the shard grid and place arrays on the mesh.
+
+    rows="bf16" stores the sharded layer-0 rows in bfloat16 (norms
+    precomputed from the ROUNDED values so owned/replica/compact
+    distances agree with the single-chip quantized path,
+    models/hnsw.py:device_graph) — halves per-shard row HBM, which is
+    what fits the 100M-class M=32 graph on an 8-chip slice
+    (docs/TPU_NOTES.md "10M x M=32"). The replicated upper tables stay
+    f32 (they are ~N/(M-1) rows; descent exactness is free). int8 rows
+    are single-chip capacity-only: the per-gather dequant on the
+    latency-critical traversal was a measured serving negative (~45%
+    QPS, -1.7 pts eps-recall)."""
     S = mesh.devices.size
     n = graph.n
-    rows = -(-n // S)  # ceil
-    n_pad = rows * S
-    vectors = _pad_rows(graph.vectors, n_pad, 0.0)
-    sq = (graph.vectors.astype(np.float32) ** 2).sum(axis=1)
+    per = -(-n // S)  # ceil
+    n_pad = per * S
+    host_v = np.asarray(graph.vectors, dtype=np.float32)
+    if rows == "bf16":
+        import ml_dtypes
+
+        host_v = host_v.astype(ml_dtypes.bfloat16)
+        vectors = _pad_rows(host_v, n_pad, 0.0)
+        host_v = host_v.astype(np.float32)  # rounded values for norms
+    elif rows == "f32":
+        vectors = _pad_rows(host_v, n_pad, 0.0)
+    else:
+        raise ValueError(
+            f"sharded rows must be f32|bf16, got {rows!r} (int8 is "
+            "single-chip capacity-only — see models/hnsw.py)"
+        )
+    sq = (host_v ** 2).sum(axis=1)
     if graph.params.metric_id != METRIC_L2:
         sq = np.zeros_like(sq)
     sq = _pad_rows(sq.astype(np.float32), n_pad, np.inf)
@@ -307,7 +333,7 @@ def _owned_distances(g: ShardedGraph, q_all, qn_all, ids_all, rows_per_shard, me
     local = ids_all - my * rows_per_shard
     mine = (ids_all >= 0) & (local >= 0) & (local < rows_per_shard)
     safe = jnp.clip(local, 0, rows_per_shard - 1)
-    vecs = g.vectors[safe]  # (B, K, d)
+    vecs = g.vectors[safe].astype(jnp.float32)  # (B, K, d); f32/bf16 rows
     dots = jnp.einsum(
         "bd,bkd->bk", q_all, vecs, precision=DIST_PRECISION,
         preferred_element_type=jnp.float32,
@@ -400,7 +426,7 @@ def _sharded_search_spmd(
 
     def local_distances(ids, rows, hit):
         """Distances for replica-hit candidate lanes (B_loc, K)."""
-        vecs = replica.hot_vecs[rows]
+        vecs = replica.hot_vecs[rows].astype(jnp.float32)
         dots = jnp.einsum(
             "bd,bkd->bk", q, vecs, precision=DIST_PRECISION,
             preferred_element_type=jnp.float32,
@@ -512,7 +538,7 @@ def _sharded_search_spmd(
                 # batched GEMM. Result ids still agree except on exact
                 # near-ties (tests/test_compact_exchange.py).
                 dots = jnp.einsum(
-                    "scd,scd->sc", qv, g.vectors[safe],
+                    "scd,scd->sc", qv, g.vectors[safe].astype(jnp.float32),
                     precision=DIST_PRECISION,
                     preferred_element_type=jnp.float32,
                 )
@@ -750,10 +776,12 @@ class ShardedIndex:
         routing: bool = False,
         adaptive_cache: bool = False,
         refresh_every: int = 8,
+        rows: str = "f32",
     ):
         self.graph = graph
         self.mesh = mesh
-        self.device = shard_graph(graph, mesh)
+        self.rows = rows
+        self.device = shard_graph(graph, mesh, rows=rows)
         self.metric = graph.params.metric_id
         self.replica = None
         self.access = None
@@ -768,7 +796,9 @@ class ShardedIndex:
             )
 
             self.cache_capacity = min(cache_capacity, graph.n)
-            rep = build_replica(graph, select_hot_ids(graph, cache_capacity))
+            rep = build_replica(
+                graph, select_hot_ids(graph, cache_capacity), rows=rows
+            )
             self._put_replica(rep)
             if adaptive_cache:
                 # the cooling-table replacement (cache.hh:232-311): decayed
@@ -824,7 +854,9 @@ class ShardedIndex:
         if self.access is None:
             return
         self._put_replica(
-            self.access.refresh(self.graph, self.cache_capacity)
+            self.access.refresh(
+                self.graph, self.cache_capacity, rows=self.rows
+            )
         )
         self.refreshes += 1
 

@@ -181,3 +181,42 @@ def test_adaptive_routing_matches_and_narrows(ds, graph):
     # quotas adapted away from the uniform start
     q = np.stack(ar.quota_history)
     assert (q[1:] != q[0]).any()
+
+
+def test_sharded_bf16_rows_matches_single_chip(ds, graph):
+    """rows="bf16" is the same layout change sharded as single-chip: both
+    paths round the layer-0 rows identically at upload
+    (shard_graph/device_graph), so results agree like the f32 pair."""
+    sp = SearchParams(k=10, ef=64)
+    single = HNSWIndex(graph, rows="bf16")
+    s_ids, _ = single.search(ds.queries, sp, batch_size=64)
+    mesh = shard_mesh(4)
+    sharded = ShardedIndex(graph, mesh, rows="bf16")
+    m_ids, _ = sharded.search(ds.queries, sp, batch_size=64)
+    agree = (s_ids == m_ids).mean()
+    assert agree > 0.999, agree
+    r = recall_at_k(m_ids, ds.ground_truth, 10)
+    assert r > 0.95, r
+
+
+def test_sharded_bf16_rows_cache_and_compact(ds, graph):
+    """bf16 rows compose with the hot replica and the compact exchange:
+    replica hits must serve the same rounded rows the owners would
+    (hot_cache.build_replica rows=), so results match the dense
+    cacheless bf16 path."""
+    sp = SearchParams(k=10, ef=64)
+    mesh = shard_mesh(4)
+    base = ShardedIndex(graph, mesh, rows="bf16")
+    a, _ = base.search(ds.queries, sp, batch_size=64)
+    cached = ShardedIndex(graph, mesh, cache_capacity=512, rows="bf16")
+    spc = SearchParams(k=10, ef=64, exchange="compact")
+    b, _ = cached.search(ds.queries, spc, batch_size=64)
+    agree = (a == b).mean()
+    assert agree > 0.999, agree
+    assert cached.cache_hits > 0
+
+
+def test_sharded_int8_rows_rejected(graph):
+    mesh = shard_mesh(2)
+    with pytest.raises(ValueError, match="single-chip"):
+        ShardedIndex(graph, mesh, rows="int8")
