@@ -636,13 +636,33 @@ class SplitFlatIndex:
         kb margin but leans on keep2 + exact regen re-rank for recall."""
         if kb <= 0:
             kb = 32 if self.dim < 512 else 128
+        exact_rerank = self.row_source is not None or self.vectors is not None
         if cls <= 0:
-            cls = 1024 if keep2_auto(int(self.comp.shape[0]), 2048) else 2048
+            # Measured rule (TPU_NOTES r3 'split kernel operating points',
+            # 16.7M x 128 int8): with an EXACT re-rank downstream the
+            # scan's only loss is same-class decoys, and keep2-off at
+            # cls=4096 holds recall 0.9994 at 1.65x the keep2 QPS
+            # (10.7k vs 6.5k); without exact re-rank keep2 remains the
+            # precision backstop (keep2_auto).
+            if exact_rerank and keep2 is None and keep2_auto(
+                int(self.comp.shape[0]), 2048
+            ):
+                cls, keep2 = 4096, False
+            else:
+                cls = 1024 if keep2_auto(
+                    int(self.comp.shape[0]), 2048
+                ) else 2048
         if keep2 is None:
             keep2 = keep2_auto(int(self.comp.shape[0]), cls)
         nq, d = queries.shape
         if self.interpret:
             tq = min(tq, 128)
+        elif cls >= 4096:
+            # the (tq, tn=8*cls) f32 dots intermediate at tq=512 blows
+            # the 100 MB VMEM cap (measured OOM at cls=4096); halving
+            # the query tile keeps the select-bound wall unchanged
+            # (select ops/row scale with TOTAL B, not tq)
+            tq = min(tq, 256)
         batch_size = max(tq, -(-min(batch_size, max(nq, 1)) // tq) * tq)
         out_i = np.empty((nq, k), np.int32)
         out_d = np.empty((nq, k), np.float32)

@@ -105,26 +105,36 @@ def _kernel_split(q_ref, comp_hbm, aux_hbm, m_ref, r_ref, *, n_pad: int,
             )  # (TQ, TN)
             dd = dots.reshape(tq, members, cls)
             aux_c = aux_ref[slot]  # (2, members, cls) f32
-            lane = jax.lax.broadcasted_iota(jnp.int32, (tq, cls), 1)
             sm, sr = m_ref[:], r_ref[:]
             if keep2:
                 sm2, sr2 = m2_ref[:], r2_ref[:]
+            # Lean select: the row state holds the scalar member code
+            # c*members + m (row = code*cls + lane, materialized ONCE
+            # after the sweep) — the per-member row-vector arithmetic
+            # was ~25% of the VPU select work that bounds this kernel
+            # (docs/TPU_NOTES.md: the split scan is select-bound, not
+            # MXU-bound). Scalar `code` broadcast in the where keeps
+            # the same strict-> earliest-row-wins tie order.
             for m in range(members):
                 cur = dd[:, m, :] * aux_c[1, m][None, :] + aux_c[0, m][None, :]
-                row = c * tn + m * cls + lane
+                code = c * members + m
                 win = cur > sm
                 if keep2:
                     second = (cur > sm2) & ~win
                     sm2 = jnp.where(win, sm, jnp.where(second, cur, sm2))
-                    sr2 = jnp.where(win, sr, jnp.where(second, row, sr2))
+                    sr2 = jnp.where(win, sr, jnp.where(second, code, sr2))
                 sm = jnp.where(win, cur, sm)
-                sr = jnp.where(win, row, sr)
+                sr = jnp.where(win, code, sr)
             m_ref[:], r_ref[:] = sm, sr
             if keep2:
                 m2_ref[:], r2_ref[:] = sm2, sr2
             return _
 
         jax.lax.fori_loop(0, num_chunks, step, None)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], cls), 1)
+        r_ref[:] = r_ref[:] * cls + lane
+        if keep2:
+            r2_ref[:] = r2_ref[:] * cls + lane
 
     pl.run_scoped(
         body,
