@@ -13,7 +13,10 @@ row-keyed PRNG (ops/distance.py:regen_rerank_topk), so the recall
 envelope is set by scan candidate quality, not storage precision.
 
 Env: SHINE_CAPS_N (rows, default 41_943_040), SHINE_CAPS_D (128),
-SHINE_CAPS_COMP (int8|bf16), SHINE_CAPS_KB (comma list, default 32,64).
+SHINE_CAPS_COMP (int8|bf16), SHINE_CAPS_KB (comma list, default 32,64),
+SHINE_CAPS_MODE (auto|exact|turbo: auto follows the measured search
+defaults; exact forces keep2 cls=1024 — recall 1.0; turbo forces
+keep2-off cls=4096 — ~1.7x QPS at recall ~0.999).
 Appends results/scale_capacity_split.jsonl.
 """
 
@@ -37,12 +40,18 @@ N = int(os.environ.get("SHINE_CAPS_N", 41_943_040))
 D = int(os.environ.get("SHINE_CAPS_D", 128))
 COMP = os.environ.get("SHINE_CAPS_COMP", "int8")
 KBS = [int(x) for x in os.environ.get("SHINE_CAPS_KB", "32,64").split(",")]
+MODE = os.environ.get("SHINE_CAPS_MODE", "auto")
+MODE_KW = {
+    "auto": {},
+    "exact": {"keep2": True, "cls": 1024},
+    "turbo": {"keep2": False, "cls": 4096},
+}[MODE]
 NQ = 2048
 OUT = os.path.join(ROOT, "results", "scale_capacity_split.jsonl")
 
 
 def emit(rec: dict) -> None:
-    rec = {"n": N, "d": D, "nq": NQ, "comp": COMP, **rec}
+    rec = {"n": N, "d": D, "nq": NQ, "comp": COMP, "mode": MODE, **rec}
     print("#", json.dumps(rec), flush=True)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "a") as f:
@@ -67,17 +76,13 @@ def main() -> None:
     )
     pre = idx.preload(ds.queries, batch_size=2048)
     for kb in KBS:
-        ids, _ = idx.search(
-            ds.queries, 10, kb=kb, batch_size=2048, preloaded=pre,
-            with_dists=False,
-        )
+        kw = dict(kb=kb, batch_size=2048, preloaded=pre, with_dists=False,
+                  **MODE_KW)
+        ids, _ = idx.search(ds.queries, 10, **kw)
         best = float("inf")
         for _ in range(2):
             t1 = time.time()
-            ids, _ = idx.search(
-                ds.queries, 10, kb=kb, batch_size=2048, preloaded=pre,
-                with_dists=False,
-            )
+            ids, _ = idx.search(ds.queries, 10, **kw)
             best = min(best, time.time() - t1)
         emit({
             "stage": "search", "kb": kb,
