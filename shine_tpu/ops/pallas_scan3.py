@@ -62,20 +62,26 @@ def _kernel(q_ref, ext_hbm, m_ref, r_ref, *, n_pad: int, tn: int, cls: int):
                 preferred_element_type=jnp.float32,
             )  # (TQ, TN)
             dd = dots.reshape(tq, members, cls)  # lane-preserving
-            lane = jax.lax.broadcasted_iota(jnp.int32, (tq, cls), 1)
             sm = m_ref[:]
             sr = r_ref[:]
+            # lean select: the row state holds the scalar member code
+            # c*members + m; rows (= code*cls + lane) materialize once
+            # after the sweep — the per-member row-vector arithmetic was
+            # a third of the VPU select work that bounds the scan at
+            # the margin (docs/TPU_NOTES.md 'Split kernel operating
+            # points'). Strict > keeps earliest-row-wins tie order.
             for m in range(members):
                 cur = dd[:, m, :]
                 better = cur > sm
-                row = c * tn + m * cls + lane
                 sm = jnp.where(better, cur, sm)
-                sr = jnp.where(better, row, sr)
+                sr = jnp.where(better, c * members + m, sr)
             m_ref[:] = sm
             r_ref[:] = sr
             return _
 
         jax.lax.fori_loop(0, num_chunks, step, None)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], cls), 1)
+        r_ref[:] = r_ref[:] * cls + lane
 
     pl.run_scoped(
         body,
@@ -129,25 +135,29 @@ def _kernel2(q_ref, ext_hbm, m_ref, r_ref, m2_ref, r2_ref, *, n_pad: int,
                 preferred_element_type=jnp.float32,
             )
             dd = dots.reshape(tq, members, cls)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (tq, cls), 1)
             sm, sr = m_ref[:], r_ref[:]
             sm2, sr2 = m2_ref[:], r2_ref[:]
+            # lean select (see _kernel): row state = scalar member code,
+            # rows materialize once after the sweep
             for m in range(members):
                 cur = dd[:, m, :]
-                row = c * tn + m * cls + lane
+                code = c * members + m
                 win = cur > sm
                 second = (cur > sm2) & ~win
                 # old winner demotes when beaten; else challenger may
                 # take the runner-up slot
                 sm2 = jnp.where(win, sm, jnp.where(second, cur, sm2))
-                sr2 = jnp.where(win, sr, jnp.where(second, row, sr2))
+                sr2 = jnp.where(win, sr, jnp.where(second, code, sr2))
                 sm = jnp.where(win, cur, sm)
-                sr = jnp.where(win, row, sr)
+                sr = jnp.where(win, code, sr)
             m_ref[:], r_ref[:] = sm, sr
             m2_ref[:], r2_ref[:] = sm2, sr2
             return _
 
         jax.lax.fori_loop(0, num_chunks, step, None)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], cls), 1)
+        r_ref[:] = r_ref[:] * cls + lane
+        r2_ref[:] = r2_ref[:] * cls + lane
 
     pl.run_scoped(
         body,
