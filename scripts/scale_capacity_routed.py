@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Routed split-layout capacity serving on the real chip.
+
+The flat split scan serves 100M rows at ~2k QPS (VPU-select-bound full
+sweep). This measures models/routed_split.py — balanced-clustered int8
+split tables + tile-shared probing + exact regen re-rank — at the same
+row counts: the scan touches ~shared*cap rows per tile instead of N,
+targeting ~10x the QPS at recall >= the reference's 0.95 operating
+point (/root/reference/scripts/datasets.py:12-20).
+
+Queries/rows use the same row-keyed PRNG recipe (seed 17) as
+scale_capacity_split.py so recall numbers are directly comparable.
+
+Env: SHINE_CR_N (default 41_943_040), SHINE_CR_C (2048), SHINE_CR_SLACK
+(1.05), SHINE_CR_SWEEP ("p:P:T,..." default "16:24:64,32:48:64,
+32:64:128,64:96:128"). Appends results/scale_capacity_routed.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+N = int(os.environ.get("SHINE_CR_N", 41_943_040))
+D = 128
+C = int(os.environ.get("SHINE_CR_C", 2048))
+SLACK = float(os.environ.get("SHINE_CR_SLACK", 1.05))
+SWEEP = [
+    tuple(int(v) for v in s.split(":"))
+    for s in os.environ.get(
+        "SHINE_CR_SWEEP", "16:24:64,32:48:64,32:64:128,64:96:128"
+    ).split(",")
+]
+NQ = 2048
+SEED = 17
+OUT = os.path.join(ROOT, "results", "scale_capacity_routed.jsonl")
+
+
+def emit(rec: dict) -> None:
+    rec = {"n": N, "d": D, "nq": NQ, "C": C, "slack": SLACK, **rec}
+    print("#", json.dumps(rec), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from shine_tpu.io import recall_at_k
+    from shine_tpu.io.device_synth import regen_rows
+    from shine_tpu.models.routed_split import build_routed_split
+
+    # same dataset recipe as device_rowkeyed_split_dataset(seed=17)
+    k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(SEED), 4)
+    centers = jax.random.normal(k0, (64, D), jnp.float32) * 4.0
+    qidx = jax.random.randint(k2, (NQ,), 0, N)
+    anchors = regen_rows(k1, centers, qidx)
+    queries = np.asarray(
+        anchors + 0.3 * jax.random.normal(k3, (NQ, D), jnp.float32)
+    )
+
+    t0 = time.time()
+    idx, gt = build_routed_split(
+        N, D, row_source=(k1, centers), num_clusters=C, cap_slack=SLACK,
+        comp_dtype="int8", seed=SEED, queries=queries,
+        log=lambda m: print(m, flush=True),
+    )
+    table_gb = (idx.comp.nbytes + idx.aux.nbytes + idx.gid.nbytes) / 1e9
+    emit({
+        "stage": "ingest", "seconds": round(time.time() - t0, 1),
+        "cap": idx.cap, "fill": round(N / (C * idx.cap), 4),
+        "table_gb": round(table_gb, 2),
+    })
+
+    pre = idx.preload(queries, batch_size=2048)
+    for p, P, T in SWEEP:
+        kw = dict(probes=p, shared=P, tile=T, batch_size=2048,
+                  preloaded=pre, with_dists=False)
+        ids, _ = idx.search(queries, 10, **kw)  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t1 = time.time()
+            ids, _ = idx.search(queries, 10, **kw)
+            best = min(best, time.time() - t1)
+        emit({
+            "stage": "search", "p": p, "P": P, "T": T,
+            "qps": round(NQ / best, 1),
+            "recall10": round(recall_at_k(ids, gt, 10), 4),
+            "coverage": round(idx.last_coverage, 4),
+        })
+
+
+if __name__ == "__main__":
+    main()

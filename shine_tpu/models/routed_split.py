@@ -1,0 +1,492 @@
+"""Routed (cluster-pruned) serving over the SPLIT capacity layout.
+
+The flat split scan reads every row per batch and is VPU-select-bound at
+~9.4 ns/row (docs/TPU_NOTES.md 'Split kernel operating points') — ~2k
+QPS at 100M rows. This module trades exactness-by-sweep for
+exactness-by-re-rank over a PRUNED candidate set: rows are clustered
+(balanced k-means, the capacity_assign scheme shared with models/ivf.py
+and parallel/placement.py), stored cluster-major in the 136 B/row int8
+split layout, and a batch probes only its tiles' top clusters — the
+affinity-routed tile-shared union of ivf_routed_search
+(models/ivf.py:457) reapplied to the capacity tables, with the EXACT
+regen re-rank (ops/distance.py:regen_rerank_topk) restoring f32
+precision on the survivors.
+
+Reference role: the reference serves its 100M envelope by pruning
+traversal to ~ef*M rows via the HNSW graph (hnsw.hh:253-307) over
+5 MNs x 44 GB (memory_node.hh:112-125); here the pruning is coarse
+clusters + MXU block scans, sized so ONE chip holds the whole envelope.
+Routing parity: query->CN affinity batching (query_router.hh:353-370).
+
+Ingestion never materializes the f32 base: cluster assignment streams
+over regenerated row chunks (row-keyed PRNG datasets,
+io/device_synth.py:regen_rows), and the cluster-major tables are packed
+by streaming the PERMUTED id order through the same split packer the
+flat ingest uses (pack_split_device). Exact ground truth can be folded
+during the ingest stream exactly as device_rowkeyed_split_dataset does.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shine_tpu.config import METRIC_L2, metric_id
+
+NEG = -3e38
+
+
+def _round_up(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
+def _make_rowfn(row_source, base_dev, metric: int):
+    """Row provider: global ids (m,) i32 -> (m, d) f32 rows.
+
+    row_source=(key, centers) regenerates rows from the PRNG (capacity
+    mode — nothing resident); base_dev serves small device-resident
+    bases (tests, <=10M-class)."""
+    if row_source is not None:
+        from shine_tpu.io.device_synth import regen_rows
+
+        key, centers = row_source
+
+        def rowfn(ids):
+            return regen_rows(
+                key, centers, ids, normalize=(metric != METRIC_L2)
+            )
+
+        return rowfn
+    assert base_dev is not None, "need row_source or base_dev"
+
+    def rowfn(ids):
+        return base_dev[ids].astype(jnp.float32)
+
+    return rowfn
+
+
+class RoutedSplitIndex:
+    """Cluster-pruned capacity serving: balanced-k-means split tables +
+    tile-shared probing + exact regen re-rank. Build via
+    `build_routed_split`."""
+
+    def __init__(
+        self,
+        centroids,  # (C, d) f32
+        comp,  # (C*cap, dpc) int8|bf16 cluster-major component table
+        aux,  # (2, C*cap) f32 [0]=nrm [1]=scl (pads: nrm=NEG)
+        gid,  # (C*cap,) i32 global row id, -1 pad
+        n: int,
+        dim: int,
+        metric: int,
+        *,
+        row_source=None,
+        base_dev=None,
+        sqnorms=None,
+    ):
+        self.centroids = centroids
+        self.comp = comp
+        self.aux = aux
+        self.gid = gid
+        self.n, self.dim = n, dim
+        self.metric = metric
+        self.row_source = row_source
+        self.base_dev = base_dev
+        self.sqnorms = sqnorms
+        self.C = int(centroids.shape[0])
+        self.cap = int(comp.shape[0]) // self.C
+        self.last_coverage = None
+        self.last_granted = None
+
+    # --- search -----------------------------------------------------
+
+    def preload(self, queries: np.ndarray, *, batch_size: int = 2048):
+        nq, d = queries.shape
+        nq_pad = _round_up(max(nq, 1), batch_size)
+        q_all = np.zeros((nq_pad, d), np.float32)
+        q_all[:nq] = queries.astype(np.float32)
+        return jnp.asarray(q_all), nq
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        *,
+        probes: int = 32,
+        shared: int = 0,
+        tile: int = 64,
+        kk: int = 0,
+        batch_size: int = 2048,
+        preloaded=None,
+        step_budget: int = 1 << 30,
+        with_dists: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Tile-shared routed search over the clustered split tables.
+
+        probes: per-query probe wishes (stage-1 nearest centroids).
+        shared: per-tile granted union width P (default 3*probes/2).
+        kk: scan survivors per query fed to the exact re-rank
+        (default 8*k). Coverage (granted wish fraction) lands in
+        self.last_coverage; there is no exact-fallback dispatch at
+        capacity scale — size `shared` so coverage ~1 instead
+        (measured knobs: scripts/scale_capacity_routed.py)."""
+        if shared <= 0:
+            shared = probes + probes // 2
+        shared = min(shared, self.C)
+        probes = min(probes, self.C)
+        if kk <= 0:
+            kk = 8 * k
+        kk = min(kk, shared * self.cap)
+        nq, d = queries.shape
+        batch_size = max(tile, _round_up(min(batch_size, max(nq, 1)), tile))
+        if preloaded is not None:
+            q_dev, nq_real = preloaded
+            assert nq_real == nq and q_dev.shape[0] % batch_size == 0
+            nq_pad = q_dev.shape[0]
+        else:
+            nq_pad = _round_up(nq, batch_size)
+            q_all = np.zeros((nq_pad, d), np.float32)
+            q_all[:nq] = queries.astype(np.float32)
+            q_dev = jnp.asarray(q_all)
+        rs_key, rs_cents = (
+            self.row_source if self.row_source is not None else (None, None)
+        )
+        parts = []
+        covs = []
+        for lo in range(0, nq_pad, batch_size):
+            parts.append(
+                routed_split_search_at(
+                    self.centroids, self.comp, self.aux, self.gid,
+                    self.base_dev, self.sqnorms, rs_key, rs_cents,
+                    q_dev, lo,
+                    k=k, p=probes, P=shared, T=tile, kk=kk,
+                    metric=self.metric, C=self.C, cap=self.cap,
+                    batch=batch_size, step_budget=step_budget,
+                )
+            )
+            covs.append(parts[-1][2])
+        all_i = jnp.concatenate([p[1] for p in parts], axis=0)
+        all_d = jnp.concatenate([p[0] for p in parts], axis=0)
+        out_i = np.asarray(all_i)[:nq]
+        out_d = np.asarray(all_d)[:nq] if with_dists else np.zeros(
+            (nq, k), np.float32
+        )
+        self.last_coverage = float(np.mean([np.asarray(c) for c in covs]))
+        return out_i, out_d
+
+    def cost_counters(self, nq: int, k: int = 10, *, probes: int = 32,
+                      shared: int = 0, tile: int = 64) -> dict:
+        """Analytic per-run cost (statistics.hh:122-141 analogue)."""
+        if shared <= 0:
+            shared = probes + probes // 2
+        shared = min(shared, self.C)
+        groups = -(-nq // tile)
+        row_bytes = self.comp.shape[1] * self.comp.dtype.itemsize + 12
+        return {
+            "distance_computations": nq * (self.C + shared * self.cap
+                                           + 8 * k),
+            "scanned_rows": nq * shared * self.cap,
+            "hbm_gather_bytes": groups * shared * self.cap * row_bytes,
+            "ici_exchange_bytes": 0,
+        }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "p", "P", "T", "kk", "metric", "C", "cap", "batch",
+        "step_budget",
+    ),
+)
+def routed_split_search_at(
+    cents, comp, aux, gid, base_dev, sqnorms, rs_key, rs_cents, q_dev, lo,
+    *, k, p, P, T, kk, metric, C, cap, batch, step_budget,
+):
+    """One fused routed dispatch on the clustered split tables: stage-1
+    probe selection, on-device affinity sort, rank-major tile unions
+    (scatter-min priority), streamed block scans, exact re-rank."""
+    from shine_tpu.ops.distance import (
+        pairwise_distance,
+        regen_rerank_topk,
+        rerank_topk,
+    )
+
+    B = batch
+    G = B // T
+    q = jax.lax.dynamic_slice(q_dev, (lo, 0), (B, q_dev.shape[1]))
+    q = q.astype(jnp.float32)
+
+    # stage 1: per-query probe wishes
+    scores1 = pairwise_distance(q, cents, metric)  # (B, C)
+    if C >= 4096 and p < C:
+        _, probes_ = jax.lax.approx_max_k(-scores1, p, recall_target=0.999)
+    else:
+        _, probes_ = jax.lax.top_k(-scores1, p)
+
+    # affinity sort by (top1, top2) probe — spatially-ordered cluster ids
+    # make tile neighbors share unions (ivf.py:_spatial_order_centroids)
+    if p > 1:
+        perm = jnp.argsort(probes_[:, 1], stable=True)
+        perm = perm[jnp.argsort(probes_[perm, 0], stable=True)]
+    else:
+        perm = jnp.argsort(probes_[:, 0], stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    q_s = q[perm]
+    probes_s = probes_[perm].reshape(G, T, p)
+
+    # rank-major tile unions via scatter-min priority (every query gets
+    # its rank-r wishes before any query gets rank r+1 — the balanced
+    # batch fairness of query_router.hh:353-370)
+    pos = jnp.broadcast_to(
+        jnp.arange(T * p, dtype=jnp.int32).reshape(p, T).T, (G, T, p)
+    )
+    minpos = jnp.full((G, C), jnp.int32(2 ** 30))
+    minpos = minpos.at[jnp.arange(G)[:, None, None], probes_s].min(pos)
+    neg, cols = jax.lax.top_k(-minpos, P)  # (G, P)
+    colmask = neg > -(2 ** 30)
+    thresh = -neg[:, -1]
+    wish_pos = minpos[jnp.arange(G)[:, None, None], probes_s]
+    granted = wish_pos <= thresh[:, None, None]
+    coverage = granted.mean()
+
+    comp3 = comp.reshape(C, cap, comp.shape[1])
+    aux3 = aux.reshape(2, C, cap)
+    gid2 = gid.reshape(C, cap)
+    qf = q_s.reshape(G, T, q.shape[1])
+
+    # streamed tile-group scan: (gc, P, cap) blocks + scores must fit
+    # alongside the tables (the ivf_routed_search step_budget scheme)
+    dpc = comp.shape[1]
+    step_bytes = (
+        P * cap * (dpc * comp.dtype.itemsize + 12)
+        + T * P * cap * 4
+    )
+    gc = max(1, min(G, int(step_budget // max(step_bytes, 1))))
+    while G % gc:
+        gc -= 1
+
+    def scan_chunk(_, xs):
+        cols_c, colmask_c, qf_c = xs
+        qpad = jnp.zeros((cols_c.shape[0], T, dpc), jnp.float32)
+        qpad = qpad.at[:, :, : qf_c.shape[-1]].set(qf_c)
+        blk = comp3[cols_c].astype(jnp.bfloat16)  # (gc, P, cap, dpc)
+        nrm_b = aux3[0][cols_c]  # (gc, P, cap)
+        scl_b = aux3[1][cols_c]
+        gid_b = gid2[cols_c]
+        dots = jnp.einsum(
+            "gtd,gpcd->gtpc",
+            qpad.astype(jnp.bfloat16),
+            blk,
+            preferred_element_type=jnp.float32,
+        )
+        sc = dots * scl_b[:, None] + nrm_b[:, None]  # maximize
+        valid = (gid_b >= 0) & colmask_c[:, :, None]
+        sc = jnp.where(valid[:, None], sc, NEG)
+        sc = sc.reshape(cols_c.shape[0], T, P * cap)
+        gid_f = jnp.broadcast_to(
+            gid_b.reshape(-1, 1, P * cap), sc.shape
+        )
+        if P * cap >= 4 * kk:
+            _, sel = jax.lax.approx_max_k(sc, kk, recall_target=0.999)
+        else:
+            _, sel = jax.lax.top_k(sc, kk)
+        return None, jnp.take_along_axis(gid_f, sel, axis=-1)
+
+    xs = (
+        cols.reshape(G // gc, gc, P),
+        colmask.reshape(G // gc, gc, P),
+        qf.reshape(G // gc, gc, T, qf.shape[-1]),
+    )
+    if G // gc == 1:
+        _, cand = scan_chunk(None, jax.tree.map(lambda a: a[0], xs))
+        cand = cand[None]
+    else:
+        _, cand = jax.lax.scan(scan_chunk, None, xs)
+    cand = cand.reshape(B, kk)
+
+    if rs_key is not None:
+        d_out, i_out = regen_rerank_topk(
+            rs_key, rs_cents, q_s, cand, k, metric
+        )
+    else:
+        d_out, i_out = rerank_topk(
+            base_dev.astype(jnp.float32), sqnorms, q_s, cand, k, metric
+        )
+    return d_out.reshape(B, k)[inv], i_out.reshape(B, k)[inv], coverage
+
+
+# --- builder --------------------------------------------------------
+
+
+def build_routed_split(
+    n: int,
+    dim: int,
+    *,
+    row_source=None,
+    base_dev=None,
+    metric: str | int = "l2",
+    num_clusters: int = 2048,
+    cap_slack: float = 1.05,
+    comp_dtype: str = "int8",
+    train_size: int = 131_072,
+    kmeans_iters: int = 20,
+    seed: int = 1234,
+    achunk: int = 262_144,
+    rchunk: int = 131_072,
+    queries: np.ndarray | None = None,
+    gt_k: int = 10,
+    log=None,
+):
+    """Build the clustered split tables WITHOUT a resident f32 base.
+
+    Stages (each streams over regenerated row chunks):
+      A. train balanced-k-means centroids on a sampled subset
+         (_lloyd_chunked) + spatial cluster ordering;
+      B. stream top-2 nearest-centroid choices to the host;
+      C. capacity-bounded nearest-first assignment
+         (ivf.py:_capacity_assign_host, cap = slack*n/C rounded so the
+         table tiles by rchunk) -> cluster-major id order;
+      D. stream the PERMUTED id order through the split packer
+         (pack_split_device), folding exact f32 ground truth for
+         `queries` exactly like device_rowkeyed_split_dataset.
+
+    Returns RoutedSplitIndex, or (RoutedSplitIndex, gt) when `queries`
+    is given."""
+    from shine_tpu.models.ivf import (
+        _capacity_assign_host,
+        _lloyd_chunked,
+        _nearest_r_chunk,
+        _spatial_order_centroids,
+    )
+    from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_device
+
+    metric = metric_id(metric)
+    say = log if log is not None else (lambda *_: None)
+    rowfn = _make_rowfn(row_source, base_dev, metric)
+    C = num_clusters
+    dpc = comp_width(dim)
+    int8 = comp_dtype == "int8"
+
+    # A: train
+    ts = min(train_size, n)
+    ts -= ts % 8192
+    kt = jax.random.PRNGKey(seed)
+    train_ids = jax.random.randint(kt, (ts,), 0, n, dtype=jnp.int32)
+    x_train = jax.jit(rowfn)(train_ids)
+    cents = _lloyd_chunked(x_train, k=C, iters=kmeans_iters, seed=seed)
+    cents = np.asarray(cents)
+    cents = cents[_spatial_order_centroids(cents, seed)]
+    cents_dev = jnp.asarray(cents)
+    say(f"# routed_split: trained C={C} on {ts} rows")
+
+    # B: stream assignment choices
+    while n % achunk or achunk > n:
+        achunk //= 2
+    csq = jnp.sum(cents_dev * cents_dev, axis=-1)
+
+    @jax.jit
+    def assign_chunk(lo):
+        ids = lo + jnp.arange(achunk, dtype=jnp.int32)
+        return _nearest_r_chunk(rowfn(ids), cents_dev, csq, R=2)
+
+    choice = np.empty((n, 2), np.int32)
+    choice_d = np.empty((n, 2), np.float32)
+    for lo in range(0, n, achunk):
+        c2, d2 = assign_chunk(jnp.int32(lo))
+        choice[lo:lo + achunk] = np.asarray(c2)
+        choice_d[lo:lo + achunk] = np.asarray(d2)
+    say(f"# routed_split: assignment choices streamed ({n} rows)")
+
+    # C: capacity assignment + cluster-major order
+    while rchunk > max(4096, n):
+        rchunk //= 2
+    cap = int(math.ceil(cap_slack * n / C))
+    q_lcm = rchunk // math.gcd(rchunk, C)
+    cap = _round_up(cap, q_lcm)
+    assign = _capacity_assign_host(choice, choice_d, C, cap)
+    sort_idx = np.argsort(assign, kind="stable")
+    sa = assign[sort_idx]
+    first = np.searchsorted(sa, np.arange(C))
+    slot = np.arange(n, dtype=np.int64) - first[sa]
+    order = np.full(C * cap, -1, np.int32)
+    order[sa * cap + slot] = sort_idx.astype(np.int32)
+    say(f"# routed_split: capacity assign done (cap={cap}, "
+        f"fill={n / (C * cap):.3f})")
+
+    # D: clustered ingest (+ optional exact GT fold)
+    order_dev = jax.device_put(order)
+    nq = 0
+    if queries is not None:
+        q_dev = jnp.asarray(np.ascontiguousarray(queries, np.float32))
+        nq = q_dev.shape[0]
+        qn = jnp.sum(q_dev * q_dev, axis=1)
+    else:
+        q_dev = jnp.zeros((1, dim), jnp.float32)
+        qn = jnp.zeros((1,), jnp.float32)
+    n_pad = C * cap
+
+    @partial(jax.jit, static_argnames=("with_gt",))
+    def ingest(order_arg, q_arg, qn_arg, *, with_gt):
+        def body(carry, c):
+            gt_d, gt_i = carry
+            gids = jax.lax.dynamic_slice(order_arg, (c * rchunk,), (rchunk,))
+            valid = gids >= 0
+            x = rowfn(jnp.maximum(gids, 0))
+            x = jnp.where(valid[:, None], x, 0.0)
+            comp_c, aux_c = pack_split_device(
+                x, metric=metric, dpc=dpc, int8=int8, rchunk=rchunk
+            )
+            aux_c = aux_c.at[0].set(jnp.where(valid, aux_c[0], NEG))
+            if with_gt:
+                sq = jnp.sum(x * x, axis=1)
+                dots = jax.lax.dot_general(
+                    q_arg, x, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                dd = (
+                    qn_arg[:, None] - 2.0 * dots + sq[None, :]
+                    if metric == METRIC_L2 else 1.0 - dots
+                )
+                dd = jnp.where(valid[None, :], dd, jnp.inf)
+                all_d = jnp.concatenate([gt_d, dd], axis=1)
+                all_i = jnp.concatenate(
+                    [gt_i, jnp.broadcast_to(gids[None, :], dd.shape)], axis=1
+                )
+                nd, sel = jax.lax.top_k(-all_d, gt_k)
+                carry = (-nd, jnp.take_along_axis(all_i, sel, axis=1))
+            return carry, (comp_c, aux_c)
+
+        gt0 = (
+            jnp.full((q_arg.shape[0], gt_k), jnp.inf, jnp.float32),
+            jnp.full((q_arg.shape[0], gt_k), -1, jnp.int32),
+        )
+        (gt_d, gt_i), (comp_s, aux_s) = jax.lax.scan(
+            body, gt0, jnp.arange(n_pad // rchunk, dtype=jnp.int32)
+        )
+        aux_s = jnp.moveaxis(aux_s, 1, 0).reshape(2, n_pad)
+        return comp_s.reshape(n_pad, dpc), aux_s, gt_i
+
+    comp, aux, gt_i = ingest(
+        order_dev, q_dev, qn, with_gt=queries is not None
+    )
+    say("# routed_split: clustered tables packed")
+
+    idx = RoutedSplitIndex(
+        cents_dev, comp, aux, order_dev, n, dim, metric,
+        row_source=row_source, base_dev=base_dev,
+        sqnorms=(
+            jnp.sum(base_dev.astype(jnp.float32) ** 2, axis=1)
+            if (base_dev is not None and metric == METRIC_L2)
+            else (
+                jnp.zeros(n, jnp.float32) if base_dev is not None else None
+            )
+        ),
+    )
+    if queries is not None:
+        return idx, np.asarray(gt_i)
+    return idx

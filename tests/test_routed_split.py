@@ -1,0 +1,113 @@
+"""Routed split-layout capacity serving (models/routed_split.py).
+
+Small-N CPU checks of the full pipeline: balanced clustered ingest
+(streamed, no resident base), tile-shared probing, exact re-rank.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from shine_tpu.io import recall_at_k
+from shine_tpu.models.routed_split import build_routed_split
+
+
+def _brute_gt(base, queries, k):
+    d = (
+        (queries ** 2).sum(1)[:, None]
+        - 2.0 * queries @ base.T
+        + (base ** 2).sum(1)[None, :]
+    )
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+@pytest.fixture(scope="module")
+def small_base():
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(32, 32)) * 4.0
+    base = (
+        centers[rng.integers(0, 32, 16384)]
+        + rng.normal(size=(16384, 32))
+    ).astype(np.float32)
+    queries = (
+        centers[rng.integers(0, 32, 128)] + rng.normal(size=(128, 32)) * 0.5
+    ).astype(np.float32)
+    return base, queries
+
+
+def test_routed_split_base_dev_recall(small_base):
+    base, queries = small_base
+    gt = _brute_gt(base, queries, 10)
+    idx = build_routed_split(
+        base.shape[0], base.shape[1], base_dev=jnp.asarray(base),
+        num_clusters=64, train_size=8192, seed=3,
+    )
+    # full probes = every cluster granted = pruning-free exact path
+    ids, dists = idx.search(queries, 10, probes=64, shared=64, tile=32,
+                            kk=64, batch_size=128)
+    assert idx.last_coverage == 1.0
+    assert recall_at_k(ids, gt, 10) >= 0.999
+    assert (np.diff(dists, axis=1) >= -1e-5).all()
+    # pruned probes on clustered data: near-full recall; a wider grant
+    # (shared) must push coverage toward 1 (the tuning knob at scale)
+    ids_p, _ = idx.search(queries, 10, probes=12, tile=32, batch_size=128)
+    assert recall_at_k(ids_p, gt, 10) >= 0.95
+    cov_narrow = idx.last_coverage
+    ids_w, _ = idx.search(queries, 10, probes=12, shared=48, tile=32,
+                          batch_size=128)
+    assert recall_at_k(ids_w, gt, 10) >= 0.95
+    assert idx.last_coverage >= max(cov_narrow, 0.9)
+
+
+def test_routed_split_gid_is_permutation(small_base):
+    base, _ = small_base
+    idx = build_routed_split(
+        base.shape[0], base.shape[1], base_dev=jnp.asarray(base),
+        num_clusters=64, train_size=8192, seed=3,
+    )
+    gid = np.asarray(idx.gid)
+    real = np.sort(gid[gid >= 0])
+    assert real.shape[0] == base.shape[0]
+    assert (real == np.arange(base.shape[0])).all()
+    # pad rows can never win: nrm pinned to the NEG sentinel
+    aux = np.asarray(idx.aux)
+    assert (aux[0][gid < 0] < -1e37).all()
+
+
+def test_routed_split_regen_builder_gt_matches_bruteforce():
+    from shine_tpu.io.device_synth import regen_rows
+    import jax
+
+    n, d = 8192, 32
+    key = jax.random.PRNGKey(9)
+    centers = jax.random.normal(jax.random.PRNGKey(1), (16, d)) * 4.0
+    rng = np.random.default_rng(2)
+    queries = np.asarray(
+        regen_rows(key, centers, jnp.arange(64, dtype=jnp.int32))
+    ) + rng.normal(size=(64, d)).astype(np.float32) * 0.3
+    idx, gt = build_routed_split(
+        n, d, row_source=(key, centers), num_clusters=32,
+        train_size=8192, seed=4, queries=queries,
+    )
+    base = np.asarray(
+        regen_rows(key, centers, jnp.arange(n, dtype=jnp.int32))
+    )
+    gt_ref = _brute_gt(base, queries.astype(np.float32), 10)
+    # the ingest GT fold must agree with host brute force (modulo exact
+    # ties, absent at f32 on this density)
+    assert (gt == gt_ref).mean() >= 0.99
+    ids, _ = idx.search(queries, 10, probes=12, shared=24, tile=32,
+                        batch_size=64)
+    assert recall_at_k(ids, gt_ref, 10) >= 0.9
+
+
+def test_routed_split_cost_counters(small_base):
+    base, _ = small_base
+    idx = build_routed_split(
+        base.shape[0], base.shape[1], base_dev=jnp.asarray(base),
+        num_clusters=64, train_size=8192, seed=3,
+    )
+    cc = idx.cost_counters(256, probes=16, tile=64)
+    assert cc["scanned_rows"] == 256 * 24 * idx.cap
+    assert cc["ici_exchange_bytes"] == 0
+    assert cc["hbm_gather_bytes"] > 0
