@@ -34,12 +34,13 @@ enable_compile_cache()
 
 N = int(os.environ.get("SHINE_CR_N", 41_943_040))
 D = 128
-C = int(os.environ.get("SHINE_CR_C", 2048))
+CAP = int(os.environ.get("SHINE_CR_CAP", 4096))
+CLS = int(os.environ.get("SHINE_CR_CLS", 1024))
 SLACK = float(os.environ.get("SHINE_CR_SLACK", 1.05))
 SWEEP = [
     tuple(int(v) for v in s.split(":"))
     for s in os.environ.get(
-        "SHINE_CR_SWEEP", "16:24:64,32:48:64,32:64:128,64:96:128"
+        "SHINE_CR_SWEEP", "32:48:64,32:64:64,64:96:64,32:64:128"
     ).split(",")
 ]
 NQ = 2048
@@ -48,7 +49,7 @@ OUT = os.path.join(ROOT, "results", "scale_capacity_routed.jsonl")
 
 
 def emit(rec: dict) -> None:
-    rec = {"n": N, "d": D, "nq": NQ, "C": C, "slack": SLACK, **rec}
+    rec = {"n": N, "d": D, "nq": NQ, "cap": CAP, "cls": CLS, "slack": SLACK, **rec}
     print("#", json.dumps(rec), flush=True)
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
@@ -73,14 +74,14 @@ def main() -> None:
 
     t0 = time.time()
     idx, gt = build_routed_split(
-        N, D, row_source=(k1, centers), num_clusters=C, cap_slack=SLACK,
-        comp_dtype="int8", seed=SEED, queries=queries,
+        N, D, row_source=(k1, centers), cap_target=CAP, cls=CLS,
+        cap_slack=SLACK, comp_dtype="int8", seed=SEED, queries=queries,
         log=lambda m: print(m, flush=True),
     )
-    table_gb = (idx.comp.nbytes + idx.aux.nbytes + idx.gid.nbytes) / 1e9
+    table_gb = (idx.comp.nbytes + idx.aux_r.nbytes + idx.gid.nbytes) / 1e9
     emit({
         "stage": "ingest", "seconds": round(time.time() - t0, 1),
-        "cap": idx.cap, "fill": round(N / (C * idx.cap), 4),
+        "C": idx.C, "fill": round(N / (idx.C * idx.cap), 4),
         "table_gb": round(table_gb, 2),
     })
 

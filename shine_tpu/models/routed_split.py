@@ -1,8 +1,8 @@
 """Routed (cluster-pruned) serving over the SPLIT capacity layout.
 
-The flat split scan reads every row per batch and is VPU-select-bound at
-~9.4 ns/row (docs/TPU_NOTES.md 'Split kernel operating points') — ~2k
-QPS at 100M rows. This module trades exactness-by-sweep for
+The flat split scan reads every row per batch and is VPU-select-bound
+(~9.4-16.8 ns/row, docs/TPU_NOTES.md 'Split kernel operating points') —
+~1-2k QPS at 100M rows. This module trades exactness-by-sweep for
 exactness-by-re-rank over a PRUNED candidate set: rows are clustered
 (balanced k-means, the capacity_assign scheme shared with models/ivf.py
 and parallel/placement.py), stored cluster-major in the 136 B/row int8
@@ -11,6 +11,14 @@ affinity-routed tile-shared union of ivf_routed_search
 (models/ivf.py:457) reapplied to the capacity tables, with the EXACT
 regen re-rank (ops/distance.py:regen_rerank_topk) restoring f32
 precision on the survivors.
+
+The hot path is the routed class-max Pallas kernel
+(ops/pallas_scan_routed.py): a prefetched (G, P) column table drives
+cluster-block DMAs and the select stays fused in VMEM — the plain-XLA
+formulation materializes the (B, P*cap) score tensor and spent 203 of
+228 ms/batch inside approx_max_k over 104k lanes (measured 4.2M,
+results/profile_routed_split.jsonl). The XLA path is kept as the
+CPU/test engine with identical class-max semantics.
 
 Reference role: the reference serves its 100M envelope by pruning
 traversal to ~ef*M rows via the HNSW graph (hnsw.hh:253-307) over
@@ -69,6 +77,44 @@ def _make_rowfn(row_source, base_dev, metric: int):
     return rowfn
 
 
+def _route_cols(probes_s, C: int, P: int):
+    """Rank-major tile-shared column grant, sort-based (no scatter).
+
+    probes_s: (G, T, p) per-query probe wishes, affinity-sorted. Every
+    query gets its rank-r wish considered before any query's rank r+1
+    (the balanced-batch fairness of query_router.hh:353-370): wish
+    (t, r) carries position r*T + t, each cluster's priority is its
+    minimum position, and the P best-priority clusters win. Returns
+    (cols (G, P) i32 with invalid = C [the pad cluster], coverage
+    scalar = granted wish fraction). Two (G, T*p) sorts replace the
+    (G, C) scatter-min of the first implementation."""
+    G, T, p = probes_s.shape
+    TP = T * p
+    pos = jnp.broadcast_to(
+        jnp.arange(TP, dtype=jnp.int32).reshape(p, T).T, (G, T, p)
+    ).reshape(G, TP)
+    comb = probes_s.reshape(G, TP) * TP + pos
+    s = jnp.sort(comb, axis=1)
+    k_s = s // TP
+    pos_s = s % TP
+    iota = jnp.broadcast_to(jnp.arange(TP, dtype=jnp.int32), (G, TP))
+    is_first = jnp.concatenate(
+        [jnp.ones((G, 1), bool), k_s[:, 1:] != k_s[:, :-1]], axis=1
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_first, iota, 0), axis=1)
+    minpos_elem = jnp.take_along_axis(pos_s, seg_start, axis=1)
+    # second sort: unique clusters by their min position
+    val = jnp.where(is_first, pos_s, TP)  # TP = +inf sentinel
+    s2 = jnp.sort(val * (C + 1) + k_s, axis=1)[:, :P]
+    val2 = s2 // (C + 1)
+    cols = jnp.where(val2 < TP, s2 % (C + 1), C)
+    # positions are unique per group, so "minpos <= P-th unique minpos"
+    # selects exactly the granted clusters' wishes
+    thresh = jnp.where(val2[:, -1:] < TP, val2[:, -1:], TP)
+    coverage = (minpos_elem <= thresh).mean()
+    return cols, coverage
+
+
 class RoutedSplitIndex:
     """Cluster-pruned capacity serving: balanced-k-means split tables +
     tile-shared probing + exact regen re-rank. Build via
@@ -77,30 +123,31 @@ class RoutedSplitIndex:
     def __init__(
         self,
         centroids,  # (C, d) f32
-        comp,  # (C*cap, dpc) int8|bf16 cluster-major component table
-        aux,  # (2, C*cap) f32 [0]=nrm [1]=scl (pads: nrm=NEG)
-        gid,  # (C*cap,) i32 global row id, -1 pad
+        comp,  # ((C+1)*cap, dpc) int8|bf16 cluster-major (+1 pad cluster)
+        aux_r,  # (C+1, 2*members, cls) f32 nrm rows then scl rows
+        gid,  # ((C+1)*cap,) i32 global row id, -1 pad
         n: int,
         dim: int,
         metric: int,
         *,
+        cls: int,
         row_source=None,
         base_dev=None,
         sqnorms=None,
     ):
         self.centroids = centroids
         self.comp = comp
-        self.aux = aux
+        self.aux_r = aux_r
         self.gid = gid
         self.n, self.dim = n, dim
         self.metric = metric
+        self.cls = cls
         self.row_source = row_source
         self.base_dev = base_dev
         self.sqnorms = sqnorms
         self.C = int(centroids.shape[0])
-        self.cap = int(comp.shape[0]) // self.C
+        self.cap = int(comp.shape[0]) // (self.C + 1)
         self.last_coverage = None
-        self.last_granted = None
 
     # --- search -----------------------------------------------------
 
@@ -122,7 +169,7 @@ class RoutedSplitIndex:
         kk: int = 0,
         batch_size: int = 2048,
         preloaded=None,
-        step_budget: int = 1 << 30,
+        engine: str = "auto",
         with_dists: bool = True,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Tile-shared routed search over the clustered split tables.
@@ -130,17 +177,20 @@ class RoutedSplitIndex:
         probes: per-query probe wishes (stage-1 nearest centroids).
         shared: per-tile granted union width P (default 3*probes/2).
         kk: scan survivors per query fed to the exact re-rank
-        (default 8*k). Coverage (granted wish fraction) lands in
-        self.last_coverage; there is no exact-fallback dispatch at
-        capacity scale — size `shared` so coverage ~1 instead
-        (measured knobs: scripts/scale_capacity_routed.py)."""
+        (default 8*k, <= cls). engine: "pallas" (TPU hot path), "xla"
+        (CPU/tests, identical class-max semantics), "auto" by backend.
+        Coverage (granted wish fraction) lands in self.last_coverage —
+        size `shared` so coverage ~1 instead of relying on a fallback
+        dispatch (measured knobs: scripts/scale_capacity_routed.py)."""
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         if shared <= 0:
             shared = probes + probes // 2
         shared = min(shared, self.C)
         probes = min(probes, self.C)
         if kk <= 0:
             kk = 8 * k
-        kk = min(kk, shared * self.cap)
+        kk = min(kk, self.cls)
         nq, d = queries.shape
         batch_size = max(tile, _round_up(min(batch_size, max(nq, 1)), tile))
         if preloaded is not None:
@@ -160,12 +210,12 @@ class RoutedSplitIndex:
         for lo in range(0, nq_pad, batch_size):
             parts.append(
                 routed_split_search_at(
-                    self.centroids, self.comp, self.aux, self.gid,
+                    self.centroids, self.comp, self.aux_r, self.gid,
                     self.base_dev, self.sqnorms, rs_key, rs_cents,
                     q_dev, lo,
                     k=k, p=probes, P=shared, T=tile, kk=kk,
                     metric=self.metric, C=self.C, cap=self.cap,
-                    batch=batch_size, step_budget=step_budget,
+                    cls=self.cls, batch=batch_size, engine=engine,
                 )
             )
             covs.append(parts[-1][2])
@@ -198,25 +248,27 @@ class RoutedSplitIndex:
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "p", "P", "T", "kk", "metric", "C", "cap", "batch",
-        "step_budget",
+        "k", "p", "P", "T", "kk", "metric", "C", "cap", "cls", "batch",
+        "engine",
     ),
 )
 def routed_split_search_at(
-    cents, comp, aux, gid, base_dev, sqnorms, rs_key, rs_cents, q_dev, lo,
-    *, k, p, P, T, kk, metric, C, cap, batch, step_budget,
+    cents, comp, aux_r, gid, base_dev, sqnorms, rs_key, rs_cents, q_dev, lo,
+    *, k, p, P, T, kk, metric, C, cap, cls, batch, engine,
 ):
     """One fused routed dispatch on the clustered split tables: stage-1
-    probe selection, on-device affinity sort, rank-major tile unions
-    (scatter-min priority), streamed block scans, exact re-rank."""
+    probe selection, on-device affinity sort, sort-based rank-major tile
+    unions, the routed class-max block scan, exact re-rank."""
     from shine_tpu.ops.distance import (
         pairwise_distance,
         regen_rerank_topk,
         rerank_topk,
     )
+    from shine_tpu.ops.pallas_scan_routed import routed_classmax_scan
 
     B = batch
     G = B // T
+    members = cap // cls
     q = jax.lax.dynamic_slice(q_dev, (lo, 0), (B, q_dev.shape[1]))
     q = q.astype(jnp.float32)
 
@@ -236,77 +288,43 @@ def routed_split_search_at(
         perm = jnp.argsort(probes_[:, 0], stable=True)
     inv = jnp.argsort(perm, stable=True)
     q_s = q[perm]
-    probes_s = probes_[perm].reshape(G, T, p)
+    cols, coverage = _route_cols(probes_[perm].reshape(G, T, p), C, P)
 
-    # rank-major tile unions via scatter-min priority (every query gets
-    # its rank-r wishes before any query gets rank r+1 — the balanced
-    # batch fairness of query_router.hh:353-370)
-    pos = jnp.broadcast_to(
-        jnp.arange(T * p, dtype=jnp.int32).reshape(p, T).T, (G, T, p)
-    )
-    minpos = jnp.full((G, C), jnp.int32(2 ** 30))
-    minpos = minpos.at[jnp.arange(G)[:, None, None], probes_s].min(pos)
-    neg, cols = jax.lax.top_k(-minpos, P)  # (G, P)
-    colmask = neg > -(2 ** 30)
-    thresh = -neg[:, -1]
-    wish_pos = minpos[jnp.arange(G)[:, None, None], probes_s]
-    granted = wish_pos <= thresh[:, None, None]
-    coverage = granted.mean()
-
-    comp3 = comp.reshape(C, cap, comp.shape[1])
-    aux3 = aux.reshape(2, C, cap)
-    gid2 = gid.reshape(C, cap)
-    qf = q_s.reshape(G, T, q.shape[1])
-
-    # streamed tile-group scan: (gc, P, cap) blocks + scores must fit
-    # alongside the tables (the ivf_routed_search step_budget scheme)
     dpc = comp.shape[1]
-    step_bytes = (
-        P * cap * (dpc * comp.dtype.itemsize + 12)
-        + T * P * cap * 4
-    )
-    gc = max(1, min(G, int(step_budget // max(step_bytes, 1))))
-    while G % gc:
-        gc -= 1
-
-    def scan_chunk(_, xs):
-        cols_c, colmask_c, qf_c = xs
-        qpad = jnp.zeros((cols_c.shape[0], T, dpc), jnp.float32)
-        qpad = qpad.at[:, :, : qf_c.shape[-1]].set(qf_c)
-        blk = comp3[cols_c].astype(jnp.bfloat16)  # (gc, P, cap, dpc)
-        nrm_b = aux3[0][cols_c]  # (gc, P, cap)
-        scl_b = aux3[1][cols_c]
-        gid_b = gid2[cols_c]
-        dots = jnp.einsum(
-            "gtd,gpcd->gtpc",
-            qpad.astype(jnp.bfloat16),
-            blk,
-            preferred_element_type=jnp.float32,
+    if engine == "pallas" or engine == "interpret":
+        qpad = jnp.zeros((B, dpc), jnp.float32)
+        qpad = qpad.at[:, : q.shape[1]].set(q_s).astype(jnp.bfloat16)
+        best, code = routed_classmax_scan(
+            comp, aux_r, qpad, cols, T=T, cap=cap, cls=cls,
+            interpret=(engine == "interpret"),
         )
-        sc = dots * scl_b[:, None] + nrm_b[:, None]  # maximize
-        valid = (gid_b >= 0) & colmask_c[:, :, None]
-        sc = jnp.where(valid[:, None], sc, NEG)
-        sc = sc.reshape(cols_c.shape[0], T, P * cap)
-        gid_f = jnp.broadcast_to(
-            gid_b.reshape(-1, 1, P * cap), sc.shape
-        )
-        if P * cap >= 4 * kk:
-            _, sel = jax.lax.approx_max_k(sc, kk, recall_target=0.999)
-        else:
-            _, sel = jax.lax.top_k(sc, kk)
-        return None, jnp.take_along_axis(gid_f, sel, axis=-1)
-
-    xs = (
-        cols.reshape(G // gc, gc, P),
-        colmask.reshape(G // gc, gc, P),
-        qf.reshape(G // gc, gc, T, qf.shape[-1]),
-    )
-    if G // gc == 1:
-        _, cand = scan_chunk(None, jax.tree.map(lambda a: a[0], xs))
-        cand = cand[None]
     else:
-        _, cand = jax.lax.scan(scan_chunk, None, xs)
-    cand = cand.reshape(B, kk)
+        # XLA emulation, identical class-max semantics (CPU/tests)
+        comp3 = comp.reshape(C + 1, cap, dpc)
+        qpad = jnp.zeros((G, T, dpc), jnp.float32)
+        qpad = qpad.at[:, :, : q.shape[1]].set(q_s.reshape(G, T, -1))
+        blk = comp3[cols].astype(jnp.bfloat16)  # (G, P, cap, dpc)
+        aux_b = aux_r[cols]  # (G, P, 2*members, cls)
+        dots = jnp.einsum(
+            "gtd,gcd->gtc",
+            qpad.astype(jnp.bfloat16),
+            blk.reshape(G, P * cap, dpc),
+            preferred_element_type=jnp.float32,
+        ).reshape(G, T, P, members, cls)
+        nrm_b = aux_b[:, :, :members].reshape(G, 1, P, members, cls)
+        scl_b = aux_b[:, :, members:].reshape(G, 1, P, members, cls)
+        sc = (dots * scl_b + nrm_b).reshape(G, T, P * members, cls)
+        best = jnp.max(sc, axis=2).reshape(B, cls)
+        code = jnp.argmax(sc, axis=2).astype(jnp.int32)  # first max wins
+        lane = jnp.arange(cls, dtype=jnp.int32)
+        code = (code * cls + lane[None, None, :]).reshape(B, cls)
+
+    # per-query top-kk survivors from the class lanes -> global ids
+    bestk, sel = jax.lax.top_k(best, kk)  # scores maximize
+    lrow = jnp.take_along_axis(code, sel, axis=1)  # (B, kk) local rows
+    g_of_q = jnp.arange(B, dtype=jnp.int32) // T
+    trow = cols[g_of_q[:, None], lrow // cap] * cap + lrow % cap
+    cand = jnp.where(bestk > NEG / 2, gid[trow], -1)
 
     if rs_key is not None:
         d_out, i_out = regen_rerank_topk(
@@ -316,7 +334,7 @@ def routed_split_search_at(
         d_out, i_out = rerank_topk(
             base_dev.astype(jnp.float32), sqnorms, q_s, cand, k, metric
         )
-    return d_out.reshape(B, k)[inv], i_out.reshape(B, k)[inv], coverage
+    return d_out[inv], i_out[inv], coverage
 
 
 # --- builder --------------------------------------------------------
@@ -329,27 +347,31 @@ def build_routed_split(
     row_source=None,
     base_dev=None,
     metric: str | int = "l2",
-    num_clusters: int = 2048,
+    cap_target: int = 4096,
+    cls: int = 1024,
     cap_slack: float = 1.05,
     comp_dtype: str = "int8",
     train_size: int = 131_072,
     kmeans_iters: int = 20,
     seed: int = 1234,
     achunk: int = 262_144,
-    rchunk: int = 131_072,
     queries: np.ndarray | None = None,
     gt_k: int = 10,
     log=None,
 ):
     """Build the clustered split tables WITHOUT a resident f32 base.
 
-    Stages (each streams over regenerated row chunks):
+    The cluster capacity is the DMA/select block: cap = cap_target
+    rounded to a multiple of 4*cls (Mosaic sublane tiling of the
+    (2*members, cls) aux block), and C = ~slack*n/cap clusters follow.
+    One extra PAD cluster (id C, nrm=NEG, gid=-1) absorbs ungranted
+    column slots so the kernel needs no mask. Stages (each streams over
+    regenerated row chunks):
       A. train balanced-k-means centroids on a sampled subset
          (_lloyd_chunked) + spatial cluster ordering;
       B. stream top-2 nearest-centroid choices to the host;
       C. capacity-bounded nearest-first assignment
-         (ivf.py:_capacity_assign_host, cap = slack*n/C rounded so the
-         table tiles by rchunk) -> cluster-major id order;
+         (ivf.py:_capacity_assign_host) -> cluster-major id order;
       D. stream the PERMUTED id order through the split packer
          (pack_split_device), folding exact f32 ground truth for
          `queries` exactly like device_rowkeyed_split_dataset.
@@ -362,14 +384,20 @@ def build_routed_split(
         _nearest_r_chunk,
         _spatial_order_centroids,
     )
+    from shine_tpu.ops.pallas_scan_routed import aux_routed_layout
     from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_device
 
     metric = metric_id(metric)
     say = log if log is not None else (lambda *_: None)
     rowfn = _make_rowfn(row_source, base_dev, metric)
-    C = num_clusters
     dpc = comp_width(dim)
     int8 = comp_dtype == "int8"
+
+    cap = _round_up(max(cap_target, 4 * cls), 4 * cls)
+    # ingest scans rchunk = m*cap rows/step; (C+1) rounds up to m steps
+    m_ing = max(1, min(65_536 // cap, 64))
+    C = _round_up(max(2, math.ceil(cap_slack * n / cap)) + 1, m_ing) - 1
+    rchunk = m_ing * cap
 
     # A: train
     ts = min(train_size, n)
@@ -381,7 +409,7 @@ def build_routed_split(
     cents = np.asarray(cents)
     cents = cents[_spatial_order_centroids(cents, seed)]
     cents_dev = jnp.asarray(cents)
-    say(f"# routed_split: trained C={C} on {ts} rows")
+    say(f"# routed_split: trained C={C} cap={cap} on {ts} rows")
 
     # B: stream assignment choices
     while n % achunk or achunk > n:
@@ -401,33 +429,27 @@ def build_routed_split(
         choice_d[lo:lo + achunk] = np.asarray(d2)
     say(f"# routed_split: assignment choices streamed ({n} rows)")
 
-    # C: capacity assignment + cluster-major order
-    while rchunk > max(4096, n):
-        rchunk //= 2
-    cap = int(math.ceil(cap_slack * n / C))
-    q_lcm = rchunk // math.gcd(rchunk, C)
-    cap = _round_up(cap, q_lcm)
+    # C: capacity assignment + cluster-major order (+ pad cluster)
     assign = _capacity_assign_host(choice, choice_d, C, cap)
     sort_idx = np.argsort(assign, kind="stable")
     sa = assign[sort_idx]
     first = np.searchsorted(sa, np.arange(C))
     slot = np.arange(n, dtype=np.int64) - first[sa]
-    order = np.full(C * cap, -1, np.int32)
+    order = np.full((C + 1) * cap, -1, np.int32)
     order[sa * cap + slot] = sort_idx.astype(np.int32)
     say(f"# routed_split: capacity assign done (cap={cap}, "
         f"fill={n / (C * cap):.3f})")
 
     # D: clustered ingest (+ optional exact GT fold)
     order_dev = jax.device_put(order)
-    nq = 0
     if queries is not None:
         q_dev = jnp.asarray(np.ascontiguousarray(queries, np.float32))
-        nq = q_dev.shape[0]
         qn = jnp.sum(q_dev * q_dev, axis=1)
     else:
         q_dev = jnp.zeros((1, dim), jnp.float32)
         qn = jnp.zeros((1,), jnp.float32)
-    n_pad = C * cap
+    n_pad = (C + 1) * cap
+    assert n_pad % rchunk == 0
 
     @partial(jax.jit, static_argnames=("with_gt",))
     def ingest(order_arg, q_arg, qn_arg, *, with_gt):
@@ -474,10 +496,11 @@ def build_routed_split(
     comp, aux, gt_i = ingest(
         order_dev, q_dev, qn, with_gt=queries is not None
     )
+    aux_r = aux_routed_layout(aux, C + 1, cap, cls)
     say("# routed_split: clustered tables packed")
 
     idx = RoutedSplitIndex(
-        cents_dev, comp, aux, order_dev, n, dim, metric,
+        cents_dev, comp, aux_r, order_dev, n, dim, metric, cls=cls,
         row_source=row_source, base_dev=base_dev,
         sqnorms=(
             jnp.sum(base_dev.astype(jnp.float32) ** 2, axis=1)

@@ -1,7 +1,12 @@
 """Routed split-layout capacity serving (models/routed_split.py).
 
 Small-N CPU checks of the full pipeline: balanced clustered ingest
-(streamed, no resident base), tile-shared probing, exact re-rank.
+(streamed, no resident base), sort-based tile-shared routing, the
+routed class-max Pallas kernel (interpret mode) vs the XLA emulation,
+exact re-rank. Class-max select bounds recall at ~1 - 4.5/cls (birthday
+collisions of the true top-10 across class lanes) even at full probes —
+asserts are set against that model, the exact-rerank precision claim is
+carried by the id-level engine-equivalence test.
 """
 
 import numpy as np
@@ -35,43 +40,65 @@ def small_base():
     return base, queries
 
 
-def test_routed_split_base_dev_recall(small_base):
+@pytest.fixture(scope="module")
+def small_idx(small_base):
+    base, _ = small_base
+    return build_routed_split(
+        base.shape[0], base.shape[1], base_dev=jnp.asarray(base),
+        cap_target=512, cls=512, train_size=8192, seed=3,
+    )
+
+
+def test_routed_split_base_dev_recall(small_base, small_idx):
     base, queries = small_base
     gt = _brute_gt(base, queries, 10)
-    idx = build_routed_split(
-        base.shape[0], base.shape[1], base_dev=jnp.asarray(base),
-        num_clusters=64, train_size=8192, seed=3,
-    )
-    # full probes = every cluster granted = pruning-free exact path
-    ids, dists = idx.search(queries, 10, probes=64, shared=64, tile=32,
-                            kk=64, batch_size=128)
+    idx = small_idx
+    # full probes = every cluster granted; loss is only class-lane
+    # collisions (~1 - 45/cls expected)
+    ids, dists = idx.search(queries, 10, probes=idx.C, shared=idx.C,
+                            tile=32, kk=64, batch_size=128)
     assert idx.last_coverage == 1.0
-    assert recall_at_k(ids, gt, 10) >= 0.999
+    assert recall_at_k(ids, gt, 10) >= 0.97
     assert (np.diff(dists, axis=1) >= -1e-5).all()
     # pruned probes on clustered data: near-full recall; a wider grant
     # (shared) must push coverage toward 1 (the tuning knob at scale)
-    ids_p, _ = idx.search(queries, 10, probes=12, tile=32, batch_size=128)
-    assert recall_at_k(ids_p, gt, 10) >= 0.95
+    ids_p, _ = idx.search(queries, 10, probes=8, tile=32, batch_size=128)
+    assert recall_at_k(ids_p, gt, 10) >= 0.93
     cov_narrow = idx.last_coverage
-    ids_w, _ = idx.search(queries, 10, probes=12, shared=48, tile=32,
+    ids_w, _ = idx.search(queries, 10, probes=8, shared=24, tile=32,
                           batch_size=128)
-    assert recall_at_k(ids_w, gt, 10) >= 0.95
+    assert recall_at_k(ids_w, gt, 10) >= 0.93
     assert idx.last_coverage >= max(cov_narrow, 0.9)
 
 
-def test_routed_split_gid_is_permutation(small_base):
+def test_routed_split_engines_match(small_base, small_idx):
+    """The Pallas kernel (interpret) and the XLA emulation implement the
+    same class-max semantics — identical survivor ids end to end."""
+    base, queries = small_base
+    idx = small_idx
+    kw = dict(probes=8, shared=16, tile=32, kk=48, batch_size=64)
+    ids_x, d_x = idx.search(queries, 10, engine="xla", **kw)
+    ids_p, d_p = idx.search(queries, 10, engine="interpret", **kw)
+    assert (ids_x == ids_p).all()
+    np.testing.assert_allclose(d_x, d_p, rtol=1e-5, atol=1e-5)
+
+
+def test_routed_split_gid_is_permutation(small_base, small_idx):
     base, _ = small_base
-    idx = build_routed_split(
-        base.shape[0], base.shape[1], base_dev=jnp.asarray(base),
-        num_clusters=64, train_size=8192, seed=3,
-    )
+    idx = small_idx
     gid = np.asarray(idx.gid)
     real = np.sort(gid[gid >= 0])
     assert real.shape[0] == base.shape[0]
     assert (real == np.arange(base.shape[0])).all()
     # pad rows can never win: nrm pinned to the NEG sentinel
-    aux = np.asarray(idx.aux)
-    assert (aux[0][gid < 0] < -1e37).all()
+    members = idx.cap // idx.cls
+    aux_flat = np.moveaxis(
+        np.asarray(idx.aux_r).reshape(idx.C + 1, 2, members, idx.cls),
+        1, 0,
+    ).reshape(2, -1)
+    assert (aux_flat[0][gid < 0] < -1e37).all()
+    # the pad cluster (id C) is entirely pad rows
+    assert (gid[idx.C * idx.cap:] == -1).all()
 
 
 def test_routed_split_regen_builder_gt_matches_bruteforce():
@@ -86,7 +113,7 @@ def test_routed_split_regen_builder_gt_matches_bruteforce():
         regen_rows(key, centers, jnp.arange(64, dtype=jnp.int32))
     ) + rng.normal(size=(64, d)).astype(np.float32) * 0.3
     idx, gt = build_routed_split(
-        n, d, row_source=(key, centers), num_clusters=32,
+        n, d, row_source=(key, centers), cap_target=512, cls=128,
         train_size=8192, seed=4, queries=queries,
     )
     base = np.asarray(
@@ -96,17 +123,16 @@ def test_routed_split_regen_builder_gt_matches_bruteforce():
     # the ingest GT fold must agree with host brute force (modulo exact
     # ties, absent at f32 on this density)
     assert (gt == gt_ref).mean() >= 0.99
-    ids, _ = idx.search(queries, 10, probes=12, shared=24, tile=32,
+    # queries here are anchored at 64 scattered rows (anti-affinity, the
+    # worst case for tile sharing) and cls=128 costs ~45/128 of the true
+    # top-10 to class-lane collisions: p16/P32 measures 0.95
+    ids, _ = idx.search(queries, 10, probes=16, shared=32, tile=32,
                         batch_size=64)
-    assert recall_at_k(ids, gt_ref, 10) >= 0.9
+    assert recall_at_k(ids, gt_ref, 10) >= 0.93
 
 
-def test_routed_split_cost_counters(small_base):
-    base, _ = small_base
-    idx = build_routed_split(
-        base.shape[0], base.shape[1], base_dev=jnp.asarray(base),
-        num_clusters=64, train_size=8192, seed=3,
-    )
+def test_routed_split_cost_counters(small_idx):
+    idx = small_idx
     cc = idx.cost_counters(256, probes=16, tile=64)
     assert cc["scanned_rows"] == 256 * 24 * idx.cap
     assert cc["ici_exchange_bytes"] == 0
