@@ -245,55 +245,23 @@ class RoutedSplitIndex:
         }
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "k", "p", "P", "T", "kk", "metric", "C", "cap", "cls", "batch",
-        "engine",
-    ),
-)
-def routed_split_search_at(
-    cents, comp, aux_r, gid, base_dev, sqnorms, rs_key, rs_cents, q_dev, lo,
-    *, k, p, P, T, kk, metric, C, cap, cls, batch, engine,
-):
-    """One fused routed dispatch on the clustered split tables: stage-1
-    probe selection, on-device affinity sort, sort-based rank-major tile
-    unions, the routed class-max block scan, exact re-rank."""
-    from shine_tpu.ops.distance import (
-        pairwise_distance,
-        regen_rerank_topk,
-        rerank_topk,
-    )
+def scan_select(comp, aux_r, gid, q_s, cols, *, T: int, cap: int, cls: int,
+                kk: int, engine: str):
+    """Routed class-max scan + per-query survivor extraction: returns
+    cand (B, kk) GLOBAL row ids (-1 invalid), affinity-sorted query
+    order. Shared by the single-chip dispatch and the cluster-sharded
+    SPMD path (parallel/routed_sharded.py) — `gid` carries global ids,
+    so the caller's table layout (whole or per-shard slice) is opaque."""
     from shine_tpu.ops.pallas_scan_routed import routed_classmax_scan
 
-    B = batch
-    G = B // T
+    B, dq = q_s.shape
+    G, P = cols.shape
+    C = comp.shape[0] // cap - 1
     members = cap // cls
-    q = jax.lax.dynamic_slice(q_dev, (lo, 0), (B, q_dev.shape[1]))
-    q = q.astype(jnp.float32)
-
-    # stage 1: per-query probe wishes
-    scores1 = pairwise_distance(q, cents, metric)  # (B, C)
-    if C >= 4096 and p < C:
-        _, probes_ = jax.lax.approx_max_k(-scores1, p, recall_target=0.999)
-    else:
-        _, probes_ = jax.lax.top_k(-scores1, p)
-
-    # affinity sort by (top1, top2) probe — spatially-ordered cluster ids
-    # make tile neighbors share unions (ivf.py:_spatial_order_centroids)
-    if p > 1:
-        perm = jnp.argsort(probes_[:, 1], stable=True)
-        perm = perm[jnp.argsort(probes_[perm, 0], stable=True)]
-    else:
-        perm = jnp.argsort(probes_[:, 0], stable=True)
-    inv = jnp.argsort(perm, stable=True)
-    q_s = q[perm]
-    cols, coverage = _route_cols(probes_[perm].reshape(G, T, p), C, P)
-
     dpc = comp.shape[1]
     if engine == "pallas" or engine == "interpret":
         qpad = jnp.zeros((B, dpc), jnp.float32)
-        qpad = qpad.at[:, : q.shape[1]].set(q_s).astype(jnp.bfloat16)
+        qpad = qpad.at[:, :dq].set(q_s).astype(jnp.bfloat16)
         best, code = routed_classmax_scan(
             comp, aux_r, qpad, cols, T=T, cap=cap, cls=cls,
             interpret=(engine == "interpret"),
@@ -302,7 +270,7 @@ def routed_split_search_at(
         # XLA emulation, identical class-max semantics (CPU/tests)
         comp3 = comp.reshape(C + 1, cap, dpc)
         qpad = jnp.zeros((G, T, dpc), jnp.float32)
-        qpad = qpad.at[:, :, : q.shape[1]].set(q_s.reshape(G, T, -1))
+        qpad = qpad.at[:, :, :dq].set(q_s.reshape(G, T, -1))
         blk = comp3[cols].astype(jnp.bfloat16)  # (G, P, cap, dpc)
         aux_b = aux_r[cols]  # (G, P, 2*members, cls)
         dots = jnp.einsum(
@@ -324,7 +292,55 @@ def routed_split_search_at(
     lrow = jnp.take_along_axis(code, sel, axis=1)  # (B, kk) local rows
     g_of_q = jnp.arange(B, dtype=jnp.int32) // T
     trow = cols[g_of_q[:, None], lrow // cap] * cap + lrow % cap
-    cand = jnp.where(bestk > NEG / 2, gid[trow], -1)
+    return jnp.where(bestk > NEG / 2, gid[trow], -1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "p", "P", "T", "kk", "metric", "C", "cap", "cls", "batch",
+        "engine",
+    ),
+)
+def routed_split_search_at(
+    cents, comp, aux_r, gid, base_dev, sqnorms, rs_key, rs_cents, q_dev, lo,
+    *, k, p, P, T, kk, metric, C, cap, cls, batch, engine,
+):
+    """One fused routed dispatch on the clustered split tables: stage-1
+    probe selection, on-device affinity sort, sort-based rank-major tile
+    unions, the routed class-max block scan, exact re-rank."""
+    from shine_tpu.ops.distance import (
+        pairwise_distance,
+        regen_rerank_topk,
+        rerank_topk,
+    )
+
+    B = batch
+    G = B // T
+    q = jax.lax.dynamic_slice(q_dev, (lo, 0), (B, q_dev.shape[1]))
+    q = q.astype(jnp.float32)
+
+    # stage 1: per-query probe wishes
+    scores1 = pairwise_distance(q, cents, metric)  # (B, C)
+    if C >= 4096 and p < C:
+        _, probes_ = jax.lax.approx_max_k(-scores1, p, recall_target=0.999)
+    else:
+        _, probes_ = jax.lax.top_k(-scores1, p)
+
+    # affinity sort by (top1, top2) probe — spatially-ordered cluster ids
+    # make tile neighbors share unions (ivf.py:_spatial_order_centroids)
+    if p > 1:
+        perm = jnp.argsort(probes_[:, 1], stable=True)
+        perm = perm[jnp.argsort(probes_[perm, 0], stable=True)]
+    else:
+        perm = jnp.argsort(probes_[:, 0], stable=True)
+    inv = jnp.argsort(perm, stable=True)
+    q_s = q[perm]
+    cols, coverage = _route_cols(probes_[perm].reshape(G, T, p), C, P)
+    cand = scan_select(
+        comp, aux_r, gid, q_s, cols, T=T, cap=cap, cls=cls, kk=kk,
+        engine=engine,
+    )
 
     if rs_key is not None:
         d_out, i_out = regen_rerank_topk(
@@ -350,6 +366,7 @@ def build_routed_split(
     cap_target: int = 4096,
     cls: int = 1024,
     cap_slack: float = 1.05,
+    shards: int = 1,
     comp_dtype: str = "int8",
     train_size: int = 131_072,
     kmeans_iters: int = 20,
@@ -394,18 +411,24 @@ def build_routed_split(
     int8 = comp_dtype == "int8"
 
     cap = _round_up(max(cap_target, 4 * cls), 4 * cls)
-    # ingest scans rchunk = m*cap rows/step; (C+1) rounds up to m steps
+    # C % shards == 0 (round-robin cluster ownership,
+    # parallel/routed_sharded.py); the ingest sweep (rchunk = m*cap
+    # rows/step) pads its row count up to a multiple of rchunk
+    # independently, so C is free of the ingest tiling
     m_ing = max(1, min(65_536 // cap, 64))
-    C = _round_up(max(2, math.ceil(cap_slack * n / cap)) + 1, m_ing) - 1
+    C = _round_up(max(2, shards, math.ceil(cap_slack * n / cap)), shards)
     rchunk = m_ing * cap
 
     # A: train
     ts = min(train_size, n)
-    ts -= ts % 8192
+    lchunk = min(8192, ts)
+    ts -= ts % lchunk
     kt = jax.random.PRNGKey(seed)
     train_ids = jax.random.randint(kt, (ts,), 0, n, dtype=jnp.int32)
     x_train = jax.jit(rowfn)(train_ids)
-    cents = _lloyd_chunked(x_train, k=C, iters=kmeans_iters, seed=seed)
+    cents = _lloyd_chunked(
+        x_train, k=C, iters=kmeans_iters, seed=seed, chunk=lchunk
+    )
     cents = np.asarray(cents)
     cents = cents[_spatial_order_centroids(cents, seed)]
     cents_dev = jnp.asarray(cents)
@@ -440,17 +463,24 @@ def build_routed_split(
     say(f"# routed_split: capacity assign done (cap={cap}, "
         f"fill={n / (C * cap):.3f})")
 
-    # D: clustered ingest (+ optional exact GT fold)
+    # D: clustered ingest (+ optional exact GT fold); the sweep runs
+    # over n_ing >= n_pad rows (-1 tail pad) so rchunk never has to
+    # divide the table size
     order_dev = jax.device_put(order)
+    n_pad = (C + 1) * cap
+    n_ing = _round_up(n_pad, rchunk)
+    if n_ing != n_pad:
+        order_ing = np.full(n_ing, -1, np.int32)
+        order_ing[:n_pad] = order
+        oing_dev = jax.device_put(order_ing)
+    else:
+        oing_dev = order_dev
     if queries is not None:
         q_dev = jnp.asarray(np.ascontiguousarray(queries, np.float32))
         qn = jnp.sum(q_dev * q_dev, axis=1)
     else:
         q_dev = jnp.zeros((1, dim), jnp.float32)
         qn = jnp.zeros((1,), jnp.float32)
-    n_pad = (C + 1) * cap
-    assert n_pad % rchunk == 0
-
     @partial(jax.jit, static_argnames=("with_gt",))
     def ingest(order_arg, q_arg, qn_arg, *, with_gt):
         def body(carry, c):
@@ -488,13 +518,13 @@ def build_routed_split(
             jnp.full((q_arg.shape[0], gt_k), -1, jnp.int32),
         )
         (gt_d, gt_i), (comp_s, aux_s) = jax.lax.scan(
-            body, gt0, jnp.arange(n_pad // rchunk, dtype=jnp.int32)
+            body, gt0, jnp.arange(n_ing // rchunk, dtype=jnp.int32)
         )
-        aux_s = jnp.moveaxis(aux_s, 1, 0).reshape(2, n_pad)
-        return comp_s.reshape(n_pad, dpc), aux_s, gt_i
+        aux_s = jnp.moveaxis(aux_s, 1, 0).reshape(2, n_ing)[:, :n_pad]
+        return comp_s.reshape(n_ing, dpc)[:n_pad], aux_s, gt_i
 
     comp, aux, gt_i = ingest(
-        order_dev, q_dev, qn, with_gt=queries is not None
+        oing_dev, q_dev, qn, with_gt=queries is not None
     )
     aux_r = aux_routed_layout(aux, C + 1, cap, cls)
     say("# routed_split: clustered tables packed")

@@ -4,6 +4,7 @@ from shine_tpu.parallel.ivf_sharded import ShardedIVFIndex
 from shine_tpu.parallel.mesh import SHARD_AXIS, shard_mesh
 from shine_tpu.parallel.placement import Placement, kmeans
 from shine_tpu.parallel.router import AdaptiveQueryRouter, QueryRouter
+from shine_tpu.parallel.routed_sharded import ShardedRoutedSplitIndex
 from shine_tpu.parallel.sharded import (
     ShardedGraph,
     ShardedIndex,
@@ -17,6 +18,7 @@ __all__ = [
     "ShardedFlatIndex",
     "ShardedFastFlatIndex",
     "ShardedIVFIndex",
+    "ShardedRoutedSplitIndex",
     "kmeans",
     "AdaptiveQueryRouter",
     "QueryRouter",

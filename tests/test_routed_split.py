@@ -134,6 +134,6 @@ def test_routed_split_regen_builder_gt_matches_bruteforce():
 def test_routed_split_cost_counters(small_idx):
     idx = small_idx
     cc = idx.cost_counters(256, probes=16, tile=64)
-    assert cc["scanned_rows"] == 256 * 24 * idx.cap
+    assert cc["scanned_rows"] == 256 * min(24, idx.C) * idx.cap
     assert cc["ici_exchange_bytes"] == 0
     assert cc["hbm_gather_bytes"] > 0
