@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--warmup", type=int, default=0, help="warmup queries")
     idx = p.add_argument_group("index")
     idx.add_argument(
-        "--index", choices=("hnsw", "flat", "fastflat", "ivf"), default="hnsw"
+        "--index",
+        choices=("hnsw", "flat", "fastflat", "ivf", "split", "routed"),
+        default="hnsw",
     )
     idx.add_argument("-m", type=int, default=32, help="HNSW M")
     idx.add_argument("--ef-construction", type=int, default=500)
@@ -219,6 +221,9 @@ def main(argv: list[str] | None = None) -> int:
             kw = {"batch_size": args.batch}
             if args.index == "ivf":
                 kw["probes"] = args.probes
+            elif args.index == "routed":
+                kw = {"probes": args.probes, "shared": args.ivf_shared,
+                      "tile": args.ivf_tile}
             cc = index_obj.cost_counters(len(queries), args.k, **kw)
         s.distance_computations = cc["distance_computations"]
         s.scanned_rows = cc["scanned_rows"]
@@ -269,6 +274,55 @@ def _build(args, ds, params, mesh, timing):
         return (
             lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
             ds.base.nbytes,
+            idx,
+        )
+    if args.index == "split":
+        # int8 split CAPACITY layout (136 B/row at d=128): the one-chip
+        # 100M-class exact configuration (models/flat.py:SplitFlatIndex)
+        if mesh is not None:
+            print("# --index split is single-chip in the CLI; use "
+                  "ShardedSplitFlatIndex with a row-keyed dataset for "
+                  "mesh capacity serving", file=sys.stderr)
+        import jax
+
+        from shine_tpu.models.flat import SplitFlatIndex
+
+        idx = SplitFlatIndex(
+            ds.base, metric=params.metric, comp_dtype="int8",
+            seed=args.seed, interpret=jax.default_backend() != "tpu",
+        )
+        return (
+            lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
+            idx.comp.nbytes + idx.aux.nbytes,
+            idx,
+        )
+    if args.index == "routed":
+        # cluster-pruned serving over the split tables
+        # (models/routed_split.py); --probes/--ivf-shared/--ivf-tile
+        # map to (probes, shared, tile)
+        if mesh is not None:
+            print("# --index routed is single-chip in the CLI; "
+                  "ShardedRoutedSplitIndex needs a row-keyed row_source",
+                  file=sys.stderr)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from shine_tpu.models.routed_split import build_routed_split
+
+        base_dev = jnp.asarray(
+            np.ascontiguousarray(ds.base, dtype=np.float32)
+        )
+        idx = build_routed_split(
+            ds.n, ds.base.shape[1], base_dev=base_dev,
+            metric=params.metric, seed=args.seed,
+        )
+        nbytes = idx.comp.nbytes + idx.aux_r.nbytes + idx.gid.nbytes
+        return (
+            lambda q: idx.search(
+                q, args.k, probes=args.probes, shared=args.ivf_shared,
+                tile=args.ivf_tile, batch_size=args.batch,
+            )[0],
+            nbytes,
             idx,
         )
     if args.index == "ivf":

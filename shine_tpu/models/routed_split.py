@@ -356,59 +356,23 @@ def routed_split_search_at(
 # --- builder --------------------------------------------------------
 
 
-def build_routed_split(
-    n: int,
-    dim: int,
-    *,
-    row_source=None,
-    base_dev=None,
-    metric: str | int = "l2",
-    cap_target: int = 4096,
-    cls: int = 1024,
-    cap_slack: float = 1.05,
-    shards: int = 1,
-    comp_dtype: str = "int8",
-    train_size: int = 131_072,
-    kmeans_iters: int = 20,
-    seed: int = 1234,
-    achunk: int = 262_144,
-    queries: np.ndarray | None = None,
-    gt_k: int = 10,
-    log=None,
-):
-    """Build the clustered split tables WITHOUT a resident f32 base.
+def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
+                 train_size, kmeans_iters, seed, achunk, say):
+    """Stages A-C of the routed build (train / stream assignment
+    choices / capacity-bounded cluster-major order). Shared by the
+    single-chip builder and the direct per-shard SPMD build
+    (parallel/routed_sharded.py:build_routed_split_sharded); all three
+    stages are deterministic functions of (n, knobs, seed), so every
+    caller lands on the same cluster-major id order.
 
-    The cluster capacity is the DMA/select block: cap = cap_target
-    rounded to a multiple of 4*cls (Mosaic sublane tiling of the
-    (2*members, cls) aux block), and C = ~slack*n/cap clusters follow.
-    One extra PAD cluster (id C, nrm=NEG, gid=-1) absorbs ungranted
-    column slots so the kernel needs no mask. Stages (each streams over
-    regenerated row chunks):
-      A. train balanced-k-means centroids on a sampled subset
-         (_lloyd_chunked) + spatial cluster ordering;
-      B. stream top-2 nearest-centroid choices to the host;
-      C. capacity-bounded nearest-first assignment
-         (ivf.py:_capacity_assign_host) -> cluster-major id order;
-      D. stream the PERMUTED id order through the split packer
-         (pack_split_device), folding exact f32 ground truth for
-         `queries` exactly like device_rowkeyed_split_dataset.
-
-    Returns RoutedSplitIndex, or (RoutedSplitIndex, gt) when `queries`
-    is given."""
+    Returns (cents_dev (C, d) f32, order ((C+1)*cap,) i32 host with
+    -1 = empty slot and cluster C = PAD, C, cap, rchunk)."""
     from shine_tpu.models.ivf import (
         _capacity_assign_host,
         _lloyd_chunked,
         _nearest_r_chunk,
         _spatial_order_centroids,
     )
-    from shine_tpu.ops.pallas_scan_routed import aux_routed_layout
-    from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_device
-
-    metric = metric_id(metric)
-    say = log if log is not None else (lambda *_: None)
-    rowfn = _make_rowfn(row_source, base_dev, metric)
-    dpc = comp_width(dim)
-    int8 = comp_dtype == "int8"
 
     cap = _round_up(max(cap_target, 4 * cls), 4 * cls)
     # C % shards == 0 (round-robin cluster ownership,
@@ -462,6 +426,62 @@ def build_routed_split(
     order[sa * cap + slot] = sort_idx.astype(np.int32)
     say(f"# routed_split: capacity assign done (cap={cap}, "
         f"fill={n / (C * cap):.3f})")
+    return cents_dev, order, C, cap, rchunk
+
+
+def build_routed_split(
+    n: int,
+    dim: int,
+    *,
+    row_source=None,
+    base_dev=None,
+    metric: str | int = "l2",
+    cap_target: int = 4096,
+    cls: int = 1024,
+    cap_slack: float = 1.05,
+    shards: int = 1,
+    comp_dtype: str = "int8",
+    train_size: int = 131_072,
+    kmeans_iters: int = 20,
+    seed: int = 1234,
+    achunk: int = 262_144,
+    queries: np.ndarray | None = None,
+    gt_k: int = 10,
+    log=None,
+):
+    """Build the clustered split tables WITHOUT a resident f32 base.
+
+    The cluster capacity is the DMA/select block: cap = cap_target
+    rounded to a multiple of 4*cls (Mosaic sublane tiling of the
+    (2*members, cls) aux block), and C = ~slack*n/cap clusters follow.
+    One extra PAD cluster (id C, nrm=NEG, gid=-1) absorbs ungranted
+    column slots so the kernel needs no mask. Stages (each streams over
+    regenerated row chunks):
+      A. train balanced-k-means centroids on a sampled subset
+         (_lloyd_chunked) + spatial cluster ordering;
+      B. stream top-2 nearest-centroid choices to the host;
+      C. capacity-bounded nearest-first assignment
+         (ivf.py:_capacity_assign_host) -> cluster-major id order;
+      D. stream the PERMUTED id order through the split packer
+         (pack_split_device), folding exact f32 ground truth for
+         `queries` exactly like device_rowkeyed_split_dataset.
+
+    Returns RoutedSplitIndex, or (RoutedSplitIndex, gt) when `queries`
+    is given."""
+    from shine_tpu.ops.pallas_scan_routed import aux_routed_layout
+    from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_device
+
+    metric = metric_id(metric)
+    say = log if log is not None else (lambda *_: None)
+    rowfn = _make_rowfn(row_source, base_dev, metric)
+    dpc = comp_width(dim)
+    int8 = comp_dtype == "int8"
+
+    cents_dev, order, C, cap, rchunk = _plan_routed(
+        n, dim, rowfn=rowfn, cap_target=cap_target, cls=cls,
+        cap_slack=cap_slack, shards=shards, train_size=train_size,
+        kmeans_iters=kmeans_iters, seed=seed, achunk=achunk, say=say,
+    )
 
     # D: clustered ingest (+ optional exact GT fold); the sweep runs
     # over n_ing >= n_pad rows (-1 tail pad) so rchunk never has to

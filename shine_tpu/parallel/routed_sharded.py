@@ -203,6 +203,166 @@ class ShardedRoutedSplitIndex:
         }
 
 
+def build_routed_split_sharded(
+    n: int,
+    dim: int,
+    mesh,
+    *,
+    row_source,
+    metric: str | int = "l2",
+    cap_target: int = 4096,
+    cls: int = 1024,
+    cap_slack: float = 1.05,
+    comp_dtype: str = "int8",
+    train_size: int = 131_072,
+    kmeans_iters: int = 20,
+    seed: int = 1234,
+    achunk: int = 262_144,
+    queries: np.ndarray | None = None,
+    gt_k: int = 10,
+    log=None,
+):
+    """Direct per-shard routed build: no single-chip table is ever
+    materialized. Stages A-C (train / assignment / capacity order) are
+    the deterministic single-chip plan (models/routed_split.py:
+    _plan_routed) — so the per-shard tables are BIT-IDENTICAL to
+    re-dealing a single-chip build (tests/test_routed_sharded.py) —
+    and stage D runs as one shard_map: every shard streams ONLY its
+    owned clusters' rows through the split packer (rows are pure
+    functions of fold_in(key, global_id), io/device_synth.py), folding
+    its share of the exact f32 ground truth, merged with one
+    all_gather. Per-shard ingest wall is the single-chip wall / S.
+
+    Returns ShardedRoutedSplitIndex, or (index, gt) when `queries` is
+    given. Reference analogue: each MN populates only its own segment
+    (memory_node.hh:112-125) while the plan (graph/placement) is built
+    centrally."""
+    from shine_tpu.config import METRIC_L2, metric_id
+    from shine_tpu.models.routed_split import (
+        NEG,
+        _make_rowfn,
+        _plan_routed,
+    )
+    from shine_tpu.ops.pallas_scan_routed import aux_routed_layout
+    from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_device
+
+    S = mesh.devices.size
+    metric = metric_id(metric)
+    say = log if log is not None else (lambda *_: None)
+    rowfn = _make_rowfn(row_source, None, metric)
+    dpc = comp_width(dim)
+    int8 = comp_dtype == "int8"
+
+    cents_dev, order, C, cap, rchunk = _plan_routed(
+        n, dim, rowfn=rowfn, cap_target=cap_target, cls=cls,
+        cap_slack=cap_slack, shards=S, train_size=train_size,
+        kmeans_iters=kmeans_iters, seed=seed, achunk=achunk, say=say,
+    )
+    C_loc = C // S
+    members = cap // cls
+    n_loc = (C_loc + 1) * cap
+    n_ing = _round_up(n_loc, rchunk)
+    # re-deal the cluster-major order round-robin: shard s ingests
+    # clusters s::S then the shared PAD cluster; -1 tail = ingest pad
+    order3 = order.reshape(C + 1, cap)
+    ord_sh = np.full((S, n_ing), -1, np.int32)
+    for s in range(S):
+        ord_sh[s, :n_loc] = np.concatenate(
+            [order3[:C][s::S], order3[C:]]
+        ).reshape(-1)
+
+    from jax.sharding import NamedSharding
+
+    ord_dev = jax.device_put(
+        jnp.asarray(ord_sh), NamedSharding(mesh, P_(SHARD_AXIS, None))
+    )
+    with_gt = queries is not None
+    if with_gt:
+        q_dev = jnp.asarray(np.ascontiguousarray(queries, np.float32))
+        qn = jnp.sum(q_dev * q_dev, axis=1)
+    else:
+        q_dev = jnp.zeros((1, dim), jnp.float32)
+        qn = jnp.zeros((1,), jnp.float32)
+    q_dev = jax.device_put(q_dev, NamedSharding(mesh, P_()))
+
+    def spmd(ord_loc, q_arg, qn_arg):
+        ord1 = ord_loc[0]
+
+        def body(carry, c):
+            gt_d, gt_i = carry
+            gids = jax.lax.dynamic_slice(ord1, (c * rchunk,), (rchunk,))
+            valid = gids >= 0
+            x = rowfn(jnp.maximum(gids, 0))
+            x = jnp.where(valid[:, None], x, 0.0)
+            comp_c, aux_c = pack_split_device(
+                x, metric=metric, dpc=dpc, int8=int8, rchunk=rchunk
+            )
+            aux_c = aux_c.at[0].set(jnp.where(valid, aux_c[0], NEG))
+            if with_gt:
+                sq = jnp.sum(x * x, axis=1)
+                dots = jax.lax.dot_general(
+                    q_arg, x, (((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                dd = (
+                    qn_arg[:, None] - 2.0 * dots + sq[None, :]
+                    if metric == METRIC_L2 else 1.0 - dots
+                )
+                dd = jnp.where(valid[None, :], dd, jnp.inf)
+                all_d = jnp.concatenate([gt_d, dd], axis=1)
+                all_i = jnp.concatenate(
+                    [gt_i, jnp.broadcast_to(gids[None, :], dd.shape)],
+                    axis=1,
+                )
+                nd, sel = jax.lax.top_k(-all_d, gt_k)
+                carry = (-nd, jnp.take_along_axis(all_i, sel, axis=1))
+            return carry, (comp_c, aux_c)
+
+        gt0 = (
+            jnp.full((q_arg.shape[0], gt_k), jnp.inf, jnp.float32),
+            jnp.full((q_arg.shape[0], gt_k), -1, jnp.int32),
+        )
+        (gt_d, gt_i), (comp_s, aux_s) = jax.lax.scan(
+            body, gt0, jnp.arange(n_ing // rchunk, dtype=jnp.int32)
+        )
+        aux_s = jnp.moveaxis(aux_s, 1, 0).reshape(2, n_ing)[:, :n_loc]
+        comp_s = comp_s.reshape(n_ing, dpc)[:n_loc]
+        aux_r = aux_routed_layout(aux_s, C_loc + 1, cap, cls)
+        if with_gt:
+            all_d = jax.lax.all_gather(gt_d, SHARD_AXIS)
+            all_i = jax.lax.all_gather(gt_i, SHARD_AXIS)
+            all_d = jnp.moveaxis(all_d, 0, 1).reshape(gt_d.shape[0], -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(gt_d.shape[0], -1)
+            nd, sel = jax.lax.top_k(-all_d, gt_k)
+            gt_i = jnp.take_along_axis(all_i, sel, axis=1)
+        return comp_s, aux_r, ord1[:n_loc], gt_i
+
+    run = jax.jit(jax.shard_map(
+        spmd,
+        mesh=mesh,
+        in_specs=(P_(SHARD_AXIS, None), P_(), P_()),
+        out_specs=(P_(SHARD_AXIS), P_(SHARD_AXIS, None, None),
+                   P_(SHARD_AXIS), P_()),
+        check_vma=False,
+    ))
+    comp_sh, aux_sh, gid_sh, gt_i = run(ord_dev, q_dev, qn)
+    assert aux_sh.shape == (S * (C_loc + 1), 2 * members, cls)
+    say("# routed_split: per-shard clustered tables packed")
+
+    from jax.sharding import NamedSharding as _NS
+
+    idx = ShardedRoutedSplitIndex(
+        comp_sh, aux_sh, gid_sh,
+        jax.device_put(cents_dev, _NS(mesh, P_())),
+        n, dim, metric, mesh, C=C, cap=cap, cls=cls,
+        row_source=row_source,
+    )
+    if with_gt:
+        return idx, np.asarray(gt_i)
+    return idx
+
+
 def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
                       batch, engine):
     from shine_tpu.ops.distance import pairwise_distance, regen_rerank_topk

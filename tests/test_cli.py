@@ -217,3 +217,27 @@ def test_cli_hnsw_quantized_rows(capsys):
         capsys,
     )
     assert doc["queries"]["recall"] > 0.85
+
+
+def test_cli_split_synthetic(capsys):
+    # int8 split capacity layout: exact re-rank from the kept base
+    doc = run_cli(
+        ["--synthetic", "4096:16", "--index", "split",
+         "--num-queries", "100"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.95
+    # int8 comp + f32 aux (lane-padded: the 136 B/row win needs d~128)
+    assert doc["build"]["index_size_in_bytes"] > 0
+
+
+def test_cli_routed_synthetic(capsys):
+    # cluster-pruned routed serving over the split tables (base_dev
+    # re-rank); shared=C at this tiny N so coverage is exact
+    doc = run_cli(
+        ["--synthetic", "4096:16", "--index", "routed",
+         "--num-queries", "100", "--probes", "8", "--ivf-shared", "16",
+         "--ivf-tile", "32", "--batch", "128"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.85

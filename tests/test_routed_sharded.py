@@ -87,3 +87,33 @@ def test_sharded_routed_gid_relayout_is_permutation(setup):
     gid = np.asarray(sh.gid)
     real = np.sort(gid[gid >= 0])
     assert (real == np.arange(idx.n)).all()
+
+
+def test_direct_sharded_build_bit_identical(setup):
+    """build_routed_split_sharded (per-shard stage-D ingest) must land
+    on EXACTLY the re-dealt single-chip tables: the plan is shared and
+    rows are pure functions of their global id, so chunk grouping
+    cannot change a single packed byte."""
+    from shine_tpu.io.device_synth import regen_rows
+    from shine_tpu.parallel.routed_sharded import build_routed_split_sharded
+
+    idx, queries, gt_ref = setup
+    mesh = shard_mesh(8)
+    ref = ShardedRoutedSplitIndex.from_single(idx, mesh)
+    key = idx.row_source[0]
+    centers = idx.row_source[1]
+    built, gt = build_routed_split_sharded(
+        idx.n, idx.dim, mesh, row_source=(key, centers), cap_target=512,
+        cls=128, train_size=8192, seed=4, queries=queries,
+    )
+    assert built.C == ref.C and built.cap == ref.cap
+    assert (np.asarray(built.gid) == np.asarray(ref.gid)).all()
+    assert (np.asarray(built.comp) == np.asarray(ref.comp)).all()
+    assert (np.asarray(built.aux_r) == np.asarray(ref.aux_r)).all()
+    # per-shard GT fold + gathered merge ~ brute force (near-tie slack)
+    assert (gt == gt_ref).mean() >= 0.99
+    ids, _ = built.search(queries, 10, probes=16, shared=32, tile=32,
+                          kk=64, shared_local=32, batch_size=64)
+    from shine_tpu.io import recall_at_k
+
+    assert recall_at_k(ids, gt_ref, 10) >= 0.9
