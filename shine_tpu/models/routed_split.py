@@ -111,8 +111,16 @@ def _route_cols(probes_s, C: int, P: int):
     # positions are unique per group, so "minpos <= P-th unique minpos"
     # selects exactly the granted clusters' wishes
     thresh = jnp.where(val2[:, -1:] < TP, val2[:, -1:], TP)
-    coverage = (minpos_elem <= thresh).mean()
-    return cols, coverage
+    granted_sorted = minpos_elem <= thresh
+    coverage = granted_sorted.mean()
+    # per-query granted fraction (affinity-sorted order): scatter each
+    # sorted wish's verdict back to its (rank, query) position — drives
+    # the per-query fallback spill (ivf.py search_routed analogue)
+    g_flat = jnp.zeros((G, TP), jnp.float32).at[
+        jnp.arange(G, dtype=jnp.int32)[:, None], pos_s
+    ].set(granted_sorted.astype(jnp.float32))
+    q_granted = g_flat.reshape(G, p, T).mean(axis=1).reshape(G * T)
+    return cols, coverage, q_granted
 
 
 class RoutedSplitIndex:
@@ -148,6 +156,7 @@ class RoutedSplitIndex:
         self.C = int(centroids.shape[0])
         self.cap = int(comp.shape[0]) // (self.C + 1)
         self.last_coverage = None
+        self.last_fallback = 0
 
     # --- search -----------------------------------------------------
 
@@ -171,6 +180,7 @@ class RoutedSplitIndex:
         preloaded=None,
         engine: str = "auto",
         with_dists: bool = True,
+        fallback: float = 0.5,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Tile-shared routed search over the clustered split tables.
 
@@ -180,8 +190,12 @@ class RoutedSplitIndex:
         (default 8*k, <= cls). engine: "pallas" (TPU hot path), "xla"
         (CPU/tests, identical class-max semantics), "auto" by backend.
         Coverage (granted wish fraction) lands in self.last_coverage —
-        size `shared` so coverage ~1 instead of relying on a fallback
-        dispatch (measured knobs: scripts/scale_capacity_routed.py)."""
+        size `shared` so coverage ~1 (measured knobs:
+        scripts/scale_capacity_routed.py). fallback > 0 makes recall a
+        guarantee anyway: queries whose own granted-wish fraction falls
+        below it re-run in narrow tiles (T=16) wide enough to grant
+        EVERY wish (shared = 16*probes), the ivf.py search_routed spill
+        pattern; count in self.last_fallback."""
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         if shared <= 0:
@@ -226,6 +240,38 @@ class RoutedSplitIndex:
             (nq, k), np.float32
         )
         self.last_coverage = float(np.mean([np.asarray(c) for c in covs]))
+        self.last_fallback = 0
+        if fallback > 0:
+            g_all = np.concatenate(
+                [np.asarray(p[3]) for p in parts]
+            )[:nq]
+            need = np.where(g_all < fallback)[0]
+            self.last_fallback = int(len(need))
+            if len(need):
+                # narrow-tile spill: T=16 with shared = T*probes grants
+                # every wish, so the spilled queries' recall floor is
+                # the plain per-query probe recall (power-of-two bucket
+                # bounds the compiled shapes, min 64)
+                out_i = out_i.copy()
+                out_d = out_d.copy()
+                Ts = 16
+                Ps = min(self.C, Ts * probes)
+                bucket = 1 << max(int(np.ceil(np.log2(len(need)))), 6)
+                qs = np.zeros((bucket, d), np.float32)
+                qs[: len(need)] = np.asarray(queries)[need].astype(
+                    np.float32
+                )
+                fb = routed_split_search_at(
+                    self.centroids, self.comp, self.aux_r, self.gid,
+                    self.base_dev, self.sqnorms, rs_key, rs_cents,
+                    jnp.asarray(qs), 0,
+                    k=k, p=probes, P=Ps, T=Ts, kk=kk,
+                    metric=self.metric, C=self.C, cap=self.cap,
+                    cls=self.cls, batch=bucket, engine=engine,
+                )
+                out_i[need] = np.asarray(fb[1])[: len(need)]
+                if with_dists:
+                    out_d[need] = np.asarray(fb[0])[: len(need)]
         return out_i, out_d
 
     def cost_counters(self, nq: int, k: int = 10, *, probes: int = 32,
@@ -336,7 +382,9 @@ def routed_split_search_at(
         perm = jnp.argsort(probes_[:, 0], stable=True)
     inv = jnp.argsort(perm, stable=True)
     q_s = q[perm]
-    cols, coverage = _route_cols(probes_[perm].reshape(G, T, p), C, P)
+    cols, coverage, q_granted = _route_cols(
+        probes_[perm].reshape(G, T, p), C, P
+    )
     cand = scan_select(
         comp, aux_r, gid, q_s, cols, T=T, cap=cap, cls=cls, kk=kk,
         engine=engine,
@@ -350,7 +398,7 @@ def routed_split_search_at(
         d_out, i_out = rerank_topk(
             base_dev.astype(jnp.float32), sqnorms, q_s, cand, k, metric
         )
-    return d_out[inv], i_out[inv], coverage
+    return d_out[inv], i_out[inv], coverage, q_granted[inv]
 
 
 # --- builder --------------------------------------------------------

@@ -390,7 +390,9 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             perm = jnp.argsort(probes_[:, 0], stable=True)
         inv = jnp.argsort(perm, stable=True)
         q_s = q[perm]
-        cols, coverage = _route_cols(probes_[perm].reshape(G, T, p), C, P)
+        cols, coverage, _ = _route_cols(
+            probes_[perm].reshape(G, T, p), C, P
+        )
         # compact to owned lanes (stable: rank-major priority kept)
         my = jax.lax.axis_index(SHARD_AXIS)
         owned = (cols < C) & (cols % S == my)

@@ -49,7 +49,9 @@ def test_sharded_routed_matches_or_beats_single(setup):
     idx, queries, gt = setup
     assert idx.C % 8 == 0
     kw = dict(probes=16, shared=32, tile=32, batch_size=64)
-    ids_1, _ = idx.search(queries, 10, kk=64, **kw)
+    # fallback=0: compare the raw routed pass (the sharded path has no
+    # per-query spill; its guarantee is the richer gathered union)
+    ids_1, _ = idx.search(queries, 10, kk=64, fallback=0, **kw)
     cov_1 = idx.last_coverage
     r1 = recall_at_k(ids_1, gt, 10)
 

@@ -137,3 +137,22 @@ def test_routed_split_cost_counters(small_idx):
     assert cc["scanned_rows"] == 256 * min(24, idx.C) * idx.cap
     assert cc["ici_exchange_bytes"] == 0
     assert cc["hbm_gather_bytes"] > 0
+
+
+def test_routed_split_fallback_spill(small_base, small_idx):
+    """Starved grants (P=4 shared lanes for 8 wishes/query) leave
+    under-covered queries; the fallback spill re-runs them in narrow
+    full-grant tiles, so recall floors at the per-query probe recall
+    (ivf.py search_routed analogue)."""
+    base, queries = small_base
+    gt = _brute_gt(base, queries, 10)
+    idx = small_idx
+    kw = dict(probes=8, shared=4, tile=64, kk=64, batch_size=128)
+    ids0, _ = idx.search(queries, 10, fallback=0, **kw)
+    r0 = recall_at_k(ids0, gt, 10)
+    assert idx.last_coverage < 0.9  # the starved setup is real
+    ids1, _ = idx.search(queries, 10, fallback=0.99, **kw)
+    r1 = recall_at_k(ids1, gt, 10)
+    assert idx.last_fallback > 0
+    assert r1 >= r0
+    assert r1 >= 0.9  # 8-of-C probes on this density is near-exhaustive
