@@ -67,6 +67,7 @@ class ShardedRoutedSplitIndex:
         self.row_source = row_source
         self.last_coverage = None
         self.last_overflow = None
+        self.last_fallback = 0
         self._runs: dict = {}
 
     @classmethod
@@ -129,11 +130,16 @@ class ShardedRoutedSplitIndex:
         kk: int = 0,
         batch_size: int = 2048,
         engine: str = "auto",
+        fallback: float = 0.5,
     ) -> tuple[np.ndarray, np.ndarray]:
         """SPMD routed search; knobs mirror RoutedSplitIndex.search.
         shared_local: per-shard compacted lane count P_loc (default
         2*ceil(P/S)+2, capped at P). kk here is PER-SHARD survivors
-        (default max(4*k, 8*k//S))."""
+        (default max(4*k, 8*k//S)). fallback > 0: queries whose
+        granted-wish fraction (replicated routing, so identical on
+        every shard) falls below it re-run SPMD in narrow T=16 tiles
+        with a full grant and P_loc = P (no owned-lane overflow) —
+        the single-chip spill guarantee, over the mesh."""
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         S = self.S
@@ -177,6 +183,37 @@ class ShardedRoutedSplitIndex:
         self.last_coverage = float(np.mean(
             [np.asarray(p[2]) for p in parts]))
         self.last_overflow = int(np.sum([np.asarray(p[3]) for p in parts]))
+        self.last_fallback = 0
+        if fallback > 0:
+            g_all = np.concatenate(
+                [np.asarray(p[4]) for p in parts]
+            )[:nq]
+            need = np.where(g_all < fallback)[0]
+            self.last_fallback = int(len(need))
+            if len(need):
+                out_i = out_i.copy()
+                out_d = out_d.copy()
+                Ts = 16
+                Ps = min(self.C, Ts * probes)
+                bucket = 1 << max(int(np.ceil(np.log2(len(need)))), 6)
+                qs = np.zeros((bucket, d), np.float32)
+                qs[: len(need)] = queries[need].astype(np.float32)
+                fkey = (k, probes, Ps, Ps, Ts, kk, bucket, engine)
+                if fkey not in self._runs:
+                    self._runs[fkey] = _make_routed_spmd(
+                        self.mesh, k, probes, Ps, Ps, Ts, kk,
+                        self.metric, self.C, self.cap, self.cls,
+                        bucket, engine,
+                    )
+                fb = self._runs[fkey](
+                    self.comp, self.aux_r, self.gid, self.centroids,
+                    jax.device_put(
+                        jnp.asarray(qs), NamedSharding(self.mesh, P_())
+                    ),
+                    jnp.int32(0), rs_key, rs_cents,
+                )
+                out_i[need] = np.asarray(fb[1])[: len(need)]
+                out_d[need] = np.asarray(fb[0])[: len(need)]
         return out_i, out_d
 
     def cost_counters(self, nq: int, k: int = 10, *, probes: int = 32,
@@ -390,7 +427,7 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             perm = jnp.argsort(probes_[:, 0], stable=True)
         inv = jnp.argsort(perm, stable=True)
         q_s = q[perm]
-        cols, coverage, _ = _route_cols(
+        cols, coverage, q_granted = _route_cols(
             probes_[perm].reshape(G, T, p), C, P
         )
         # compact to owned lanes (stable: rank-major priority kept)
@@ -414,7 +451,7 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             rs_key, rs_cents, q_s, allc, k, metric
         )
         overflow = jax.lax.psum(overflow, SHARD_AXIS)
-        return d_out[inv], i_out[inv], coverage, overflow
+        return d_out[inv], i_out[inv], coverage, overflow, q_granted[inv]
 
     @jax.jit
     def run(comp, aux_r, gid, cents, q_dev, lo, rs_key, rs_cents):
@@ -423,7 +460,7 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             mesh=mesh,
             in_specs=(P_(SHARD_AXIS), P_(SHARD_AXIS, None, None),
                       P_(SHARD_AXIS), P_(), P_(), P_(), P_(), P_()),
-            out_specs=(P_(), P_(), P_(), P_()),
+            out_specs=(P_(), P_(), P_(), P_(), P_()),
             check_vma=False,
         )
         return fn(comp, aux_r, gid, cents, q_dev, lo, rs_key, rs_cents)

@@ -119,3 +119,22 @@ def test_direct_sharded_build_bit_identical(setup):
     from shine_tpu.io import recall_at_k
 
     assert recall_at_k(ids, gt_ref, 10) >= 0.9
+
+
+def test_sharded_routed_fallback_spill(setup):
+    """Starved grants spill SPMD too: narrow full-grant tiles with
+    P_loc = P (no owned-lane overflow), identical guarantee to the
+    single-chip spill."""
+    idx, queries, gt = setup
+    mesh = shard_mesh(8)
+    sh = ShardedRoutedSplitIndex.from_single(idx, mesh)
+    kw = dict(probes=8, shared=4, tile=64, kk=64, shared_local=4,
+              batch_size=64)
+    ids0, _ = sh.search(queries, 10, fallback=0, **kw)
+    r0 = recall_at_k(ids0, gt, 10)
+    assert sh.last_coverage < 0.9
+    ids1, _ = sh.search(queries, 10, fallback=0.99, **kw)
+    r1 = recall_at_k(ids1, gt, 10)
+    assert sh.last_fallback > 0
+    assert r1 >= r0
+    assert r1 >= 0.9
