@@ -10,12 +10,20 @@ from shine_tpu.io.recall import (  # noqa: F401
     recall_at_k,
     recall_at_k_eps,
 )
-from shine_tpu.io.checkpoint import save_graph, load_graph, index_path
+from shine_tpu.io.checkpoint import (
+    save_graph,
+    load_graph,
+    index_path,
+    save_routed_split,
+    load_routed_split,
+)
 
 __all__ = [
     "save_graph",
     "load_graph",
     "index_path",
+    "save_routed_split",
+    "load_routed_split",
     "read_bin",
     "write_bin",
     "read_bin_header",

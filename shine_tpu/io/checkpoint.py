@@ -159,3 +159,81 @@ def index_path(root: str, name: str, params: HNSWParams, num_shards: int = 1) ->
         f"{name}_m{params.M}_efc{params.ef_construction}_{params.metric}"
         f"_s{num_shards}.npz",
     )
+
+
+def save_routed_split(idx, path: str) -> None:
+    """Checkpoint a RoutedSplitIndex's clustered split tables (the 100M
+    ingest is minutes of streaming; reloading is one read — the
+    reference's MN dump/load, memory_node.hh:130-209). bf16 components
+    are stored as a uint16 view; row_source (key, centers) rides along
+    so the exact regen re-rank survives the round trip. base_dev-backed
+    indexes store only the tables — reattach base_dev at load."""
+    import jax.numpy as jnp
+
+    comp = np.asarray(idx.comp)
+    comp_tag = "int8"
+    if comp.dtype != np.int8:
+        comp = np.asarray(idx.comp.view(jnp.uint16))
+        comp_tag = "bf16"
+    header = {
+        "version": _FORMAT_VERSION,
+        "kind": "routed_split",
+        "n": int(idx.n),
+        "dim": int(idx.dim),
+        "metric": int(idx.metric),
+        "cls": int(idx.cls),
+        "comp_dtype": comp_tag,
+        "has_row_source": idx.row_source is not None,
+    }
+    arrays = {
+        "header": np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+        "comp": comp,
+        "aux_r": np.asarray(idx.aux_r),
+        "gid": np.asarray(idx.gid),
+        "centroids": np.asarray(idx.centroids),
+    }
+    if idx.row_source is not None:
+        key, centers = idx.row_source
+        arrays["rs_key"] = np.asarray(key)
+        arrays["rs_centers"] = np.asarray(centers)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_routed_split(path: str, *, base_dev=None):
+    """Load a RoutedSplitIndex checkpoint (see save_routed_split)."""
+    import jax.numpy as jnp
+
+    from shine_tpu.models.routed_split import RoutedSplitIndex
+
+    with np.load(path) as z:
+        header = json.loads(bytes(z["header"]).decode())
+        if header["version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported checkpoint version {header['version']}"
+            )
+        if header.get("kind") != "routed_split":
+            raise ValueError("not a routed_split checkpoint")
+        comp = jnp.asarray(z["comp"])
+        if header["comp_dtype"] == "bf16":
+            comp = comp.view(jnp.bfloat16)
+        row_source = None
+        if header["has_row_source"]:
+            row_source = (jnp.asarray(z["rs_key"]), jnp.asarray(z["rs_centers"]))
+        sqnorms = None
+        if base_dev is not None:
+            sq = (
+                jnp.sum(base_dev.astype(jnp.float32) ** 2, axis=1)
+                if header["metric"] == 0
+                else jnp.zeros(header["n"], jnp.float32)
+            )
+            sqnorms = sq
+        return RoutedSplitIndex(
+            jnp.asarray(z["centroids"]), comp, jnp.asarray(z["aux_r"]),
+            jnp.asarray(z["gid"]), header["n"], header["dim"],
+            header["metric"], cls=header["cls"], row_source=row_source,
+            base_dev=base_dev, sqnorms=sqnorms,
+        )

@@ -156,3 +156,24 @@ def test_routed_split_fallback_spill(small_base, small_idx):
     assert idx.last_fallback > 0
     assert r1 >= r0
     assert r1 >= 0.9  # 8-of-C probes on this density is near-exhaustive
+
+
+def test_routed_split_checkpoint_roundtrip(tmp_path, small_base, small_idx):
+    """Tables round-trip through the .npz checkpoint bit-exactly and the
+    reloaded index serves identical results (memory_node.hh:130-209
+    dump/load analogue)."""
+    from shine_tpu.io.checkpoint import load_routed_split, save_routed_split
+
+    base, queries = small_base
+    idx = small_idx
+    path = str(tmp_path / "routed.npz")
+    save_routed_split(idx, path)
+    idx2 = load_routed_split(path, base_dev=jnp.asarray(base))
+    assert idx2.C == idx.C and idx2.cap == idx.cap and idx2.cls == idx.cls
+    assert (np.asarray(idx2.comp) == np.asarray(idx.comp)).all()
+    assert (np.asarray(idx2.gid) == np.asarray(idx.gid)).all()
+    kw = dict(probes=8, shared=16, tile=32, kk=48, batch_size=64)
+    ids_a, d_a = idx.search(queries, 10, **kw)
+    ids_b, d_b = idx2.search(queries, 10, **kw)
+    assert (ids_a == ids_b).all()
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6, atol=1e-6)
