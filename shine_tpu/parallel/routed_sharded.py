@@ -67,6 +67,7 @@ class ShardedRoutedSplitIndex:
         self.row_source = row_source
         self.last_coverage = None
         self.last_overflow = None
+        self.last_lanes = None
         self.last_fallback = 0
         self._runs: dict = {}
 
@@ -183,6 +184,7 @@ class ShardedRoutedSplitIndex:
         self.last_coverage = float(np.mean(
             [np.asarray(p[2]) for p in parts]))
         self.last_overflow = int(np.sum([np.asarray(p[3]) for p in parts]))
+        self.last_lanes = int(np.sum([np.asarray(p[5]) for p in parts]))
         self.last_fallback = 0
         if fallback > 0:
             g_all = np.concatenate(
@@ -440,6 +442,9 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
         lcol_c = jnp.take_along_axis(lcol, order, axis=1)[:, :P_loc]
         n_owned = owned.sum(axis=1)
         overflow = jnp.sum(jnp.maximum(n_owned - P_loc, 0))
+        # measured scan width: owned lanes actually occupied (the rest
+        # of the P_loc window points at the local PAD cluster)
+        lanes_used = jnp.sum(jnp.minimum(n_owned, P_loc))
         cand = scan_select(
             comp, aux_r, gid, q_s, lcol_c, T=T, cap=cap, cls=cls, kk=kk,
             engine=engine,
@@ -451,7 +456,9 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             rs_key, rs_cents, q_s, allc, k, metric
         )
         overflow = jax.lax.psum(overflow, SHARD_AXIS)
-        return d_out[inv], i_out[inv], coverage, overflow, q_granted[inv]
+        lanes_used = jax.lax.psum(lanes_used, SHARD_AXIS)
+        return (d_out[inv], i_out[inv], coverage, overflow,
+                q_granted[inv], lanes_used)
 
     @jax.jit
     def run(comp, aux_r, gid, cents, q_dev, lo, rs_key, rs_cents):
@@ -460,7 +467,7 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             mesh=mesh,
             in_specs=(P_(SHARD_AXIS), P_(SHARD_AXIS, None, None),
                       P_(SHARD_AXIS), P_(), P_(), P_(), P_(), P_()),
-            out_specs=(P_(), P_(), P_(), P_(), P_()),
+            out_specs=(P_(), P_(), P_(), P_(), P_(), P_()),
             check_vma=False,
         )
         return fn(comp, aux_r, gid, cents, q_dev, lo, rs_key, rs_cents)
