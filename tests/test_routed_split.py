@@ -177,3 +177,21 @@ def test_routed_split_checkpoint_roundtrip(tmp_path, small_base, small_idx):
     ids_b, d_b = idx2.search(queries, 10, **kw)
     assert (ids_a == ids_b).all()
     np.testing.assert_allclose(d_a, d_b, rtol=1e-6, atol=1e-6)
+
+
+def test_routed_split_ip_metric(small_base):
+    """Inner-product metric end to end: normalized rows/queries, routed
+    probing + exact re-rank under METRIC_IP (the TTI operating point,
+    datasets.py:12-20)."""
+    base, queries = small_base
+    bn = base / (np.linalg.norm(base, axis=1, keepdims=True) + 1e-30)
+    qn = queries / (np.linalg.norm(queries, axis=1, keepdims=True) + 1e-30)
+    gt = np.argsort(-(qn @ bn.T), axis=1, kind="stable")[:, :10]
+    idx = build_routed_split(
+        bn.shape[0], bn.shape[1], base_dev=jnp.asarray(bn), metric="ip",
+        cap_target=512, cls=512, train_size=8192, seed=6,
+    )
+    ids, dists = idx.search(qn, 10, probes=8, shared=16, tile=32,
+                            kk=64, batch_size=128)
+    assert recall_at_k(ids, gt, 10) >= 0.9
+    assert (np.diff(dists, axis=1) >= -1e-5).all()
