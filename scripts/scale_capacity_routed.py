@@ -37,13 +37,15 @@ D = 128
 CAP = int(os.environ.get("SHINE_CR_CAP", 4096))
 CLS = int(os.environ.get("SHINE_CR_CLS", 1024))
 SLACK = float(os.environ.get("SHINE_CR_SLACK", 1.05))
-# the first measured point (4.2M, C=2048, p32/P48/T64) sat at coverage
-# 0.60 — tile sharing needs wider grants; default sweep leads with the
-# wide-P configs and one T=128 sharing point
+# knobs picked by the CPU routing study (results/route_coverage.jsonl,
+# scripts/route_coverage_study.py): T=32 is the coverage knob at 10k+
+# clusters (T>=64 tiles want more distinct clusters than any grant);
+# at 41.9M geometry p16/P192/T32 routes at coverage 0.997,
+# p16/P128/T32 at 0.965, p32/P192/T32 at 0.980
 SWEEP = [
     tuple(int(v) for v in s.split(":"))
     for s in os.environ.get(
-        "SHINE_CR_SWEEP", "32:96:64,32:128:64,64:128:64,32:96:128"
+        "SHINE_CR_SWEEP", "16:96:32,16:128:32,16:192:32,32:192:32,32:256:32"
     ).split(",")
 ]
 NQ = 2048
