@@ -7,8 +7,8 @@
 set -u
 cd "$(dirname "$0")/.."
 
-echo "[plan] waiting for the tunnel (blocking jax.devices())..."
-python - <<'PY'
+echo "[plan] waiting for the tunnel (blocking jax.devices(), retry loop)..."
+until python - <<'PY'
 import time, jax, numpy as np, jax.numpy as jnp
 t0 = time.time()
 d = jax.devices()
@@ -17,7 +17,10 @@ x = jnp.ones((512, 512), jnp.bfloat16)
 y = np.asarray(x @ x)
 print("[plan] matmul sanity ok", float(y[0, 0]), flush=True)
 PY
-[ $? -ne 0 ] && { echo "[plan] tunnel sanity failed"; exit 1; }
+do
+  echo "[plan] tunnel still down ($(date +%H:%M)); retrying in 120s"
+  sleep 120
+done
 
 echo "[plan] stage 1: routed kernel smoke + knob sweep at 4.19M"
 SHINE_CR_N=4194304 timeout 2400 python scripts/scale_capacity_routed.py \

@@ -67,6 +67,9 @@ def main() -> None:
     ]
     if BIG:
         geoms.append(("100.7M", 100_663_296, 25_805, 2))
+    if os.environ.get("SHINE_RC_GEOM"):
+        want = os.environ["SHINE_RC_GEOM"].split(",")
+        geoms = [g for g in geoms if g[0] in want]
     for label, N, C, ITERS in geoms:
         qidx = jax.random.randint(k2, (NQ,), 0, N)
         anchors = regen_rows(k1, centers, qidx)

@@ -317,10 +317,14 @@ def _build(args, ds, params, mesh, timing):
             metric=params.metric, seed=args.seed,
         )
         nbytes = idx.comp.nbytes + idx.aux_r.nbytes + idx.gid.nbytes
+        # --ivf-tile's parser default (256) is sized for routed IVF
+        # tile-streaming; routed split auto-picks its tile (the T=32
+        # law) unless the user moved the knob
+        rt = 0 if args.ivf_tile == 256 else args.ivf_tile
         return (
             lambda q: idx.search(
                 q, args.k, probes=args.probes, shared=args.ivf_shared,
-                tile=args.ivf_tile, batch_size=args.batch,
+                tile=rt, batch_size=args.batch,
             )[0],
             nbytes,
             idx,

@@ -174,7 +174,7 @@ class RoutedSplitIndex:
         *,
         probes: int = 32,
         shared: int = 0,
-        tile: int = 64,
+        tile: int = 0,
         kk: int = 0,
         batch_size: int = 2048,
         preloaded=None,
@@ -198,8 +198,15 @@ class RoutedSplitIndex:
         pattern; count in self.last_fallback."""
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # auto knobs follow the routing-coverage study (TPU_NOTES "the
+        # T=32 law", results/route_coverage.jsonl): big-C grants need
+        # narrow tiles and ~12x-probes width; small-C (<= ~4k) shares
+        # fine at T=64 / 6x. Over-grant is linear scan cost; under-
+        # grant is covered by the fallback spill either way.
+        if tile <= 0:
+            tile = 32 if self.C >= 4096 else 64
         if shared <= 0:
-            shared = probes + probes // 2
+            shared = (12 if self.C >= 4096 else 6) * probes
         shared = min(shared, self.C)
         probes = min(probes, self.C)
         if kk <= 0:

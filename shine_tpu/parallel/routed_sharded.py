@@ -127,7 +127,7 @@ class ShardedRoutedSplitIndex:
         probes: int = 32,
         shared: int = 0,
         shared_local: int = 0,
-        tile: int = 64,
+        tile: int = 0,
         kk: int = 0,
         batch_size: int = 2048,
         engine: str = "auto",
@@ -144,8 +144,11 @@ class ShardedRoutedSplitIndex:
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         S = self.S
+        # same auto rules as RoutedSplitIndex.search (the T=32 law)
+        if tile <= 0:
+            tile = 32 if self.C >= 4096 else 64
         if shared <= 0:
-            shared = probes + probes // 2
+            shared = (12 if self.C >= 4096 else 6) * probes
         shared = min(shared, self.C)
         probes = min(probes, self.C)
         if shared_local <= 0:
