@@ -102,7 +102,7 @@ def main():
         perm = perm[jnp.argsort(probes_[perm, 0], stable=True)]
         inv = jnp.argsort(perm, stable=True)
         q_s = q[perm]
-        cols, coverage = _route_cols(probes_[perm].reshape(G, T, p), C, P)
+        cols, coverage, _ = _route_cols(probes_[perm].reshape(G, T, p), C, P)
         if stop == "route":
             return cols
         dpc = comp.shape[1]

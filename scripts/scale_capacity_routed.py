@@ -80,7 +80,8 @@ def main() -> None:
     from shine_tpu.io.checkpoint import load_routed_split, save_routed_split
 
     ckpt = os.path.join(
-        ROOT, ".bench_cache", f"routed_{N}x{D}_c{CAP}_{CLS}_s{SEED}.npz"
+        ROOT, ".bench_cache",
+        f"routed_{N}x{D}_c{CAP}_{CLS}_sl{SLACK}_s{SEED}.npz",
     )
     gt_path = ckpt.replace(".npz", "_gt.npy")
     t0 = time.time()

@@ -57,10 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--ivf-routed", action="store_true",
                    help="IVF tile-shared probing (affinity-sorted tiles "
                         "share a probe union; amortizes the block gather)")
-    q.add_argument("--ivf-shared", type=int, default=96,
-                   help="probe-union width per tile (--ivf-routed)")
-    q.add_argument("--ivf-tile", type=int, default=256,
-                   help="queries per routed tile (--ivf-routed)")
+    q.add_argument("--ivf-shared", type=int, default=0,
+                   help="probe-union width per tile; 0 = auto (96 for "
+                        "--ivf-routed, 12x/6x probes for --index routed)")
+    q.add_argument("--ivf-tile", type=int, default=0,
+                   help="queries per routed tile; 0 = auto (256 for "
+                        "--ivf-routed, the T=32-law rule for "
+                        "--index routed)")
     q.add_argument("--batch", type=int, default=2048)
     q.add_argument(
         "--rows", choices=("f32", "bf16", "int8"), default="f32",
@@ -215,7 +218,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.index == "ivf" and args.ivf_routed:
             cc = index_obj.routed_cost_counters(
                 len(queries), args.k, probes=args.probes,
-                shared=args.ivf_shared, tile=args.ivf_tile,
+                shared=args.ivf_shared or 96, tile=args.ivf_tile or 256,
             )
         else:
             kw = {"batch_size": args.batch}
@@ -317,14 +320,12 @@ def _build(args, ds, params, mesh, timing):
             metric=params.metric, seed=args.seed,
         )
         nbytes = idx.comp.nbytes + idx.aux_r.nbytes + idx.gid.nbytes
-        # --ivf-tile's parser default (256) is sized for routed IVF
-        # tile-streaming; routed split auto-picks its tile (the T=32
-        # law) unless the user moved the knob
-        rt = 0 if args.ivf_tile == 256 else args.ivf_tile
+        # --ivf-tile 0 (the parser default) = the search's own auto
+        # rule (the T=32 law); any explicit value passes through
         return (
             lambda q: idx.search(
                 q, args.k, probes=args.probes, shared=args.ivf_shared,
-                tile=rt, batch_size=args.batch,
+                tile=args.ivf_tile, batch_size=args.batch,
             )[0],
             nbytes,
             idx,
@@ -342,8 +343,9 @@ def _build(args, ds, params, mesh, timing):
             # both IVFIndex and ShardedIVFIndex expose search_routed
             return (
                 lambda q: idx.search_routed(
-                    q, args.k, probes=args.probes, shared=args.ivf_shared,
-                    tile=args.ivf_tile,
+                    q, args.k, probes=args.probes,
+                    shared=args.ivf_shared or 96,
+                    tile=args.ivf_tile or 256,
                 )[0],
                 ds.base.nbytes * 2,
                 idx,

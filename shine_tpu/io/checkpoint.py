@@ -170,9 +170,10 @@ def save_routed_split(idx, path: str) -> None:
     indexes store only the tables — reattach base_dev at load."""
     import jax.numpy as jnp
 
-    comp = np.asarray(idx.comp)
-    comp_tag = "int8"
-    if comp.dtype != np.int8:
+    if idx.comp.dtype == jnp.int8:  # dtype is metadata: no transfer
+        comp = np.asarray(idx.comp)
+        comp_tag = "int8"
+    else:
         comp = np.asarray(idx.comp.view(jnp.uint16))
         comp_tag = "bf16"
     header = {

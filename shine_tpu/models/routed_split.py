@@ -255,15 +255,11 @@ class RoutedSplitIndex:
             need = np.where(g_all < fallback)[0]
             self.last_fallback = int(len(need))
             if len(need):
-                # narrow-tile spill: T=16 with shared = T*probes grants
-                # every wish, so the spilled queries' recall floor is
-                # the plain per-query probe recall (power-of-two bucket
-                # bounds the compiled shapes, min 64)
+                # narrow-tile spill (_spill_plan): the spilled queries'
+                # recall floor is the plain per-query probe recall
                 out_i = out_i.copy()
                 out_d = out_d.copy()
-                Ts = 16
-                Ps = min(self.C, Ts * probes)
-                bucket = 1 << max(int(np.ceil(np.log2(len(need)))), 6)
+                Ts, Ps, bucket = _spill_plan(len(need), probes, self.C)
                 qs = np.zeros((bucket, d), np.float32)
                 qs[: len(need)] = np.asarray(queries)[need].astype(
                     np.float32
@@ -282,10 +278,13 @@ class RoutedSplitIndex:
         return out_i, out_d
 
     def cost_counters(self, nq: int, k: int = 10, *, probes: int = 32,
-                      shared: int = 0, tile: int = 64) -> dict:
-        """Analytic per-run cost (statistics.hh:122-141 analogue)."""
+                      shared: int = 0, tile: int = 0) -> dict:
+        """Analytic per-run cost (statistics.hh:122-141 analogue);
+        tile/shared <= 0 resolve with the same auto rules as search."""
+        if tile <= 0:
+            tile = 32 if self.C >= 4096 else 64
         if shared <= 0:
-            shared = probes + probes // 2
+            shared = (12 if self.C >= 4096 else 6) * probes
         shared = min(shared, self.C)
         groups = -(-nq // tile)
         row_bytes = self.comp.shape[1] * self.comp.dtype.itemsize + 12
@@ -296,6 +295,17 @@ class RoutedSplitIndex:
             "hbm_gather_bytes": groups * shared * self.cap * row_bytes,
             "ici_exchange_bytes": 0,
         }
+
+
+def _spill_plan(n_need: int, probes: int, C: int):
+    """Shared spill policy (single-chip search + the SPMD path in
+    parallel/routed_sharded.py — keep them identical): narrow T=16
+    tiles with shared = T*probes grant EVERY wish by construction;
+    the power-of-two query bucket (min 64) bounds compiled shapes."""
+    Ts = 16
+    Ps = min(C, Ts * probes)
+    bucket = 1 << max(int(np.ceil(np.log2(max(n_need, 1)))), 6)
+    return Ts, Ps, bucket
 
 
 def scan_select(comp, aux_r, gid, q_s, cols, *, T: int, cap: int, cls: int,

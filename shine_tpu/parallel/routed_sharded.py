@@ -136,11 +136,12 @@ class ShardedRoutedSplitIndex:
         """SPMD routed search; knobs mirror RoutedSplitIndex.search.
         shared_local: per-shard compacted lane count P_loc (default
         2*ceil(P/S)+2, capped at P). kk here is PER-SHARD survivors
-        (default max(4*k, 8*k//S)). fallback > 0: queries whose
-        granted-wish fraction (replicated routing, so identical on
-        every shard) falls below it re-run SPMD in narrow T=16 tiles
-        with a full grant and P_loc = P (no owned-lane overflow) —
-        the single-chip spill guarantee, over the mesh."""
+        (default 4*k; the gathered union is S*kk). fallback > 0:
+        queries whose SCANNED-wish fraction — granted AND kept within
+        the owner's P_loc window, so owned-lane overflow drops count
+        against it — falls below the threshold re-run SPMD in narrow
+        T=16 tiles with a full grant and P_loc = P (no overflow): the
+        single-chip spill guarantee, over the mesh, overflow included."""
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         S = self.S
@@ -154,7 +155,9 @@ class ShardedRoutedSplitIndex:
         if shared_local <= 0:
             shared_local = min(shared, 2 * (-(-shared // S)) + 2)
         if kk <= 0:
-            kk = max(4 * k, (8 * k) // S)
+            # per-shard survivor width: the gathered union S*kk is
+            # >= 2x the single-chip default 8*k for any S >= 2
+            kk = 4 * k
         kk = min(kk, self.cls)
         nq, d = queries.shape
         batch_size = max(tile, _round_up(min(batch_size, max(nq, 1)), tile))
@@ -196,11 +199,11 @@ class ShardedRoutedSplitIndex:
             need = np.where(g_all < fallback)[0]
             self.last_fallback = int(len(need))
             if len(need):
+                from shine_tpu.models.routed_split import _spill_plan
+
                 out_i = out_i.copy()
                 out_d = out_d.copy()
-                Ts = 16
-                Ps = min(self.C, Ts * probes)
-                bucket = 1 << max(int(np.ceil(np.log2(len(need)))), 6)
+                Ts, Ps, bucket = _spill_plan(len(need), probes, self.C)
                 qs = np.zeros((bucket, d), np.float32)
                 qs[: len(need)] = queries[need].astype(np.float32)
                 fkey = (k, probes, Ps, Ps, Ts, kk, bucket, engine)
@@ -223,15 +226,18 @@ class ShardedRoutedSplitIndex:
 
     def cost_counters(self, nq: int, k: int = 10, *, probes: int = 32,
                       shared: int = 0, shared_local: int = 0,
-                      tile: int = 64) -> dict:
-        """Analytic per-run cost (statistics.hh:122-141 analogue)."""
+                      tile: int = 0) -> dict:
+        """Analytic per-run cost (statistics.hh:122-141 analogue);
+        tile/shared <= 0 resolve with the same auto rules as search."""
         S = self.S
+        if tile <= 0:
+            tile = 32 if self.C >= 4096 else 64
         if shared <= 0:
-            shared = probes + probes // 2
+            shared = (12 if self.C >= 4096 else 6) * probes
         shared = min(shared, self.C)
         if shared_local <= 0:
             shared_local = min(shared, 2 * (-(-shared // S)) + 2)
-        kk = max(4 * k, (8 * k) // S)
+        kk = 4 * k
         groups = -(-nq // tile)
         row_bytes = self.comp.shape[1] * self.comp.dtype.itemsize + 12
         return {
@@ -432,9 +438,8 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             perm = jnp.argsort(probes_[:, 0], stable=True)
         inv = jnp.argsort(perm, stable=True)
         q_s = q[perm]
-        cols, coverage, q_granted = _route_cols(
-            probes_[perm].reshape(G, T, p), C, P
-        )
+        pr_s = probes_[perm].reshape(G, T, p)
+        cols, coverage, _ = _route_cols(pr_s, C, P)
         # compact to owned lanes (stable: rank-major priority kept)
         my = jax.lax.axis_index(SHARD_AXIS)
         owned = (cols < C) & (cols % S == my)
@@ -448,6 +453,17 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
         # measured scan width: owned lanes actually occupied (the rest
         # of the P_loc window points at the local PAD cluster)
         lanes_used = jnp.sum(jnp.minimum(n_owned, P_loc))
+        # per-query SCANNED-wish fraction, not merely granted: a wish
+        # counts iff its cluster survived the owner's P_loc window, so
+        # overflow drops surface in the spill decision (each wish is
+        # counted by exactly its owner; psum assembles the batch view)
+        mine_w = (pr_s % S) == my
+        hit = (
+            (pr_s // S)[:, :, :, None] == lcol_c[:, None, None, :]
+        ) & mine_w[:, :, :, None]
+        q_scanned = jax.lax.psum(
+            hit.any(-1).mean(-1).reshape(B), SHARD_AXIS
+        )
         cand = scan_select(
             comp, aux_r, gid, q_s, lcol_c, T=T, cap=cap, cls=cls, kk=kk,
             engine=engine,
@@ -461,7 +477,7 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
         overflow = jax.lax.psum(overflow, SHARD_AXIS)
         lanes_used = jax.lax.psum(lanes_used, SHARD_AXIS)
         return (d_out[inv], i_out[inv], coverage, overflow,
-                q_granted[inv], lanes_used)
+                q_scanned[inv], lanes_used)
 
     @jax.jit
     def run(comp, aux_r, gid, cents, q_dev, lo, rs_key, rs_cents):

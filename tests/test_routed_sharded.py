@@ -57,7 +57,10 @@ def test_sharded_routed_matches_or_beats_single(setup):
 
     mesh = shard_mesh(8)
     sh = ShardedRoutedSplitIndex.from_single(idx, mesh)
-    ids_s, dists_s = sh.search(queries, 10, kk=64, shared_local=32, **kw)
+    # fallback=0 on BOTH sides: this test isolates the owned-lane union
+    # invariant, which the spill could otherwise silently repair
+    ids_s, dists_s = sh.search(queries, 10, kk=64, shared_local=32,
+                               fallback=0, **kw)
     rs = recall_at_k(ids_s, gt, 10)
     # same deterministic routing -> identical coverage; no lane overflow
     # at shared_local = shared; per-shard class states are less crowded
@@ -138,3 +141,23 @@ def test_sharded_routed_fallback_spill(setup):
     assert sh.last_fallback > 0
     assert r1 >= r0
     assert r1 >= 0.9
+
+
+def test_sharded_routed_overflow_triggers_spill(setup):
+    """Full routing coverage but a starved per-shard window: the spill
+    keys on the SCANNED fraction, so owner-overflow drops (invisible to
+    the granted fraction) still trigger it and recall recovers."""
+    idx, queries, gt = setup
+    mesh = shard_mesh(8)
+    sh = ShardedRoutedSplitIndex.from_single(idx, mesh)
+    kw = dict(probes=16, shared=32, tile=32, kk=64, shared_local=2,
+              batch_size=64)
+    ids0, _ = sh.search(queries, 10, fallback=0, **kw)
+    r0 = recall_at_k(ids0, gt, 10)
+    assert sh.last_overflow > 0  # the starved window is real
+    cov = sh.last_coverage
+    ids1, _ = sh.search(queries, 10, fallback=0.9, **kw)
+    r1 = recall_at_k(ids1, gt, 10)
+    assert sh.last_coverage == cov  # routing unchanged
+    assert sh.last_fallback > 0  # granted != scanned under overflow
+    assert r1 >= max(r0, 0.9)
