@@ -96,6 +96,30 @@ def _device_select(
     return tuple(np.asarray(o)[:B] for o in outs)
 
 
+def _drop_self_sorted(
+    ii: np.ndarray, dd: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Remove the (unique) self-match from rows already sorted by
+    (dist, id) and keep k columns. Value-identical to the old
+    demote-to-inf + full np.lexsort (the demoted entry becomes (-1, inf)
+    — the pad value — so a one-slot shift-left with a pad appended IS
+    the sorted result), but O(nk) instead of an (n, k+1) lexsort that
+    cost minutes at 10M rows on this 1-core host."""
+    n, w = ii.shape
+    local = np.arange(n, dtype=ii.dtype)[:, None]
+    self_hit = ii == local
+    has = self_hit.any(axis=1)[:, None]
+    h = np.argmax(self_hit, axis=1)[:, None]
+    j = np.arange(w)[None, :]
+    src = np.where(has & (j >= h), np.minimum(j + 1, w - 1), j)
+    out_i = np.take_along_axis(ii, src, axis=1)
+    out_d = np.take_along_axis(dd, src, axis=1)
+    tail = has & (j == w - 1)
+    out_i = np.where(tail, -1, out_i)
+    out_d = np.where(tail, np.inf, out_d)
+    return out_i[:, :k].astype(np.int32), out_d[:, :k].astype(np.float32)
+
+
 def _knn_candidates(
     vectors: np.ndarray, ids: np.ndarray, k: int, metric: int,
     interpret: bool, mesh=None,
@@ -123,14 +147,8 @@ def _knn_candidates(
         ii, dd = idx.search(
             sub, k + 1, kb=kb, batch_size=4096, preloaded=pre
         )
-    # drop self matches: demote them to +inf and re-sort by (dist, id)
-    local = np.arange(n)[:, None]
-    self_hit = ii == local
-    dd = np.where(self_hit, np.inf, dd)
-    ii = np.where(self_hit, -1, ii)
-    order = np.lexsort((np.where(ii < 0, 2**31 - 1, ii), dd), axis=1)
-    ii = np.take_along_axis(ii, order, axis=1)[:, :k]
-    dd = np.take_along_axis(dd, order, axis=1)[:, :k]
+    # drop self matches (rows arrive sorted by (dist, id))
+    ii, dd = _drop_self_sorted(np.asarray(ii), np.asarray(dd), k)
     gi = np.where(ii >= 0, ids[np.maximum(ii, 0)], -1)
     return gi.astype(np.int32), dd.astype(np.float32)
 
@@ -173,18 +191,35 @@ def _knn_device_sweep(
         if len(buf) >= flush_every:
             flush()
     flush()
-    # drop self matches, re-sort by (dist, id), keep k
-    local = np.arange(n)[:, None]
-    self_hit = out_i == local
-    out_d = np.where(self_hit, np.inf, out_d)
-    out_i = np.where(self_hit, -1, out_i)
-    order = np.lexsort((np.where(out_i < 0, 2**31 - 1, out_i), out_d), axis=1)
-    out_i = np.take_along_axis(out_i, order, axis=1)[:, :k]
-    out_d = np.take_along_axis(out_d, order, axis=1)[:, :k]
-    return out_i.astype(np.int32), out_d.astype(np.float32)
+    # drop self matches (rows arrive sorted by (dist, id)), keep k
+    return _drop_self_sorted(out_i, out_d, k)
 
 
 def _reverse_merge(
+    fwd_sel: np.ndarray,
+    fwd_d: np.ndarray,
+    ids: np.ndarray,
+    cap_c: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reverse-edge merge; dispatches to the native C++ stage (bit-identical
+    to the numpy twin below — tests/test_fastbuild.py asserts equality on
+    adversarial ties) unless SHINE_FASTBUILD_NATIVE=0. numpy's three global
+    lexsorts cost 545 s of the 1924 s 10M x M=16 build on this 1-core host
+    (1404 s at M=32); the native stage is a counting sort + per-row small
+    sorts."""
+    import os
+
+    if os.environ.get("SHINE_FASTBUILD_NATIVE", "1") != "0":
+        try:
+            from shine_tpu.native import reverse_merge
+
+            return reverse_merge(fwd_sel, fwd_d, ids, cap_c)
+        except Exception:  # toolchain missing: the numpy twin is exact
+            pass
+    return _reverse_merge_np(fwd_sel, fwd_d, ids, cap_c)
+
+
+def _reverse_merge_np(
     fwd_sel: np.ndarray,  # (n, M) selected forward edges (global ids)
     fwd_d: np.ndarray,  # (n, M) their distances
     ids: np.ndarray,  # (n,) global ids of these nodes

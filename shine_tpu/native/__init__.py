@@ -98,5 +98,35 @@ def load() -> ctypes.CDLL:
             i32p,  # results
             f32p,  # dists
         ]
+        lib.shine_reverse_merge.restype = ctypes.c_int
+        lib.shine_reverse_merge.argtypes = [
+            i32p,  # fwd_sel (n, M)
+            f32p,  # fwd_d (n, M)
+            i32p,  # ids (n,)
+            ctypes.c_int64,  # n
+            ctypes.c_int,  # M
+            ctypes.c_int,  # cap_c
+            i32p,  # cand_out (n, cap_c)
+            f32p,  # cd_out (n, cap_c)
+        ]
         _lib = lib
         return _lib
+
+
+def reverse_merge(fwd_sel: np.ndarray, fwd_d: np.ndarray, ids: np.ndarray,
+                  cap_c: int) -> tuple[np.ndarray, np.ndarray]:
+    """Native reverse-edge merge — bit-identical to
+    models/fastbuild.py:_reverse_merge_np (tests/test_fastbuild.py); one
+    counting sort + per-row small sorts instead of numpy's three global
+    lexsorts (545 s of the 10M x M=16 fastbuild wall, 1404 s at M=32)."""
+    lib = load()
+    n, M = fwd_sel.shape
+    fwd_sel = np.ascontiguousarray(fwd_sel, np.int32)
+    fwd_d = np.ascontiguousarray(fwd_d, np.float32)
+    ids = np.ascontiguousarray(ids, np.int32)
+    cand = np.empty((n, cap_c), np.int32)
+    cd = np.empty((n, cap_c), np.float32)
+    rc = lib.shine_reverse_merge(fwd_sel, fwd_d, ids, n, M, cap_c, cand, cd)
+    if rc != 0:
+        raise ValueError(f"shine_reverse_merge failed (rc={rc})")
+    return cand, cd

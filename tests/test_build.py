@@ -223,3 +223,74 @@ def test_fast_build_graph_device_base():
     ids, _ = idx.search(ds.queries, SearchParams(k=10, ef=64), batch_size=100)
     r = recall_at_k(ids, ds.ground_truth, 10)
     assert r > 0.9, r
+
+
+def test_reverse_merge_native_identity():
+    """The C++ reverse-merge stage (native/hnsw_builder.cc:
+    shine_reverse_merge) must be BIT-identical to the numpy twin
+    (fastbuild._reverse_merge_np) — adversarial input: heavy distance
+    ties (quantized), mutual edges (duplicate ids in the union),
+    non-contiguous global ids, -1 pads, and a cap that forces rank
+    cuts."""
+    import pytest
+
+    from shine_tpu.models.fastbuild import _reverse_merge_np
+
+    try:
+        from shine_tpu.native import reverse_merge
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(7)
+    for n, M, cap_c, idspace in ((500, 8, 12, 1000), (2000, 6, 7, 2000)):
+        ids = np.sort(
+            rng.choice(idspace, size=n, replace=False)
+        ).astype(np.int32)
+        fwd_sel = np.empty((n, M), np.int32)
+        fwd_d = np.empty((n, M), np.float32)
+        for i in range(n):
+            nb = rng.choice(n, size=M, replace=False)
+            nb = nb[nb != i]
+            d = np.round(rng.random(len(nb)) * 8) / 4  # heavy ties
+            order = np.lexsort((ids[nb], d))
+            k = len(nb) - int(rng.integers(0, 3))  # some -1 pads
+            fwd_sel[i, :k] = ids[nb[order]][:k]
+            fwd_d[i, :k] = d[order][:k]
+            fwd_sel[i, k:] = -1
+            fwd_d[i, k:] = np.inf
+        want_c, want_d = _reverse_merge_np(fwd_sel, fwd_d, ids, cap_c)
+        got_c, got_d = reverse_merge(fwd_sel, fwd_d, ids, cap_c)
+        np.testing.assert_array_equal(got_c, want_c)
+        np.testing.assert_array_equal(got_d, want_d)
+
+
+def test_drop_self_sorted_matches_lexsort():
+    """_drop_self_sorted must be value-identical to the demote+lexsort
+    formula it replaced (sorted rows, at most one self hit, -1 pads)."""
+    from shine_tpu.models.fastbuild import _drop_self_sorted
+
+    rng = np.random.default_rng(3)
+    n, w, k = 257, 9, 8
+    dd = np.sort(rng.random((n, w)).astype(np.float32), axis=1)
+    # candidate ids never collide with the row index unless planted
+    # (real rows are unique: distinct class winners / owned shards)
+    ii = (n + rng.integers(0, n, (n, w))).astype(np.int32)
+    # plant ONE self hit in ~half the rows, at random positions
+    rows = rng.choice(n, n // 2, replace=False)
+    ii[rows, rng.integers(0, w, n // 2)] = rows
+    # some -1 pads at the tail (pads carry inf, after any self hit)
+    ii[rows[:20], -1] = -1
+    dd[rows[:20], -1] = np.inf
+    want_i, want_d = ii.copy(), dd.copy()
+    local = np.arange(n)[:, None]
+    hit = want_i == local
+    want_d = np.where(hit, np.inf, want_d)
+    want_i = np.where(hit, -1, want_i)
+    order = np.lexsort(
+        (np.where(want_i < 0, 2**31 - 1, want_i), want_d), axis=1
+    )
+    want_i = np.take_along_axis(want_i, order, axis=1)[:, :k]
+    want_d = np.take_along_axis(want_d, order, axis=1)[:, :k]
+    got_i, got_d = _drop_self_sorted(ii, dd, k)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_array_equal(got_d, want_d)
