@@ -36,8 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     idx = p.add_argument_group("index")
     idx.add_argument(
         "--index",
-        choices=("hnsw", "flat", "fastflat", "ivf", "split", "routed"),
+        choices=("hnsw", "flat", "fastflat", "ivf", "split", "routed",
+                 "auto"),
         default="hnsw",
+        help="auto picks the measured scan family by rows-per-chip: "
+             "fastflat (the SPEED layout) up to ~20M, int8 split (the "
+             "CAPACITY layout, 3.3x rows/chip) above "
+             "(docs/TPU_NOTES.md 'Rate model')",
     )
     idx.add_argument("-m", type=int, default=32, help="HNSW M")
     idx.add_argument("--ef-construction", type=int, default=500)
@@ -172,6 +177,16 @@ def main(argv: list[str] | None = None) -> int:
 
         mesh = shard_mesh(args.shards)
 
+    if args.index == "auto":
+        # measured family rule (TPU_NOTES "Rate model"): the packed-bf16
+        # ext scan is the speed layout (6.05 ns/row marginal) up to
+        # ~20M rows/chip; the int8 split layout trades 2.6x the scan
+        # rate for 3.3x the rows/chip (100.66M @ recall 1.0 measured)
+        rows_per_chip = ds.n / (args.shards if args.shards > 1 else 1)
+        args.index = "fastflat" if rows_per_chip <= 20e6 else "split"
+        print(f"# --index auto: {rows_per_chip/1e6:.1f}M rows/chip -> "
+              f"{args.index}", file=sys.stderr)
+
     # ---- build / load ----
     t0 = time.perf_counter()
     searcher, index_bytes, index_obj = _build(args, ds, params, mesh, timing)
@@ -271,9 +286,14 @@ def _build(args, ds, params, mesh, timing):
 
             idx = ShardedFastFlatIndex(ds.base, mesh, metric=params.metric)
         else:
+            import jax
+
             from shine_tpu.models.flat import FastFlatIndex
 
-            idx = FastFlatIndex(ds.base, metric=params.metric)
+            idx = FastFlatIndex(
+                ds.base, metric=params.metric,
+                interpret=jax.default_backend() != "tpu",
+            )
         return (
             lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
             ds.base.nbytes,

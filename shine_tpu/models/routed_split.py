@@ -198,16 +198,7 @@ class RoutedSplitIndex:
         pattern; count in self.last_fallback."""
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
-        # auto knobs follow the routing-coverage study (TPU_NOTES "the
-        # T=32 law", results/route_coverage.jsonl): big-C grants need
-        # narrow tiles and ~12x-probes width; small-C (<= ~4k) shares
-        # fine at T=64 / 6x. Over-grant is linear scan cost; under-
-        # grant is covered by the fallback spill either way.
-        if tile <= 0:
-            tile = 32 if self.C >= 4096 else 64
-        if shared <= 0:
-            shared = (12 if self.C >= 4096 else 6) * probes
-        shared = min(shared, self.C)
+        tile, shared = _auto_knobs(self.C, probes, tile, shared)
         probes = min(probes, self.C)
         if kk <= 0:
             kk = 8 * k
@@ -281,11 +272,7 @@ class RoutedSplitIndex:
                       shared: int = 0, tile: int = 0) -> dict:
         """Analytic per-run cost (statistics.hh:122-141 analogue);
         tile/shared <= 0 resolve with the same auto rules as search."""
-        if tile <= 0:
-            tile = 32 if self.C >= 4096 else 64
-        if shared <= 0:
-            shared = (12 if self.C >= 4096 else 6) * probes
-        shared = min(shared, self.C)
+        tile, shared = _auto_knobs(self.C, probes, tile, shared)
         groups = -(-nq // tile)
         row_bytes = self.comp.shape[1] * self.comp.dtype.itemsize + 12
         return {
@@ -295,6 +282,21 @@ class RoutedSplitIndex:
             "hbm_gather_bytes": groups * shared * self.cap * row_bytes,
             "ici_exchange_bytes": 0,
         }
+
+
+def _auto_knobs(C: int, probes: int, tile: int, shared: int):
+    """The measured (tile, shared) auto rule, shared by every routed
+    split search/cost_counters site (single-chip + SPMD): the
+    routing-coverage study (TPU_NOTES "the T=32 law",
+    results/route_coverage.jsonl) shows big-C grants need narrow tiles
+    and ~12x-probes width; small-C (<= ~4k) shares fine at T=64 / 6x.
+    Over-grant is linear scan cost; under-grant is covered by the
+    fallback spill either way. tile/shared <= 0 = auto."""
+    if tile <= 0:
+        tile = 32 if C >= 4096 else 64
+    if shared <= 0:
+        shared = (12 if C >= 4096 else 6) * probes
+    return tile, min(shared, C)
 
 
 def _spill_plan(n_need: int, probes: int, C: int):

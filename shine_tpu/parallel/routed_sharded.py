@@ -145,12 +145,9 @@ class ShardedRoutedSplitIndex:
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         S = self.S
-        # same auto rules as RoutedSplitIndex.search (the T=32 law)
-        if tile <= 0:
-            tile = 32 if self.C >= 4096 else 64
-        if shared <= 0:
-            shared = (12 if self.C >= 4096 else 6) * probes
-        shared = min(shared, self.C)
+        from shine_tpu.models.routed_split import _auto_knobs
+
+        tile, shared = _auto_knobs(self.C, probes, tile, shared)
         probes = min(probes, self.C)
         if shared_local <= 0:
             shared_local = min(shared, 2 * (-(-shared // S)) + 2)
@@ -229,12 +226,10 @@ class ShardedRoutedSplitIndex:
                       tile: int = 0) -> dict:
         """Analytic per-run cost (statistics.hh:122-141 analogue);
         tile/shared <= 0 resolve with the same auto rules as search."""
+        from shine_tpu.models.routed_split import _auto_knobs
+
         S = self.S
-        if tile <= 0:
-            tile = 32 if self.C >= 4096 else 64
-        if shared <= 0:
-            shared = (12 if self.C >= 4096 else 6) * probes
-        shared = min(shared, self.C)
+        tile, shared = _auto_knobs(self.C, probes, tile, shared)
         if shared_local <= 0:
             shared_local = min(shared, 2 * (-(-shared // S)) + 2)
         kk = 4 * k

@@ -241,3 +241,14 @@ def test_cli_routed_synthetic(capsys):
         capsys,
     )
     assert doc["queries"]["recall"] > 0.85
+
+
+def test_cli_index_auto(capsys):
+    # --index auto resolves by the measured rows-per-chip rule
+    # (TPU_NOTES "Rate model"): small synthetic -> fastflat
+    doc = run_cli(
+        ["--synthetic", "4096:16", "--index", "auto",
+         "--num-queries", "100"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.95
