@@ -301,19 +301,28 @@ def _build(args, ds, params, mesh, timing):
         )
     if args.index == "split":
         # int8 split CAPACITY layout (136 B/row at d=128): the one-chip
-        # 100M-class exact configuration (models/flat.py:SplitFlatIndex)
-        if mesh is not None:
-            print("# --index split is single-chip in the CLI; use "
-                  "ShardedSplitFlatIndex with a row-keyed dataset for "
-                  "mesh capacity serving", file=sys.stderr)
+        # 100M-class exact configuration (models/flat.py:SplitFlatIndex);
+        # with --shards the table row-shards over the mesh (the
+        # 0.8B-class configuration, parallel/fastflat_sharded.py)
         import jax
 
-        from shine_tpu.models.flat import SplitFlatIndex
+        if mesh is not None:
+            from shine_tpu.parallel.fastflat_sharded import (
+                ShardedSplitFlatIndex,
+            )
 
-        idx = SplitFlatIndex(
-            ds.base, metric=params.metric, comp_dtype="int8",
-            seed=args.seed, interpret=jax.default_backend() != "tpu",
-        )
+            idx = ShardedSplitFlatIndex.from_host(
+                ds.base, mesh, metric=params.metric, comp_dtype="int8",
+                seed=args.seed,
+            )
+        else:
+            from shine_tpu.models.flat import SplitFlatIndex
+
+            idx = SplitFlatIndex(
+                ds.base, metric=params.metric, comp_dtype="int8",
+                seed=args.seed,
+                interpret=jax.default_backend() != "tpu",
+            )
         return (
             lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
             idx.comp.nbytes + idx.aux.nbytes,
@@ -322,11 +331,10 @@ def _build(args, ds, params, mesh, timing):
     if args.index == "routed":
         # cluster-pruned serving over the split tables
         # (models/routed_split.py); --probes/--ivf-shared/--ivf-tile
-        # map to (probes, shared, tile)
-        if mesh is not None:
-            print("# --index routed is single-chip in the CLI; "
-                  "ShardedRoutedSplitIndex needs a row-keyed row_source",
-                  file=sys.stderr)
+        # map to (probes, shared, tile). With --shards the cluster
+        # blocks deal round-robin onto the mesh and the exact re-rank
+        # runs replicated from the host base
+        # (parallel/routed_sharded.py host-base mode)
         import jax.numpy as jnp
         import numpy as np
 
@@ -338,8 +346,15 @@ def _build(args, ds, params, mesh, timing):
         idx = build_routed_split(
             ds.n, ds.base.shape[1], base_dev=base_dev,
             metric=params.metric, seed=args.seed,
+            shards=args.shards if mesh is not None else 1,
         )
         nbytes = idx.comp.nbytes + idx.aux_r.nbytes + idx.gid.nbytes
+        if mesh is not None:
+            from shine_tpu.parallel.routed_sharded import (
+                ShardedRoutedSplitIndex,
+            )
+
+            idx = ShardedRoutedSplitIndex.from_single(idx, mesh)
         # --ivf-tile 0 (the parser default) = the search's own auto
         # rule (the T=32 law); any explicit value passes through
         return (

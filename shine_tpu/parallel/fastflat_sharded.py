@@ -265,7 +265,52 @@ class ShardedSplitFlatIndex:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
         self.row_source = row_source
+        self.perm = None  # from_host shuffle map: packed id -> original
         self._runs: dict = {}
+
+    @classmethod
+    def from_host(
+        cls,
+        vectors: np.ndarray,
+        mesh: Mesh,
+        metric: str | int = "l2",
+        *,
+        comp_dtype: str = "int8",
+        shuffle: bool = True,
+        seed: int = 0,
+    ) -> "ShardedSplitFlatIndex":
+        """Pack a HOST-resident base into row-sharded split tables — the
+        CLI/file-ingest route to mesh capacity serving (the row-keyed
+        datasets take from_dataset instead). shuffle decorrelates class
+        membership from file order (the class-collision model assumes
+        it); search output maps packed ids back through the stored perm.
+        Re-rank runs from the split tables (near-exact); attach a
+        row_source afterwards for the exact-regen path."""
+        from shine_tpu.ops.pallas_scan_split import (
+            SPLIT_QUANTUM,
+            pack_split_tables,
+        )
+
+        v = np.ascontiguousarray(vectors, dtype=np.float32)
+        n, d = v.shape
+        perm = None
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            perm = rng.permutation(n).astype(np.int32)
+            v = v[perm]
+        S = mesh.devices.size
+        quantum = SPLIT_QUANTUM * S
+        n_pad = -(-n // quantum) * quantum
+        comp, aux = pack_split_tables(
+            v, metric_id(metric), n_pad,
+            comp_dtype=np.int8 if comp_dtype == "int8" else np.float16,
+        )
+        comp_dev = jnp.asarray(comp) if comp_dtype == "int8" else (
+            jnp.asarray(comp).astype(jnp.bfloat16)
+        )
+        self = cls(comp_dev, jnp.asarray(aux), n, mesh, metric, dim=d)
+        self.perm = perm
+        return self
 
     @classmethod
     def from_dataset(cls, ds, mesh: Mesh, **kw) -> "ShardedSplitFlatIndex":
@@ -321,6 +366,10 @@ class ShardedSplitFlatIndex:
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]
             out_i[lo:hi] = np.asarray(ii)[: hi - lo]
         out_i = np.where(out_i < self.n, out_i, -1)
+        if self.perm is not None:  # from_host shuffle: map back
+            out_i = np.where(
+                out_i >= 0, self.perm[np.maximum(out_i, 0)], -1
+            )
         return out_i, out_d
 
     def cost_counters(self, nq: int, k: int = 10, *, kb: int = 32,

@@ -54,7 +54,7 @@ class ShardedRoutedSplitIndex:
     C % S == 0 via shards=) and wrap it with `from_single`."""
 
     def __init__(self, comp_sh, aux_sh, gid_sh, centroids, n, dim, metric,
-                 mesh, *, C, cap, cls, row_source):
+                 mesh, *, C, cap, cls, row_source, base=None):
         self.comp = comp_sh  # (S*(C_loc+1)*cap, dpc) row-sharded
         self.aux_r = aux_sh  # (S*(C_loc+1), 2m, cls) sharded axis 0
         self.gid = gid_sh  # (S*(C_loc+1)*cap,) GLOBAL ids, row-sharded
@@ -65,6 +65,7 @@ class ShardedRoutedSplitIndex:
         self.S = mesh.devices.size
         self.C_loc = C // self.S
         self.row_source = row_source
+        self.base = base  # (vectors, sqnorms) replicated, host-base mode
         self.last_coverage = None
         self.last_overflow = None
         self.last_lanes = None
@@ -77,9 +78,10 @@ class ShardedRoutedSplitIndex:
         the mesh. (At real scale per-shard tables would be ingested
         directly on their chips — this host re-layout is the
         CPU-mesh/test path; the SPMD search is the same either way.)"""
-        assert idx.row_source is not None, (
-            "sharded routed serving is capacity mode: needs a row-keyed "
-            "row_source for the exact regen re-rank"
+        assert idx.row_source is not None or idx.base_dev is not None, (
+            "sharded routed serving re-ranks exactly: needs a row-keyed "
+            "row_source (capacity mode, nothing resident) or the index's "
+            "base_dev (host-base mode, replicated)"
         )
         S = mesh.devices.size
         C, cap, cls = idx.C, idx.cap, idx.cls
@@ -117,6 +119,15 @@ class ShardedRoutedSplitIndex:
             jax.device_put(idx.centroids, rep),
             idx.n, idx.dim, idx.metric, mesh,
             C=C, cap=cap, cls=cls, row_source=idx.row_source,
+            base=(
+                None if idx.row_source is not None
+                else (
+                    jax.device_put(
+                        idx.base_dev.astype(jnp.float32), rep
+                    ),
+                    jax.device_put(idx.sqnorms, rep),
+                )
+            ),
         )
 
     def search(
@@ -166,21 +177,24 @@ class ShardedRoutedSplitIndex:
         q_dev = jax.device_put(
             jnp.asarray(q_all), NamedSharding(self.mesh, P_())
         )
+        rerank = "regen" if self.row_source is not None else "base"
+        r0, r1 = (
+            self.row_source if self.row_source is not None else self.base
+        )
         key = (k, probes, shared, shared_local, tile, kk, batch_size,
                engine)
         if key not in self._runs:
             self._runs[key] = _make_routed_spmd(
                 self.mesh, k, probes, shared, shared_local, tile, kk,
                 self.metric, self.C, self.cap, self.cls, batch_size,
-                engine,
+                engine, rerank=rerank,
             )
         run = self._runs[key]
-        rs_key, rs_cents = self.row_source
         parts = []
         for lo in range(0, nq_pad, batch_size):
             parts.append(run(
                 self.comp, self.aux_r, self.gid, self.centroids,
-                q_dev, jnp.int32(lo), rs_key, rs_cents,
+                q_dev, jnp.int32(lo), r0, r1,
             ))
         out_d = np.asarray(jnp.concatenate([p[0] for p in parts]))[:nq]
         out_i = np.asarray(jnp.concatenate([p[1] for p in parts]))[:nq]
@@ -208,14 +222,14 @@ class ShardedRoutedSplitIndex:
                     self._runs[fkey] = _make_routed_spmd(
                         self.mesh, k, probes, Ps, Ps, Ts, kk,
                         self.metric, self.C, self.cap, self.cls,
-                        bucket, engine,
+                        bucket, engine, rerank=rerank,
                     )
                 fb = self._runs[fkey](
                     self.comp, self.aux_r, self.gid, self.centroids,
                     jax.device_put(
                         jnp.asarray(qs), NamedSharding(self.mesh, P_())
                     ),
-                    jnp.int32(0), rs_key, rs_cents,
+                    jnp.int32(0), r0, r1,
                 )
                 out_i[need] = np.asarray(fb[1])[: len(need)]
                 out_d[need] = np.asarray(fb[0])[: len(need)]
@@ -407,8 +421,12 @@ def build_routed_split_sharded(
 
 
 def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
-                      batch, engine):
-    from shine_tpu.ops.distance import pairwise_distance, regen_rerank_topk
+                      batch, engine, rerank="regen"):
+    from shine_tpu.ops.distance import (
+        pairwise_distance,
+        regen_rerank_topk,
+        rerank_topk,
+    )
     from shine_tpu.models.routed_split import _route_cols, scan_select
 
     S = mesh.devices.size
@@ -416,7 +434,10 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
     B = batch
     G = B // T
 
-    def spmd(comp, aux_r, gid, cents, q_dev, lo, rs_key, rs_cents):
+    def spmd(comp, aux_r, gid, cents, q_dev, lo, r0, r1):
+        # (r0, r1) = row_source (key, centers) for the exact regen
+        # re-rank, or (vectors, sqnorms) replicated for host-base
+        # indexes (the CLI route)
         q = jax.lax.dynamic_slice(q_dev, (lo, 0), (B, q_dev.shape[1]))
         q = q.astype(jnp.float32)
         # replicated stage-1 + routing: deterministic, no exchange
@@ -466,16 +487,17 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
         # the whole inter-chip exchange: (S, B, kk) global-id lanes
         allc = jax.lax.all_gather(cand, SHARD_AXIS)
         allc = jnp.moveaxis(allc, 0, 1).reshape(B, S * kk)
-        d_out, i_out = regen_rerank_topk(
-            rs_key, rs_cents, q_s, allc, k, metric
-        )
+        if rerank == "regen":
+            d_out, i_out = regen_rerank_topk(r0, r1, q_s, allc, k, metric)
+        else:
+            d_out, i_out = rerank_topk(r0, r1, q_s, allc, k, metric)
         overflow = jax.lax.psum(overflow, SHARD_AXIS)
         lanes_used = jax.lax.psum(lanes_used, SHARD_AXIS)
         return (d_out[inv], i_out[inv], coverage, overflow,
                 q_scanned[inv], lanes_used)
 
     @jax.jit
-    def run(comp, aux_r, gid, cents, q_dev, lo, rs_key, rs_cents):
+    def run(comp, aux_r, gid, cents, q_dev, lo, r0, r1):
         fn = jax.shard_map(
             spmd,
             mesh=mesh,
@@ -484,6 +506,6 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             out_specs=(P_(), P_(), P_(), P_(), P_(), P_()),
             check_vma=False,
         )
-        return fn(comp, aux_r, gid, cents, q_dev, lo, rs_key, rs_cents)
+        return fn(comp, aux_r, gid, cents, q_dev, lo, r0, r1)
 
     return run

@@ -252,3 +252,26 @@ def test_cli_index_auto(capsys):
         capsys,
     )
     assert doc["queries"]["recall"] > 0.95
+
+
+def test_cli_sharded_split(capsys):
+    # --index split --shards: host base row-sharded over the CPU mesh
+    # (ShardedSplitFlatIndex.from_host), ids mapped back through perm
+    doc = run_cli(
+        ["--synthetic", "20000:16", "--index", "split", "--shards", "4",
+         "--num-queries", "64", "--batch", "64"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.9
+
+
+def test_cli_sharded_routed(capsys):
+    # --index routed --shards: cluster blocks dealt round-robin, exact
+    # replicated-base re-rank (ShardedRoutedSplitIndex host-base mode)
+    doc = run_cli(
+        ["--synthetic", "20000:16", "--index", "routed", "--shards", "4",
+         "--probes", "16", "--ivf-shared", "32", "--ivf-tile", "32",
+         "--num-queries", "64", "--batch", "64"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.85

@@ -161,3 +161,28 @@ def test_sharded_routed_overflow_triggers_spill(setup):
     assert sh.last_coverage == cov  # routing unchanged
     assert sh.last_fallback > 0  # granted != scanned under overflow
     assert r1 >= max(r0, 0.9)
+
+
+def test_sharded_routed_host_base_rerank():
+    """Host-base mode (the CLI route): no row_source — the SPMD re-rank
+    runs replicated from (vectors, sqnorms); recall vs exact GT holds
+    and ids are original base rows."""
+    import jax.numpy as jnp
+
+    from shine_tpu.io import synthetic_dataset
+    from shine_tpu.models.routed_split import build_routed_split
+
+    ds = synthetic_dataset(n=20000, dim=16, num_queries=64, seed=29)
+    idx = build_routed_split(
+        ds.n, 16, base_dev=jnp.asarray(ds.base.astype(np.float32)),
+        cap_target=640, seed=29, shards=8,
+    )
+    assert idx.row_source is None and idx.base_dev is not None
+    mesh = shard_mesh(8)
+    sh = ShardedRoutedSplitIndex.from_single(idx, mesh)
+    assert sh.base is not None
+    ids, dd = sh.search(ds.queries, 10, probes=16, shared=32, tile=32,
+                        kk=64, batch_size=64)
+    assert ids.max() < ds.n
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r >= 0.9, r

@@ -73,3 +73,21 @@ def test_sharded_split_bf16_mode():
     sh = ShardedSplitFlatIndex.from_dataset(ds, mesh, dim=16)
     ids, _ = sh.search(ds.queries, 10, kb=24, tq=32, batch_size=32)
     assert recall_at_k(ids, ds.ground_truth, 10) >= 0.95
+
+
+def test_sharded_split_from_host_recall_and_id_map():
+    """from_host packs a host base over the mesh (the CLI route):
+    shuffle perm maps packed ids back to file order, recall vs exact
+    ground truth holds."""
+    from shine_tpu.io import synthetic_dataset
+
+    mesh = shard_mesh(4)
+    ds = synthetic_dataset(n=20000, dim=16, num_queries=64, seed=13)
+    sh = ShardedSplitFlatIndex.from_host(
+        ds.base, mesh, comp_dtype="int8", seed=13
+    )
+    assert sh.perm is not None
+    ids, dd = sh.search(ds.queries, 10, kb=24, tq=64, batch_size=64)
+    assert ids.max() < 20000 and (ids >= -1).all()
+    r = recall_at_k(ids, ds.ground_truth, 10)
+    assert r >= 0.9, r
