@@ -24,11 +24,45 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Backend-init watchdog: the axon tunnel sometimes wedges so hard that
+# even jax.devices() hangs forever (docs/TPU_NOTES.md "Environment
+# hazards") — a hung bench run records nothing. Probe in a daemon
+# thread; if the backend doesn't answer in time, emit an error JSON
+# line and exit nonzero so the driver gets a clean record.
+_BACKEND_TIMEOUT_S = int(os.environ.get("SHINE_BENCH_BACKEND_TIMEOUT", 300))
+
+
+def _probe_backend() -> None:
+    done = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(_BACKEND_TIMEOUT_S):
+        print(json.dumps({
+            "metric": "knn_qps_at_recall10",
+            "value": 0.0,
+            "unit": "queries/s",
+            "vs_baseline": 0.0,
+            "error": f"backend init unresponsive after "
+                     f"{_BACKEND_TIMEOUT_S}s (TPU tunnel down)",
+        }), flush=True)
+        os._exit(3)
+
+
+_probe_backend()
 
 from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 

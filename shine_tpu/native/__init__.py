@@ -108,13 +108,14 @@ def load() -> ctypes.CDLL:
             ctypes.c_int,  # cap_c
             i32p,  # cand_out (n, cap_c)
             f32p,  # cd_out (n, cap_c)
+            ctypes.c_int,  # threads (0 = hardware concurrency)
         ]
         _lib = lib
         return _lib
 
 
 def reverse_merge(fwd_sel: np.ndarray, fwd_d: np.ndarray, ids: np.ndarray,
-                  cap_c: int) -> tuple[np.ndarray, np.ndarray]:
+                  cap_c: int, threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Native reverse-edge merge — bit-identical to
     models/fastbuild.py:_reverse_merge_np (tests/test_fastbuild.py); one
     counting sort + per-row small sorts instead of numpy's three global
@@ -126,7 +127,8 @@ def reverse_merge(fwd_sel: np.ndarray, fwd_d: np.ndarray, ids: np.ndarray,
     ids = np.ascontiguousarray(ids, np.int32)
     cand = np.empty((n, cap_c), np.int32)
     cd = np.empty((n, cap_c), np.float32)
-    rc = lib.shine_reverse_merge(fwd_sel, fwd_d, ids, n, M, cap_c, cand, cd)
+    rc = lib.shine_reverse_merge(fwd_sel, fwd_d, ids, n, M, cap_c, cand, cd,
+                                 threads)
     if rc != 0:
         raise ValueError(f"shine_reverse_merge failed (rc={rc})")
     return cand, cd

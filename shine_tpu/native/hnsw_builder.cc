@@ -512,8 +512,10 @@ void shine_hnsw_search(const float* vecs, int64_t n, int d, int M, int metric,
 // callers never produce one: forward edges point within the level set).
 int shine_reverse_merge(const int32_t* fwd_sel, const float* fwd_d,
                         const int32_t* ids, int64_t n, int M, int cap_c,
-                        int32_t* cand_out, float* cd_out) {
+                        int32_t* cand_out, float* cd_out, int threads) {
   if (n <= 0 || M <= 0 || cap_c <= 0) return 1;
+  if (threads <= 0)
+    threads = std::max(1u, std::thread::hardware_concurrency());
   int32_t max_id = 0;
   for (int64_t i = 0; i < n; ++i) max_id = std::max(max_id, ids[i]);
   std::vector<int32_t> row_of((size_t)max_id + 1, -1);
@@ -563,45 +565,63 @@ int shine_reverse_merge(const int32_t* fwd_sel, const float* fwd_d,
     return a.key < b.key;
   };
   const int W = cap_c + M;
-  std::vector<Ent> row((size_t)W);
-  for (int64_t i = 0; i < n; ++i) {
-    // incoming, ranked by (dist, src) in place in its bucket — like
-    // np.lexsort((src, dists, rows)) within one row group
-    std::sort(inc.begin() + off[i], inc.begin() + off[i + 1],
-              [](const Inc& a, const Inc& b) {
-                if (a.d != b.d) return a.d < b.d;
-                return a.src < b.src;
-              });
-    const int n_in = (int)std::min<int64_t>(off[i + 1] - off[i], cap_c);
-    // assemble: forward first, then granted incoming, then pads
-    const int64_t base = i * (int64_t)M;
-    for (int j = 0; j < M; ++j) {
-      int32_t c = fwd_sel[base + j];
-      // fwd_d kept verbatim at -1 pads (numpy does not mask it; the
-      // callers always pass inf there — select_heuristic's pad value)
-      row[j] = {fwd_d[base + j], c < 0 ? INT32_MAX : c, c};
+  // per-row work is independent after the counting sort (each thread
+  // sorts only its own rows' buckets) -> bit-identical at any thread
+  // count; this host has 1 core, real hosts scale linearly
+  const auto worker = [&](int64_t lo, int64_t hi) {
+    std::vector<Ent> row((size_t)W);
+    for (int64_t i = lo; i < hi; ++i) {
+      // incoming, ranked by (dist, src) in place in its bucket — like
+      // np.lexsort((src, dists, rows)) within one row group
+      std::sort(inc.begin() + off[i], inc.begin() + off[i + 1],
+                [](const Inc& a, const Inc& b) {
+                  if (a.d != b.d) return a.d < b.d;
+                  return a.src < b.src;
+                });
+      const int n_in = (int)std::min<int64_t>(off[i + 1] - off[i], cap_c);
+      // assemble: forward first, then granted incoming, then pads
+      const int64_t base = i * (int64_t)M;
+      for (int j = 0; j < M; ++j) {
+        int32_t c = fwd_sel[base + j];
+        // fwd_d kept verbatim at -1 pads (numpy does not mask it; the
+        // callers always pass inf there — select_heuristic's pad value)
+        row[j] = {fwd_d[base + j], c < 0 ? INT32_MAX : c, c};
+      }
+      const Inc* in_s = inc.data() + off[i];
+      for (int j = 0; j < n_in; ++j)
+        row[M + j] = {in_s[j].d, in_s[j].src, in_s[j].src};
+      for (int j = M + n_in; j < W; ++j)
+        row[j] = {INFINITY, INT32_MAX, -1};
+      std::sort(row.begin(), row.end(), by_dist_key);
+      // adjacent-duplicate ids -> dropped; compacting the survivors
+      // left and padding the tail IS the numpy "pad + re-lexsort": the
+      // array is sorted, survivors keep relative order, and a pad
+      // (inf, INT32_MAX) never sorts before one.
+      int w = 0;
+      const int64_t out = i * (int64_t)cap_c;
+      for (int j = 0; j < W && w < cap_c; ++j) {
+        if (j > 0 && row[j].id == row[j - 1].id) continue;
+        cand_out[out + w] = row[j].id;
+        cd_out[out + w] = row[j].d;
+        ++w;
+      }
+      for (; w < cap_c; ++w) {
+        cand_out[out + w] = -1;
+        cd_out[out + w] = INFINITY;
+      }
     }
-    const Inc* in_s = inc.data() + off[i];
-    for (int j = 0; j < n_in; ++j)
-      row[M + j] = {in_s[j].d, in_s[j].src, in_s[j].src};
-    for (int j = M + n_in; j < W; ++j) row[j] = {INFINITY, INT32_MAX, -1};
-    std::sort(row.begin(), row.end(), by_dist_key);
-    // adjacent-duplicate ids -> dropped; compacting the survivors left
-    // and padding the tail IS the numpy "pad + re-lexsort": the array
-    // is sorted, survivors keep relative order, and a pad
-    // (inf, INT32_MAX) never sorts before any survivor.
-    int w = 0;
-    const int64_t out = i * (int64_t)cap_c;
-    for (int j = 0; j < W && w < cap_c; ++j) {
-      if (j > 0 && row[j].id == row[j - 1].id) continue;
-      cand_out[out + w] = row[j].id;
-      cd_out[out + w] = row[j].d;
-      ++w;
+  };
+  if (threads == 1) {
+    worker(0, n);
+  } else {
+    std::vector<std::thread> pool;
+    const int64_t step = (n + threads - 1) / threads;
+    for (int t = 0; t < threads; ++t) {
+      const int64_t lo = t * step;
+      if (lo >= n) break;
+      pool.emplace_back(worker, lo, std::min(n, lo + step));
     }
-    for (; w < cap_c; ++w) {
-      cand_out[out + w] = -1;
-      cd_out[out + w] = INFINITY;
-    }
+    for (auto& th : pool) th.join();
   }
   return 0;
 }

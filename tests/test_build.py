@@ -262,6 +262,11 @@ def test_reverse_merge_native_identity():
         got_c, got_d = reverse_merge(fwd_sel, fwd_d, ids, cap_c)
         np.testing.assert_array_equal(got_c, want_c)
         np.testing.assert_array_equal(got_d, want_d)
+        # per-row independence: any thread count is bit-identical
+        got_c3, got_d3 = reverse_merge(fwd_sel, fwd_d, ids, cap_c,
+                                       threads=3)
+        np.testing.assert_array_equal(got_c3, want_c)
+        np.testing.assert_array_equal(got_d3, want_d)
 
 
 def test_drop_self_sorted_matches_lexsort():
