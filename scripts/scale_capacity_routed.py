@@ -100,7 +100,8 @@ def main() -> None:
     table_gb = (idx.comp.nbytes + idx.aux_r.nbytes + idx.gid.nbytes) / 1e9
     emit({
         "stage": "ingest", "seconds": round(time.time() - t0, 1),
-        "C": idx.C, "fill": round(N / (idx.C * idx.cap), 4),
+        "C": idx.C, "cap_actual": idx.cap,
+        "fill": round(N / (idx.C * idx.cap), 4),
         "table_gb": round(table_gb, 2),
     })
 
