@@ -62,7 +62,7 @@ def main() -> None:
         ROOT, ".bench_cache",
         f"hnsw10m_{N}x{D}.npz" if M == 16 else f"hnsw10m_{N}x{D}_m{M}.npz",
     )
-    if os.path.exists(ckpt):
+    if os.path.exists(ckpt) and os.environ.get("SHINE_10MH_REBUILD") != "1":
         from shine_tpu.io import load_graph
 
         graph = load_graph(ckpt)
