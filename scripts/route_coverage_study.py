@@ -67,6 +67,16 @@ def main() -> None:
     ]
     if BIG:
         geoms.append(("100.7M", 100_663_296, 25_805, 2))
+    # SHINE_RC_CENTS=random: centroids = sampled dataset rows (Lloyd
+    # with 0 iterations) — the only way to reach the 0.8B-class C~206k
+    # geometry on this 1-core host (Lloyd at C=206k is hours). Run the
+    # trained geometries under random too for the calibration delta.
+    RAND = os.environ.get("SHINE_RC_CENTS") == "random"
+    if RAND:
+        geoms = [(lb + "-rc", N, C, 0) for lb, N, C, _ in geoms]
+        if os.environ.get("SHINE_RC_08B") == "1":
+            # 8 chips x the measured 100.66M/chip split envelope
+            geoms.append(("0.8B-rc", 805_306_368, 206_387, 0))
     if os.environ.get("SHINE_RC_GEOM"):
         want = os.environ["SHINE_RC_GEOM"].split(",")
         geoms = [g for g in geoms if g[0] in want]
@@ -77,14 +87,21 @@ def main() -> None:
             anchors + 0.3 * jax.random.normal(k3, (NQ, D), jnp.float32)
         )
         t0 = time.time()
-        tids = jax.random.randint(
-            jax.random.PRNGKey(SEED), (TRAIN,), 0, N, dtype=jnp.int32
-        )
-        x_train = regen_rows(k1, centers, tids)
-        cents = _lloyd_chunked(x_train, k=C, iters=ITERS, seed=SEED)
-        cents = np.asarray(cents)
+        if RAND:
+            cids = jax.random.randint(
+                jax.random.PRNGKey(SEED + 1), (C,), 0, N, dtype=jnp.int32
+            )
+            cents = np.asarray(regen_rows(k1, centers, cids))
+        else:
+            tids = jax.random.randint(
+                jax.random.PRNGKey(SEED), (TRAIN,), 0, N, dtype=jnp.int32
+            )
+            x_train = regen_rows(k1, centers, tids)
+            cents = np.asarray(
+                _lloyd_chunked(x_train, k=C, iters=ITERS, seed=SEED)
+            )
         cents = jnp.asarray(cents[_spatial_order_centroids(cents, SEED)])
-        print(f"# {label}: C={C} trained in {time.time()-t0:.0f}s",
+        print(f"# {label}: C={C} centroids in {time.time()-t0:.0f}s",
               flush=True)
 
         q = jnp.asarray(queries)
@@ -101,7 +118,10 @@ def main() -> None:
             pr_s = pr[perm]
             for T in (32, 64, 128):
                 G = NQ // T
-                for P in (48, 96, 128, 192, 256):
+                p_grid = (48, 96, 128, 192, 256)
+                if C > 100_000:  # 0.8B-class grants need a wider sweep
+                    p_grid = (96, 192, 256, 384, 512)
+                for P in p_grid:
                     if P < p or P > C:
                         continue
                     _, cov, q_g = _route_cols(

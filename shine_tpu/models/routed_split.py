@@ -296,7 +296,12 @@ def _auto_knobs(C: int, probes: int, tile: int, shared: int):
         tile = 32 if C >= 4096 else 64
     if shared <= 0:
         shared = (12 if C >= 4096 else 6) * probes
-    return tile, min(shared, C)
+    # a tile of T queries x p wishes can never want more than T*p
+    # distinct clusters — granting past that is pure wasted scan (the
+    # full-grant bound; at 0.8B-class C the tile overlap vanishes and
+    # this bound IS the coverage-1 setting, results/route_coverage.jsonl
+    # "-rc" rows)
+    return tile, min(shared, tile * probes, C)
 
 
 def _spill_plan(n_need: int, probes: int, C: int):
