@@ -91,3 +91,28 @@ def test_sharded_split_from_host_recall_and_id_map():
     assert ids.max() < 20000 and (ids >= -1).all()
     r = recall_at_k(ids, ds.ground_truth, 10)
     assert r >= 0.9, r
+
+
+def test_from_host_packing_matches_single_chip():
+    """from_host(seed) and SplitFlatIndex(seed) shuffle identically, so
+    the packed tables agree row-for-row over the real rows (padding
+    quanta differ: SPLIT_QUANTUM vs SPLIT_QUANTUM*S)."""
+    from shine_tpu.io import synthetic_dataset
+    from shine_tpu.models.flat import SplitFlatIndex
+
+    mesh = shard_mesh(4)
+    ds = synthetic_dataset(n=12000, dim=16, num_queries=8, seed=7)
+    sh = ShardedSplitFlatIndex.from_host(
+        ds.base, mesh, comp_dtype="int8", seed=7
+    )
+    single = SplitFlatIndex(
+        ds.base, comp_dtype="int8", seed=7, interpret=True
+    )
+    n = ds.base.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(sh.comp)[:n], np.asarray(single.comp)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sh.aux)[:, :n], np.asarray(single.aux)[:, :n]
+    )
+    np.testing.assert_array_equal(sh.perm, single.perm)
