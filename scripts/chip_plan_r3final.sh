@@ -50,3 +50,21 @@ echo "[plan] $(date) stage 4: bench refresh"
 timeout 1800 python bench.py || echo "[plan] bench failed (non-fatal)"
 
 echo "[plan] $(date) DONE"
+
+echo "[plan] cooling 90s"
+sleep 90
+
+echo "[plan] $(date) stage 5: split 41.9M prerank trim (stage-1 int8 -> exact regen)"
+SHINE_CAPS_N=41943040 SHINE_CAPS_KB=32,64 SHINE_CAPS_PRERANK=16 \
+  timeout 3600 python scripts/scale_capacity_split.py \
+  || echo "[plan] split prerank stage failed (non-fatal)"
+
+echo "[plan] cooling 120s"
+sleep 120
+
+echo "[plan] $(date) stage 6: 10M HNSW M=16 rebuild with the native merge stage"
+SHINE_10MH_REBUILD=1 SHINE_10MH_M=16 timeout 5400 \
+  python scripts/scale_10m_hnsw.py \
+  || echo "[plan] 10M M=16 rebuild failed (non-fatal)"
+
+echo "[plan] $(date) DONE (appended stages)"

@@ -41,6 +41,10 @@ D = int(os.environ.get("SHINE_CAPS_D", 128))
 COMP = os.environ.get("SHINE_CAPS_COMP", "int8")
 KBS = [int(x) for x in os.environ.get("SHINE_CAPS_KB", "32,64").split(",")]
 MODE = os.environ.get("SHINE_CAPS_MODE", "auto")
+# stage-1 trim before the exact regen re-rank (0 = off); the split int8
+# layout is where the trim's byte arithmetic is a clear win (TPU_NOTES
+# "prerank" section)
+PRERANK = int(os.environ.get("SHINE_CAPS_PRERANK", 0))
 MODE_KW = {
     "auto": {},
     "exact": {"keep2": True, "cls": 1024},
@@ -77,7 +81,7 @@ def main() -> None:
     pre = idx.preload(ds.queries, batch_size=2048)
     for kb in KBS:
         kw = dict(kb=kb, batch_size=2048, preloaded=pre, with_dists=False,
-                  **MODE_KW)
+                  prerank=PRERANK, **MODE_KW)
         ids, _ = idx.search(ds.queries, 10, **kw)
         best = float("inf")
         for _ in range(2):
@@ -85,7 +89,7 @@ def main() -> None:
             ids, _ = idx.search(ds.queries, 10, **kw)
             best = min(best, time.time() - t1)
         emit({
-            "stage": "search", "kb": kb,
+            "stage": "search", "kb": kb, "prerank": PRERANK,
             "qps": round(NQ / best, 1),
             "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4),
         })

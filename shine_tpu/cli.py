@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="HNSW traversal-row storage (quantized at upload — "
         "models/hnsw.py; sharded meshes accept f32|bf16 only)",
     )
+    q.add_argument("--prerank", type=int, default=0,
+                   help="fastflat/split stage-1 trim width before the "
+                        "exact re-rank (0 = off; measured by "
+                        "scripts/tune_dispatch_trims.py)")
     q.add_argument("--exchange", choices=("dense", "compact"),
                    default="dense", help="sharded-HNSW ICI exchange "
                    "pattern (compact = bucketed all_to_all owner RPC)")
@@ -295,7 +299,8 @@ def _build(args, ds, params, mesh, timing):
                 interpret=jax.default_backend() != "tpu",
             )
         return (
-            lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
+            lambda q: idx.search(q, args.k, batch_size=args.batch,
+                                 prerank=args.prerank)[0],
             ds.base.nbytes,
             idx,
         )
@@ -324,7 +329,8 @@ def _build(args, ds, params, mesh, timing):
                 interpret=jax.default_backend() != "tpu",
             )
         return (
-            lambda q: idx.search(q, args.k, batch_size=args.batch)[0],
+            lambda q: idx.search(q, args.k, batch_size=args.batch,
+                                 prerank=args.prerank)[0],
             idx.comp.nbytes + idx.aux.nbytes,
             idx,
         )

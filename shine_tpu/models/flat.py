@@ -419,6 +419,7 @@ class FastFlatIndex:
         with_dists: bool = True,
         keep2: bool | None = None,
         approx_sel: bool = False,
+        prerank: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
         with dimension, so high-dim needs a bigger margin (measured:
@@ -433,7 +434,12 @@ class FastFlatIndex:
         0.995 -> 0.9999 for ~14% QPS; at 200k, rows/cls ~195, it only
         costs QPS — TPU_NOTES '1M x 64 keep2 refresh').
         with_dists=False skips the distance download (the dev tunnel
-        moves ~20 MB/s; recall-only callers save a transfer)."""
+        moves ~20 MB/s; recall-only callers save a transfer).
+        prerank>0 inserts a stage-1 bf16 trim from the resident scan
+        table before the exact f32 re-rank (kb -> prerank candidates) —
+        the gather + re-rank tail is ~2.4x the scan in the small-N
+        dispatch (TPU_NOTES 'Dispatch stage profile'); measure with
+        scripts/tune_dispatch_trims.py before changing the default."""
         if kb <= 0:
             kb = 32 if self.dim < 512 else 128
         if cls <= 0:
@@ -443,6 +449,7 @@ class FastFlatIndex:
         out_i, out_d = _fast_flat_search_host(
             self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
             with_dists=with_dists, keep2=keep2, approx_sel=approx_sel,
+            prerank=prerank,
         )
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
@@ -629,6 +636,7 @@ class SplitFlatIndex:
         with_dists: bool = True,
         keep2: bool | None = None,
         approx_sel: bool = False,
+        prerank: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Same defaults/auto-rules as FastFlatIndex.search (measured:
         TPU_NOTES r3 'tune grid' + keep2_auto); int8 components widen
@@ -698,6 +706,7 @@ class SplitFlatIndex:
                     metric=self.metric, batch=batch_size,
                     interpret=self.interpret, keep2=keep2, n=self.n,
                     row_source=self.row_source, approx_sel=approx_sel,
+                    prerank=prerank,
                 )
             )
         if len(parts) == 1:
@@ -744,13 +753,13 @@ def _select_kb(m1, kb_eff, approx):
     jax.jit,
     static_argnames=(
         "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
-        "keep2", "n", "approx_sel",
+        "keep2", "n", "approx_sel", "prerank",
     ),
 )
 def split_flat_search_at(
     comp, aux, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric,
     batch, interpret=False, keep2=False, n=0, row_source=None,
-    approx_sel=False,
+    approx_sel=False, prerank=0,
 ):
     """One fused program on the split layout: slice queries, pad to the
     component lanes, class-max scan, select, re-rank."""
@@ -782,6 +791,17 @@ def split_flat_search_at(
         cand = jnp.take_along_axis(a1, sel, axis=1)
     limit = n or comp.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
+    if (
+        prerank
+        and max(prerank, k) < cand.shape[-1]
+        and (vectors is not None or row_source is not None)
+    ):
+        # stage-1 trim from the resident split tables before the exact
+        # re-rank (f32 gather or PRNG regen); at capacity scale the regen
+        # cost is O(candidates) threefry, so the trim converts directly
+        from shine_tpu.ops.distance import prerank_trim_split
+
+        cand = prerank_trim_split(comp, aux, qj, cand, max(prerank, k))
     if vectors is not None:
         from shine_tpu.ops.distance import rerank_topk
 
@@ -800,12 +820,13 @@ def split_flat_search_at(
     jax.jit,
     static_argnames=(
         "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
-        "keep2", "n", "approx_sel",
+        "keep2", "n", "approx_sel", "prerank",
     ),
 )
 def fast_flat_search_at(
     ext, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric, batch,
     interpret=False, keep2=False, n=0, row_source=None, approx_sel=False,
+    prerank=0,
 ):
     """One fused program: slice the preloaded queries, pack the extended
     query, scan, select, re-rank — a single dispatch per batch."""
@@ -816,7 +837,7 @@ def fast_flat_search_at(
     return fast_flat_search(
         ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
         metric=metric, interpret=interpret, keep2=keep2, n=n,
-        row_source=row_source, approx_sel=approx_sel,
+        row_source=row_source, approx_sel=approx_sel, prerank=prerank,
     )
 
 
@@ -824,12 +845,13 @@ def fast_flat_search_at(
     jax.jit,
     static_argnames=(
         "k", "kb", "tq", "tn", "cls", "metric", "interpret", "keep2", "n",
-        "approx_sel",
+        "approx_sel", "prerank",
     ),
 )
 def fast_flat_search(
     ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, cls, metric,
     interpret=False, keep2=False, n=0, row_source=None, approx_sel=False,
+    prerank=0,
 ):
     from shine_tpu.ops.distance import rerank_topk
 
@@ -865,6 +887,17 @@ def fast_flat_search(
         cand = jnp.take_along_axis(a1, sel, axis=1)
     limit = n or vectors.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
+    if (
+        prerank
+        and max(prerank, k) < cand.shape[-1]
+        and (vectors is not None or row_source is not None)
+    ):
+        # stage-1 bf16 trim from the resident scan table before the
+        # exact re-rank (f32 gather or PRNG regen) — shrinks the tail
+        # that binds the small-N dispatch (round-4 candidate #3)
+        from shine_tpu.ops.distance import prerank_trim_ext
+
+        cand = prerank_trim_ext(ext, q_ext, cand, max(prerank, k))
     if vectors is None:
         if row_source is not None:
             # capacity mode, EXACT: regenerate candidate rows from their
@@ -883,7 +916,7 @@ def fast_flat_search(
 
 def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                            preloaded=None, with_dists=True, keep2=False,
-                           approx_sel=False):
+                           approx_sel=False, prerank=0):
     nq, d = queries.shape
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
@@ -915,6 +948,7 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                 k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
                 batch=batch_size, interpret=idx.interpret, keep2=keep2,
                 n=idx.n, row_source=idx.row_source, approx_sel=approx_sel,
+                prerank=prerank,
             )
         )
     # batches dispatch asynchronously; one host transfer at the end (the

@@ -158,6 +158,62 @@ def rerank_topk_split(
     return dd[..., :k], ids[..., :k]
 
 
+def prerank_trim_ext(
+    ext: jnp.ndarray,  # (N_pad, dp) bf16 packed score table
+    q_ext: jnp.ndarray,  # (B, dp) packed extended queries
+    cand_ids: jnp.ndarray,  # (B, K) i32, -1 pad
+    pre: int,
+) -> jnp.ndarray:
+    """Stage-1 candidate trim: score the kb survivors straight from the
+    HBM-resident bf16 scan table and keep only the best `pre` before the
+    expensive exact re-rank (f32 row gather or PRNG regen). The gather +
+    re-rank tail is ~2.4x the scan cost in the fused small-N dispatch
+    (docs/TPU_NOTES.md 'Dispatch stage profile'); shrinking K -> pre
+    shrinks both terms. Precision of the trim is the bf16 row storage —
+    the same noise class as the scan that picked the candidates, so a
+    pre >= ~1.5k margin keeps the exact stage's recall. Ties break
+    (score, id) ascending like every other stage."""
+    safe = jnp.maximum(cand_ids, 0)
+    rows = ext[safe]  # (B, K, dp) bf16
+    scores = jnp.einsum(
+        "...d,...kd->...k", q_ext.astype(jnp.bfloat16), rows,
+        preferred_element_type=jnp.float32,
+    )
+    sd = jnp.where(cand_ids >= 0, -scores, jnp.inf)
+    key_i = jnp.where(cand_ids < 0, jnp.int32(2**31 - 1), cand_ids)
+    _, _, ids = jax.lax.sort(
+        (sd, key_i, cand_ids), dimension=-1, num_keys=2
+    )
+    return ids[..., :pre]
+
+
+def prerank_trim_split(
+    comp: jnp.ndarray,  # (N_pad, dpc) bf16 or int8 component table
+    aux: jnp.ndarray,  # (2, N_pad) f32: [0]=nrm, [1]=scl
+    queries: jnp.ndarray,  # (B, d) f32
+    cand_ids: jnp.ndarray,  # (B, K) i32, -1 pad
+    pre: int,
+) -> jnp.ndarray:
+    """prerank_trim_ext for the split layout: stage-1 scores from the
+    component table + (nrm, scl) aux row, keep the best `pre` candidate
+    ids for the exact stage (rerank_topk / regen_rerank_topk)."""
+    q = queries.astype(jnp.float32)
+    d = q.shape[-1]
+    safe = jnp.maximum(cand_ids, 0)
+    rows = comp[safe][..., :d].astype(jnp.float32)
+    dots = jnp.einsum(
+        "...d,...kd->...k", q, rows, precision=DIST_PRECISION,
+        preferred_element_type=jnp.float32,
+    )
+    scores = aux[1][safe] * dots + aux[0][safe]
+    sd = jnp.where(cand_ids >= 0, -scores, jnp.inf)
+    key_i = jnp.where(cand_ids < 0, jnp.int32(2**31 - 1), cand_ids)
+    _, _, ids = jax.lax.sort(
+        (sd, key_i, cand_ids), dimension=-1, num_keys=2
+    )
+    return ids[..., :pre]
+
+
 def candidate_distance(
     queries: jnp.ndarray,  # (B, d)
     cand_vecs: jnp.ndarray,  # (B, K, d) gathered candidate rows

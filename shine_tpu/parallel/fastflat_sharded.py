@@ -69,6 +69,7 @@ def _merge_shards(dd, gi, k):
 def _make_search(
     mesh: Mesh, k: int, kb: int, tq: int, cls: int, tn: int, metric: int,
     rows_per_shard: int, interpret: bool, keep2: bool = False,
+    prerank: int = 0,
 ):
     def spmd(ext, vectors, sqnorms, queries):
         B = queries.shape[0]
@@ -78,6 +79,14 @@ def _make_search(
             ext, q_ext, B, kb, tq, tn, cls, interpret, keep2
         )
         cand_local = jnp.where(cand_local < vectors.shape[0], cand_local, -1)
+        if prerank and k <= prerank < cand_local.shape[1]:
+            # stage-1 bf16 trim from the shard's own scan table: shrinks
+            # BOTH the exact-re-rank gather and the merge's all_gather
+            # lanes (kb -> prerank per shard)
+            from shine_tpu.ops.distance import prerank_trim_ext
+
+            cand_local = prerank_trim_ext(ext, q_ext, cand_local, prerank)
+            kb_eff = prerank
         # exact f32 re-rank against OWNED rows
         dd, ii = rerank_topk(vectors, sqnorms, q, cand_local, kb_eff, metric)
         my = jax.lax.axis_index(SHARD_AXIS)
@@ -101,7 +110,7 @@ def _make_search(
 def _make_search_ext(
     mesh: Mesh, k: int, kb: int, tq: int, cls: int, tn: int, metric: int,
     rows_per_shard: int, interpret: bool, keep2: bool = False,
-    with_regen: bool = False,
+    with_regen: bool = False, prerank: int = 0,
 ):
     """Capacity-mode SPMD search: each shard holds ONLY its slice of the
     packed bf16 ext table (no f32 base anywhere — per-chip capacity is
@@ -124,6 +133,16 @@ def _make_search_ext(
         cand_local = jnp.where(cand_local < ext.shape[0], cand_local, -1)
         my = jax.lax.axis_index(SHARD_AXIS)
         if with_regen:
+            if prerank and k <= prerank < cand_local.shape[1]:
+                # trim before the O(candidates) threefry regeneration —
+                # stage-1 precision equals the scan's, so the exact
+                # stage keeps its recall at a generous margin
+                from shine_tpu.ops.distance import prerank_trim_ext
+
+                cand_local = prerank_trim_ext(
+                    ext, q_ext, cand_local, prerank
+                )
+                kb_eff = prerank
             rkey, centers = rs
             gid = jnp.where(
                 cand_local >= 0, cand_local + my * rows_per_shard, -1
@@ -183,7 +202,7 @@ def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2):
 def _make_search_split(
     mesh: Mesh, k: int, kb: int, tq: int, cls: int, metric: int,
     rows_per_shard: int, interpret: bool, keep2: bool = False,
-    with_regen: bool = False,
+    with_regen: bool = False, prerank: int = 0,
 ):
     """Capacity-mode SPMD search on the SPLIT layout: each shard holds
     its slice of the component table (bf16: 264 B/row, int8: 136 B/row
@@ -204,6 +223,15 @@ def _make_search_split(
         cand_local = jnp.where(cand_local < comp.shape[0], cand_local, -1)
         my = jax.lax.axis_index(SHARD_AXIS)
         if with_regen:
+            if prerank and k <= prerank < cand_local.shape[1]:
+                # stage-1 trim from the shard's split tables before the
+                # exact regen re-rank (same win as _make_search_ext)
+                from shine_tpu.ops.distance import prerank_trim_split
+
+                cand_local = prerank_trim_split(
+                    comp, aux, q, cand_local, prerank
+                )
+                kb_eff = prerank
             rkey, centers = rs
             gid = jnp.where(
                 cand_local >= 0, cand_local + my * rows_per_shard, -1
@@ -331,6 +359,7 @@ class ShardedSplitFlatIndex:
         tq: int = 512,
         cls: int = 0,
         keep2: bool | None = None,
+        prerank: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         from shine_tpu.models.flat import keep2_auto
 
@@ -342,12 +371,12 @@ class ShardedSplitFlatIndex:
         batch_size = min(batch_size, max(nq, 1))
         batch_size = max(tq, -(-batch_size // tq) * tq)
         kb = max(kb, k)
-        key = (k, kb, tq, cls, batch_size, keep2)
+        key = (k, kb, tq, cls, batch_size, keep2, prerank)
         if key not in self._runs:
             self._runs[key] = _make_search_split(
                 self.mesh, k, kb, tq, cls, self.metric, self.rows,
                 self.interpret, keep2=keep2,
-                with_regen=self.row_source is not None,
+                with_regen=self.row_source is not None, prerank=prerank,
             )
         run = self._runs[key]
         rep = NamedSharding(self.mesh, P())
@@ -488,6 +517,7 @@ class ShardedFastFlatIndex:
         tq: int = 512,
         cls: int = 0,
         keep2: bool | None = None,
+        prerank: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         from shine_tpu.models.flat import keep2_auto
 
@@ -502,18 +532,20 @@ class ShardedFastFlatIndex:
         batch_size = max(tq, -(-batch_size // tq) * tq)
         kb = max(kb, k)
         capacity = self.vectors is None
-        key = (k, kb, tq, cls, batch_size, keep2)
+        key = (k, kb, tq, cls, batch_size, keep2, prerank)
         if key not in self._runs:
             if capacity:
                 self._runs[key] = _make_search_ext(
                     self.mesh, k, kb, tq, cls, max(self.tn, cls),
                     self.metric, self.rows, self.interpret, keep2=keep2,
                     with_regen=self.row_source is not None,
+                    prerank=prerank,
                 )
             else:
                 self._runs[key] = _make_search(
                     self.mesh, k, kb, tq, cls, max(self.tn, cls),
                     self.metric, self.rows, self.interpret, keep2=keep2,
+                    prerank=prerank,
                 )
         run = self._runs[key]
         rep = NamedSharding(self.mesh, P())

@@ -127,6 +127,43 @@ def test_sharded_capacity_bf16_rerank_path():
     assert np.all(np.diff(dists, axis=1) >= -1e-2)
 
 
+def test_sharded_capacity_prerank_trim():
+    """prerank>0 (stage-1 bf16 trim before the exact regen re-rank)
+    keeps recall within noise of the untrimmed search on the sharded
+    capacity path — at a generous margin the true rows survive stage 1,
+    so the exact stage returns the same ids."""
+    mesh = shard_mesh(4)
+    ds = device_rowkeyed_ext_dataset(
+        n=16384, dim=16, num_queries=64, seed=5, rchunk=2048, mesh=mesh
+    )
+    cap = ShardedFastFlatIndex.from_ext(
+        ds.ext_dev, ds.n, mesh, dim=16, row_source=ds.row_source
+    )
+    ids0, _ = cap.search(ds.queries, 10, kb=32, tq=64, batch_size=64)
+    ids1, dd1 = cap.search(
+        ds.queries, 10, kb=32, tq=64, batch_size=64, prerank=16
+    )
+    r0 = recall_at_k(ids0, ds.ground_truth, 10)
+    r1 = recall_at_k(ids1, ds.ground_truth, 10)
+    assert r1 >= r0 - 0.02, (r0, r1)
+    assert np.all(np.diff(dd1, axis=1) >= -1e-5)
+    # exact-base sharded path too (f32 rows resident per shard)
+    base = np.asarray(
+        regen_rows(
+            ds.row_source[0], ds.row_source[1],
+            jnp.arange(ds.n, dtype=jnp.int32),
+        )
+    )
+    full = ShardedFastFlatIndex(base, mesh, shuffle=False)
+    fids0, _ = full.search(ds.queries, 10, kb=32, tq=64, batch_size=64)
+    fids1, _ = full.search(
+        ds.queries, 10, kb=32, tq=64, batch_size=64, prerank=16
+    )
+    f0 = recall_at_k(fids0, ds.ground_truth, 10)
+    f1 = recall_at_k(fids1, ds.ground_truth, 10)
+    assert f1 >= f0 - 0.02, (f0, f1)
+
+
 def test_rowkeyed_mesh_rounds_to_shard_quantum():
     """mesh ingestion must round n so every shard's slice is a multiple
     of the 4096 scan quantum (from_ext asserts it)."""

@@ -199,6 +199,114 @@ def test_approx_select_paths(rng):
     assert recall_at_k(ids_f, ds.ground_truth, 10) >= 0.95
 
 
+def test_prerank_trim_helpers(rng):
+    """prerank_trim_ext / prerank_trim_split pick exactly the best `pre`
+    candidate ids under the stage-1 scores with (score, id) tie-breaks,
+    and keep -1 pads out."""
+    from shine_tpu.ops.distance import prerank_trim_ext, prerank_trim_split
+    from shine_tpu.ops.pallas_scan import pack_ext_query, pack_ext_table
+    from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_tables
+
+    n, d, B, K, pre = 512, 24, 16, 32, 8
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(B, d)).astype(np.float32)
+    cand = rng.integers(0, n, size=(B, K)).astype(np.int32)
+    cand[:, -3:] = -1  # pads must never survive the trim
+    # ext variant: score = <q_ext, ext[id]> in bf16
+    ext = jnp.asarray(pack_ext_table(v, METRIC_L2, n))
+    qe = pack_ext_query(jnp.asarray(q), ext.shape[1]).astype(jnp.bfloat16)
+    got = np.asarray(prerank_trim_ext(ext, qe, jnp.asarray(cand), pre))
+    scores = np.asarray(
+        jnp.einsum("bd,bkd->bk", qe, ext[np.maximum(cand, 0)],
+                   preferred_element_type=jnp.float32)
+    )
+    for b in range(B):
+        order = sorted(
+            range(K),
+            key=lambda j: (
+                (np.inf, 2**31 - 1, -1)
+                if cand[b, j] < 0
+                else (-scores[b, j], int(cand[b, j]), int(cand[b, j]))
+            ),
+        )
+        want = [int(cand[b, j]) for j in order[:pre]]
+        assert list(got[b]) == want, b
+    assert (got >= 0).all()
+    # split variant agrees with the dequantized exact stage-1 score
+    comp, aux = pack_split_tables(v, METRIC_L2, n, comp_dtype=np.int8)
+    got_s = np.asarray(
+        prerank_trim_split(
+            jnp.asarray(comp), jnp.asarray(aux), jnp.asarray(q),
+            jnp.asarray(cand), pre,
+        )
+    )
+    safe = np.maximum(cand, 0)
+    dots = np.einsum(
+        "bd,bkd->bk", q, comp[safe][..., :d].astype(np.float32)
+    )
+    sc = aux[1][safe] * dots + aux[0][safe]
+    for b in range(B):
+        order = sorted(
+            range(K),
+            key=lambda j: (
+                (np.inf, 2**31 - 1)
+                if cand[b, j] < 0
+                else (-sc[b, j], int(cand[b, j]))
+            ),
+        )
+        want = [int(cand[b, j]) for j in order[:pre]]
+        assert list(got_s[b]) == want, b
+
+
+def test_prerank_search_paths(rng):
+    """prerank>0 end-to-end: the stage-1 trim keeps the exact re-rank's
+    recall when the margin is generous, on both scan families and on the
+    capacity regen path."""
+    import jax
+
+    from shine_tpu.io import recall_at_k, synthetic_dataset
+    from shine_tpu.io.device_synth import regen_rows
+    from shine_tpu.models.flat import FastFlatIndex, FlatIndex, SplitFlatIndex
+    from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_device
+
+    ds = synthetic_dataset(n=6000, dim=48, num_queries=64, seed=7, gt_k=10)
+    fast = FastFlatIndex(ds.base, interpret=True)
+    ids0, dd0 = fast.search(ds.queries, 10, kb=16)
+    ids1, dd1 = fast.search(ds.queries, 10, kb=16, prerank=16)
+    r0 = recall_at_k(ids0, ds.ground_truth, 10)
+    r1 = recall_at_k(ids1, ds.ground_truth, 10)
+    assert r1 >= r0 - 0.02, (r0, r1)
+    # where the trim kept the same id, the exact distance is unchanged
+    match = ids0 == ids1
+    np.testing.assert_allclose(dd1[match], dd0[match], rtol=0, atol=0)
+    spl = SplitFlatIndex(ds.base, interpret=True)
+    ids2, _ = spl.search(ds.queries, 10, kb=32, cls=256, keep2=False,
+                         prerank=16)
+    assert recall_at_k(ids2, ds.ground_truth, 10) >= 0.95
+    # capacity regen path: trim before the threefry regeneration
+    key = jax.random.PRNGKey(21)
+    centers = jax.random.normal(
+        jax.random.PRNGKey(2), (8, 32), jnp.float32
+    ) * 4.0
+    n, d = 4096, 32
+    base = np.asarray(
+        regen_rows(key, centers, jnp.arange(n, dtype=jnp.int32))
+    )
+    q = base[rng.integers(0, n, 48)] + 0.3 * rng.normal(
+        size=(48, d)
+    ).astype(np.float32)
+    gt, _ = FlatIndex(base).search(q, 10)
+    comp, aux = pack_split_device(
+        jnp.asarray(base), metric=METRIC_L2, dpc=comp_width(d)
+    )
+    cap = SplitFlatIndex.from_parts(
+        comp, aux, n, dim=d, row_source=(key, centers)
+    )
+    cap.interpret = True
+    ids3, _ = cap.search(q, 10, kb=32, cls=256, keep2=False, prerank=16)
+    assert recall_at_k(ids3, gt, 10) >= 0.97
+
+
 def test_split_ip_metric(rng):
     from shine_tpu.io import recall_at_k, synthetic_dataset
     from shine_tpu.models.flat import SplitFlatIndex

@@ -63,6 +63,25 @@ def test_sharded_split_matches_single_chip_and_recall():
     assert hit.mean() > 0.8
 
 
+def test_sharded_split_prerank_trim():
+    """prerank on the sharded split path: stage-1 int8 trim before the
+    exact regen re-rank keeps recall at a generous margin."""
+    mesh = shard_mesh(4)
+    ds = device_rowkeyed_split_dataset(
+        n=65536, dim=16, num_queries=48, seed=5, rchunk=4096,
+        comp_dtype="int8", mesh=mesh,
+    )
+    sh = ShardedSplitFlatIndex.from_dataset(ds, mesh, dim=16)
+    ids0, _ = sh.search(ds.queries, 10, kb=32, tq=64, batch_size=64)
+    ids1, dd1 = sh.search(
+        ds.queries, 10, kb=32, tq=64, batch_size=64, prerank=16
+    )
+    r0 = recall_at_k(ids0, ds.ground_truth, 10)
+    r1 = recall_at_k(ids1, ds.ground_truth, 10)
+    assert r1 >= r0 - 0.02, (r0, r1)
+    assert np.all(np.diff(dd1, axis=1) >= -1e-5)
+
+
 def test_sharded_split_bf16_mode():
     mesh = shard_mesh(2)
     ds = device_rowkeyed_split_dataset(
