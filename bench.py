@@ -252,6 +252,17 @@ def main() -> None:
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# hnsw ef={ef}: qps={qps:.0f} recall@10={r:.4f}")
             results.append(("hnsw", qps, r))
+            # bf16 traversal rows: halves the gather bytes of the
+            # gather-bound path (at 10M this was ~1.5x; same graph,
+            # quantized at upload — models/hnsw.py DeviceGraph)
+            del hnsw
+            hnsw16 = HNSWIndex(graph, rows="bf16")
+            qps, ids = time_search(
+                lambda: hnsw16.search(ds.queries, sp, batch_size=batch), nq
+            )
+            r = recall_at_k(ids, ds.ground_truth, 10)
+            log(f"# hnsw bf16 ef={ef}: qps={qps:.0f} recall@10={r:.4f}")
+            results.append(("hnsw_bf16", qps, r))
         except Exception as e:
             log(f"# hnsw failed: {e!r}")
 
