@@ -27,14 +27,18 @@ done
 echo "[plan] $(date) stage 1: routed kernel smoke + knob sweep at 4.19M"
 SHINE_CR_N=4194304 SHINE_CR_SWEEP="16:96:32,16:128:32,16:96:64" \
   timeout 2400 python scripts/scale_capacity_routed.py \
-  || { echo "[plan] 4.19M stage FAILED"; exit 1; }
+  || { echo "[plan] 4.19M stage FAILED (continuing: later stages are independent)"; SKIP_419=1; }
 
 echo "[plan] cooling 90s"
 sleep 90
 
 echo "[plan] $(date) stage 2: routed capacity sweep at 41.9M (the headline target)"
-SHINE_CR_N=41943040 timeout 5400 python scripts/scale_capacity_routed.py \
-  || { echo "[plan] 41.9M stage FAILED"; exit 1; }
+if [ "${SKIP_419:-0}" = "1" ]; then
+  echo "[plan] skipping 41.9M (4.19M smoke failed; fix the kernel first)"
+else
+  SHINE_CR_N=41943040 timeout 5400 python scripts/scale_capacity_routed.py \
+    || echo "[plan] 41.9M stage failed (non-fatal)"
+fi
 
 echo "[plan] cooling 90s"
 sleep 90

@@ -73,8 +73,18 @@ def main() -> None:
         emit({"stage": "base-download",
               "seconds": round(time.time() - t0, 1),
               "gb": round(base.nbytes / 1e9, 2)})
+        # crash-resume checkpoint for layer 0 (~80% of the ~30 min wall on
+        # a tunnel that can die mid-run). A leftover stage file would make
+        # the reported build seconds a lie, so unless the caller asks to
+        # resume (SHINE_10MH_RESUME=1) a stale one is removed first.
+        stage = ckpt.replace(".npz", "_stage0.npz")
+        if (os.environ.get("SHINE_10MH_RESUME") != "1"
+                and os.path.exists(stage)):
+            os.remove(stage)
         t0 = time.time()
-        graph = fast_build_graph(base, params, base_dev=ds.base_dev)
+        graph = fast_build_graph(
+            base, params, base_dev=ds.base_dev, stage_path=stage,
+        )
         build_s = time.time() - t0
         emit({"stage": "fastbuild", "seconds": round(build_s, 1),
               "M": params.M})

@@ -85,8 +85,14 @@ def main() -> None:
 
     os.environ["SHINE_FASTBUILD_TIMING"] = "1"
     params = HNSWParams(M=16, ef_construction=200)
+    # crash-resume checkpoint for layer 0; a leftover stage file would make
+    # build_s a lie (layer 0 skipped), so unless the caller explicitly asks
+    # to resume (SHINE_1M_RESUME=1) a stale one is removed first
+    stage = os.path.join(ROOT, ".bench_cache", f"hnsw1m_{N}x{D}_stage0.npz")
+    if os.environ.get("SHINE_1M_RESUME") != "1" and os.path.exists(stage):
+        os.remove(stage)
     t0 = time.time()
-    graph = fast_build_graph(base, params)
+    graph = fast_build_graph(base, params, stage_path=stage)
     build_s = time.time() - t0
     emit({"stage": "fastbuild", "seconds": round(build_s, 1),
           "M": params.M})

@@ -410,7 +410,14 @@ def _build(args, ds, params, mesh, timing):
     elif args.fast_build:
         from shine_tpu.models.fastbuild import fast_build_graph
 
-        graph = fast_build_graph(ds.base, params, mesh=mesh)
+        # when the built index will be stored anyway, also stage-checkpoint
+        # layer 0 next to it so a mid-build crash resumes (fastbuild
+        # stage_path docstring)
+        stage = (
+            args.store_index + ".stage0.npz" if args.store_index else None
+        )
+        graph = fast_build_graph(ds.base, params, mesh=mesh,
+                                 stage_path=stage)
     else:
         graph = build_graph(ds.base, params)
     if args.store_index:

@@ -273,13 +273,24 @@ def fast_build_graph(
     interpret: bool = False,
     mesh=None,
     base_dev=None,
+    stage_path: str | None = None,
 ) -> GraphSoA:
     """Construct a GraphSoA at scan speed (see module docstring).
 
     base_dev: an already-device-resident copy of `vectors` (10M-scale
     builds: the layer-0 self-kNN runs as a device sweep with only the
     (n, k) results crossing the tunnel, and the select stages reuse the
-    resident base instead of re-uploading 5 GB per level)."""
+    resident base instead of re-uploading 5 GB per level).
+
+    stage_path: mid-build checkpoint (.npz). Layer 0 is ~70-80% of a
+    10M-scale build's ~30+ min wall and the TPU tunnel here can die
+    mid-run (docs/TPU_NOTES.md); after layer 0 + connectivity promotion
+    the (neighbors0, levels) pair is saved atomically, and a rebuild
+    pointed at the same path skips straight to the upper levels. The
+    checkpoint is keyed on (n, d, M, M0, metric) and ignored (not
+    trusted) on any mismatch. Reference analogue: MN dump/load of the
+    built index (SURVEY §5.4) — extended to the build's dominant stage
+    because rebuilding is this platform's expensive op."""
     params = params or HNSWParams()
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     n, d = vectors.shape
@@ -348,36 +359,62 @@ def fast_build_graph(
         return out
 
     # layer 0: all nodes; final lists up to 2M wide (reference M_max0)
-    neighbors0 = build_level(np.arange(n, dtype=np.int32), M, M0)
+    neighbors0 = None
+    if stage_path and os.path.exists(stage_path):
+        try:
+            z = np.load(stage_path)
+            key_ok = (
+                int(z["n"]) == n and int(z["d"]) == d
+                and int(z["M"]) == M and int(z["M0"]) == M0
+                and int(z["metric"]) == metric
+            )
+            if key_ok:
+                neighbors0 = z["neighbors0"]
+                levels = z["levels"]  # post-promotion
+        except Exception:
+            neighbors0 = None  # unreadable/corrupt: rebuild from scratch
+    if neighbors0 is None:
+        neighbors0 = build_level(np.arange(n, dtype=np.int32), M, M0)
 
-    # connectivity guarantee: every layer-0 component must contain at
-    # least one upper-layer vertex, or descent can never reach it (the
-    # incremental build gets this for free — early inserts bridge the
-    # sparse graph; a pure kNN graph fragments on well-separated
-    # clusters). Promote each uncovered component's lowest id to level 1.
-    from scipy.sparse import csr_matrix
-    from scipy.sparse.csgraph import connected_components
+        # connectivity guarantee: every layer-0 component must contain at
+        # least one upper-layer vertex, or descent can never reach it (the
+        # incremental build gets this for free — early inserts bridge the
+        # sparse graph; a pure kNN graph fragments on well-separated
+        # clusters). Promote each uncovered component's lowest id to
+        # level 1.
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import connected_components
 
-    # neighbors0 is already row-major adjacency: build the CSR directly
-    # (indptr from valid-degree cumsum). The COO route (coo_matrix +
-    # implicit sort/dedup) took ~50 min at 10M x 32 edges on this 1-core
-    # host; this is seconds.
-    flat = neighbors0.reshape(-1)
-    ok = flat >= 0
-    deg = ok.reshape(n, -1).sum(axis=1)
-    indptr = np.zeros(n + 1, np.int64)
-    np.cumsum(deg, out=indptr[1:])
-    adj = csr_matrix(
-        (np.ones(int(indptr[-1]), np.int8), flat[ok].astype(np.int64),
-         indptr),
-        shape=(n, n),
-    )
-    n_comp, comp = connected_components(adj, directed=True, connection="weak")
-    covered = np.zeros(n_comp, bool)
-    np.logical_or.at(covered, comp[levels >= 1], True)
-    for c in np.where(~covered)[0]:
-        rep = int(np.where(comp == c)[0].min())
-        levels[rep] = max(levels[rep], 1)
+        # neighbors0 is already row-major adjacency: build the CSR
+        # directly (indptr from valid-degree cumsum). The COO route
+        # (coo_matrix + implicit sort/dedup) took ~50 min at 10M x 32
+        # edges on this 1-core host; this is seconds.
+        flat = neighbors0.reshape(-1)
+        ok = flat >= 0
+        deg = ok.reshape(n, -1).sum(axis=1)
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(deg, out=indptr[1:])
+        adj = csr_matrix(
+            (np.ones(int(indptr[-1]), np.int8), flat[ok].astype(np.int64),
+             indptr),
+            shape=(n, n),
+        )
+        n_comp, comp = connected_components(
+            adj, directed=True, connection="weak"
+        )
+        covered = np.zeros(n_comp, bool)
+        np.logical_or.at(covered, comp[levels >= 1], True)
+        for c in np.where(~covered)[0]:
+            rep = int(np.where(comp == c)[0].min())
+            levels[rep] = max(levels[rep], 1)
+
+        if stage_path:
+            tmp = stage_path + ".tmp.npz"  # np.savez appends .npz itself
+            np.savez(
+                tmp, n=n, d=d, M=M, M0=M0, metric=metric,
+                levels=levels, neighbors0=neighbors0,
+            )
+            os.replace(tmp, stage_path)
 
     top_level = int(levels.max())
     upper_row = np.where(levels > 0, np.cumsum(levels > 0) - 1, -1).astype(

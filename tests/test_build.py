@@ -225,6 +225,42 @@ def test_fast_build_graph_device_base():
     assert r > 0.9, r
 
 
+def test_fast_build_stage_checkpoint(ds, tmp_path, monkeypatch):
+    """Mid-build resume (stage_path=): a rebuild pointed at the stage-0
+    checkpoint must (a) never re-run the layer-0 kNN, and (b) produce a
+    bit-identical graph. A mismatched key (different M) must ignore the
+    file rather than load a wrong layer 0."""
+    import shine_tpu.models.fastbuild as fb
+
+    p = HNSWParams(M=12, ef_construction=80)
+    stage = str(tmp_path / "stage0.npz")
+    g1 = fb.fast_build_graph(ds.base, p, interpret=True, stage_path=stage)
+    import os
+
+    assert os.path.exists(stage)
+
+    n = len(ds.base)
+    orig = fb._knn_candidates
+
+    def guard(vectors, ids, k, metric, interpret, mesh=None):
+        assert len(ids) < n, "layer-0 kNN re-ran despite the checkpoint"
+        return orig(vectors, ids, k, metric, interpret, mesh)
+
+    monkeypatch.setattr(fb, "_knn_candidates", guard)
+    g2 = fb.fast_build_graph(ds.base, p, interpret=True, stage_path=stage)
+    np.testing.assert_array_equal(g1.neighbors0, g2.neighbors0)
+    np.testing.assert_array_equal(g1.levels, g2.levels)
+    np.testing.assert_array_equal(g1.upper_neighbors, g2.upper_neighbors)
+    assert g1.entry_point == g2.entry_point
+    assert g1.top_level == g2.top_level
+
+    # wrong key (M differs) -> checkpoint ignored, full build runs
+    monkeypatch.setattr(fb, "_knn_candidates", orig)
+    p2 = HNSWParams(M=8, ef_construction=80)
+    g3 = fb.fast_build_graph(ds.base, p2, interpret=True, stage_path=stage)
+    assert g3.neighbors0.shape[1] == 16  # M0 = 2*M for the new params
+
+
 def test_reverse_merge_native_identity():
     """The C++ reverse-merge stage (native/hnsw_builder.cc:
     shine_reverse_merge) must be BIT-identical to the numpy twin
