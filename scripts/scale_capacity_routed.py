@@ -28,6 +28,15 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# SHINE_CR_CPU=1: run the WHOLE script on the host CPU (tiny N) — a
+# pre-flight for the unattended on-chip queue; search falls back to the
+# XLA engine automatically (routed_split.py engine="auto")
+_CPU_SMOKE = os.environ.get("SHINE_CR_CPU") == "1"
+if _CPU_SMOKE:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
@@ -50,7 +59,11 @@ SWEEP = [
 ]
 NQ = 2048
 SEED = 17
-OUT = os.path.join(ROOT, "results", "scale_capacity_routed.jsonl")
+OUT = os.path.join(
+    ROOT, "results",
+    "scale_capacity_routed.smoke.jsonl" if _CPU_SMOKE
+    else "scale_capacity_routed.jsonl",
+)
 
 
 def emit(rec: dict) -> None:

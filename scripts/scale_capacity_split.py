@@ -32,6 +32,14 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# SHINE_CAPS_CPU=1: pre-flight the WHOLE script on the host CPU (tiny N,
+# interpret-mode kernel) before an unattended on-chip queue runs it
+_CPU_SMOKE = os.environ.get("SHINE_CAPS_CPU") == "1"
+if _CPU_SMOKE:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
@@ -51,7 +59,11 @@ MODE_KW = {
     "turbo": {"keep2": False, "cls": 4096},
 }[MODE]
 NQ = 2048
-OUT = os.path.join(ROOT, "results", "scale_capacity_split.jsonl")
+OUT = os.path.join(
+    ROOT, "results",
+    "scale_capacity_split.smoke.jsonl" if _CPU_SMOKE
+    else "scale_capacity_split.jsonl",
+)
 
 
 def emit(rec: dict) -> None:
@@ -78,6 +90,8 @@ def main() -> None:
     idx = SplitFlatIndex.from_parts(
         ds.comp_dev, ds.aux_dev, ds.n, dim=D, row_source=ds.row_source
     )
+    if _CPU_SMOKE:
+        idx.interpret = True
     pre = idx.preload(ds.queries, batch_size=2048)
     for kb in KBS:
         kw = dict(kb=kb, batch_size=2048, preloaded=pre, with_dists=False,
