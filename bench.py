@@ -16,7 +16,8 @@ vs_baseline is QPS relative to the BASELINE.md north-star of 100k QPS/chip
 at recall@10 = 0.95.
 
 Env knobs: SHINE_BENCH_N, SHINE_BENCH_D, SHINE_BENCH_Q, SHINE_BENCH_EF,
-SHINE_BENCH_BATCH, SHINE_BENCH_SKIP_HNSW=1.
+SHINE_BENCH_BATCH, SHINE_BENCH_SKIP_HNSW=1, SHINE_BENCH_SUSTAIN (stream
+replay factor, 0 disables), SHINE_BENCH_CPU=1 (smoke on the host CPU).
 """
 
 from __future__ import annotations
@@ -37,6 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # thread; if the backend doesn't answer in time, emit an error JSON
 # line and exit nonzero so the driver gets a clean record.
 _BACKEND_TIMEOUT_S = int(os.environ.get("SHINE_BENCH_BACKEND_TIMEOUT", 300))
+
+if os.environ.get("SHINE_BENCH_CPU") == "1":  # smoke-test off the chip
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _probe_backend() -> None:
@@ -107,7 +113,7 @@ def main() -> None:
     batch = int(os.environ.get("SHINE_BENCH_BATCH", 4096))
     skip_hnsw = os.environ.get("SHINE_BENCH_SKIP_HNSW", "") == "1"
 
-    cache_dir = os.path.join(
+    cache_dir = os.environ.get("SHINE_BENCH_CACHE") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
     )
     os.makedirs(cache_dir, exist_ok=True)
@@ -128,7 +134,8 @@ def main() -> None:
     try:
         from shine_tpu.models.flat import FastFlatIndex
 
-        fast = FastFlatIndex(ds.base)
+        interp = os.environ.get("SHINE_BENCH_CPU") == "1"
+        fast = FastFlatIndex(ds.base, interpret=interp)
         pre = fast.preload(ds.queries, batch_size=batch)
         qps, ids = time_search(
             lambda: fast.search(
@@ -194,6 +201,50 @@ def main() -> None:
                 ),
             }
             del pre2
+
+        # sustained-workload throughput: the reference replays a
+        # Zipf-sampled 400k-query stream (+100k warmup) drawn WITH
+        # replacement from a 500k slice (reference
+        # scripts/data/create_queries.py, scripts/data/skew.py) —
+        # queries repeat by design. At nq=10k/B=4096 the fused program
+        # pays the fixed host<->device sync over only 3 dispatches
+        # (docs/TPU_NOTES.md 'Dispatch stage profile'); replaying the
+        # GT query set measures the amortized per-dispatch throughput a
+        # production stream sees. Upload happens once in preload,
+        # outside the timed region, exactly like the other rows.
+        reps_s = int(os.environ.get("SHINE_BENCH_SUSTAIN", 5))
+        if reps_s > 1:
+            # per-dispatch send cost (~4.7 ms over this tunnel) amortizes
+            # with batch; a larger sustained batch is a separate knob so
+            # the on-chip winner can become the default once measured
+            batch_s = int(os.environ.get("SHINE_BENCH_SUSTAIN_B", batch))
+            # slice the replayed stream to an exact batch multiple: every
+            # dispatched row is a real query (the 10k-protocol rows pay
+            # up to 22.9% padding at B=4096)
+            nq_s = max(batch_s, nq * reps_s // batch_s * batch_s)
+            qs = np.tile(ds.queries, (reps_s, 1))[:nq_s]
+            gts = np.tile(ds.ground_truth, (reps_s, 1))[:nq_s]
+            pres = fast.preload(qs, batch_size=batch_s)
+            qps, ids = time_search(
+                lambda: fast.search(
+                    qs, 10, batch_size=batch_s, preloaded=pres,
+                    with_dists=False,
+                ),
+                nq_s,
+            )
+            r = recall_at_k(ids, gts, 10)
+            log(f"# fastflat sustained x{reps_s}: qps={qps:.0f} "
+                f"recall@10={r:.4f}")
+            results.append(("fastflat_sustained", qps, r))
+            wall = nq_s / qps
+            perf["fastflat_sustained"] = {
+                "tflops": round(2.0 * nq_s * n_pad * dp / wall / 1e12, 1),
+                "hbm_gbs": round(
+                    (-(-nq_s // batch_s)) * int(fast.ext.nbytes)
+                    / wall / 1e9, 1
+                ),
+            }
+            del pres
     except Exception as e:
         log(f"# fastflat failed: {e!r}")
 
@@ -203,7 +254,9 @@ def main() -> None:
     try:
         from shine_tpu.models.flat import SplitFlatIndex
 
-        spl = SplitFlatIndex(ds.base)
+        spl = SplitFlatIndex(
+            ds.base, interpret=os.environ.get("SHINE_BENCH_CPU") == "1"
+        )
         spre = spl.preload(ds.queries, batch_size=batch)
         qps, ids = time_search(
             lambda: spl.search(
