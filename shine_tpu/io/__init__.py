@@ -9,6 +9,7 @@ from shine_tpu.io.recall import (  # noqa: F401
     brute_force_knn,
     recall_at_k,
     recall_at_k_eps,
+    recall_at_k_eps_regen,
 )
 from shine_tpu.io.checkpoint import (
     save_graph,
@@ -33,5 +34,6 @@ __all__ = [
     "save_dataset",
     "recall_at_k",
     "recall_at_k_eps",
+    "recall_at_k_eps_regen",
     "brute_force_knn",
 ]

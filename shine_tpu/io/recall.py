@@ -130,3 +130,54 @@ def recall_at_k_eps(
         thresh = np.sort(dg, axis=1)[:, k - 1] * (1.0 + rtol) + 1e-12
         ok += int((df <= thresh[:, None]).sum())
     return ok / (nq * k)
+
+
+def recall_at_k_eps_regen(
+    found_ids: np.ndarray,
+    queries,
+    row_source,
+    gt_ids: np.ndarray,
+    k: int,
+    *,
+    rtol: float = 1e-4,
+    batch: int = 2048,
+) -> float:
+    """recall_at_k_eps for row-keyed datasets: exact rows are
+    REGENERATED from (key, centers) by global id
+    (io/device_synth.py:regen_rows) instead of gathered from a resident
+    f32 base — scores capacity-scale results where the base never fits
+    HBM (41.9M rows f32 = 21.5 GB on a 16 GB chip). Same tolerance
+    semantics as recall_at_k_eps; L2 only (the capacity studies'
+    metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from shine_tpu.io.device_synth import regen_rows
+
+    rkey, centers = row_source
+    found = np.asarray(found_ids)[:, :k]
+    gt = np.asarray(gt_ids)[:, :k]
+    nq = min(found.shape[0], gt.shape[0], len(queries))
+    found, gt = found[:nq], gt[:nq]
+
+    @jax.jit
+    def dists(q, ids):
+        # centers is a (num_clusters, d) constant — tiny, safe to close
+        # over (the captured-constant hazard is multi-GB bases)
+        flat = jnp.maximum(ids, 0).reshape(-1)
+        v = regen_rows(rkey, centers, flat).reshape(
+            ids.shape + (centers.shape[1],)
+        )
+        qf = q.astype(jnp.float32)
+        dd = jnp.sum((v - qf[:, None, :]) ** 2, axis=-1)
+        return jnp.where(ids >= 0, dd, jnp.inf)
+
+    ok = 0
+    for lo in range(0, nq, batch):
+        hi = min(lo + batch, nq)
+        q = jnp.asarray(np.asarray(queries[lo:hi], np.float32))
+        df = np.asarray(dists(q, jnp.asarray(found[lo:hi])))
+        dg = np.asarray(dists(q, jnp.asarray(gt[lo:hi])))
+        thresh = np.sort(dg, axis=1)[:, k - 1] * (1.0 + rtol) + 1e-12
+        ok += int((df <= thresh[:, None]).sum())
+    return ok / (nq * k)
