@@ -73,7 +73,10 @@ def main() -> None:
     from shine_tpu.ops.pallas_scan import pack_ext_table
 
     ds = synthetic_dataset(n=N, dim=D, num_queries=NQ, seed=11)
-    ext = jnp.asarray(pack_ext_table(ds.base, 0, N))
+    # the shipped kernel scans a bf16 ext table (flat.py:_pack_ext_device);
+    # the f32 host packer fed the DMA an f32 source on chip (Mosaic
+    # rejects the dtype-mismatched copy — caught by the r3 resume queue)
+    ext = jnp.asarray(pack_ext_table(ds.base, 0, N)).astype(jnp.bfloat16)
     vectors = jnp.asarray(ds.base)
     sqnorms = jnp.asarray((ds.base * ds.base).sum(-1).astype(np.float32))
     q_dev = jnp.asarray(ds.queries.astype(np.float32))
