@@ -540,7 +540,7 @@ def build_routed_split(
 
     Returns RoutedSplitIndex, or (RoutedSplitIndex, gt) when `queries`
     is given."""
-    from shine_tpu.ops.pallas_scan_routed import aux_routed_layout
+    from shine_tpu.ops.pallas_scan_routed import aux_routed_layout_chunk
     from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_device
 
     metric = metric_id(metric)
@@ -585,6 +585,10 @@ def build_routed_split(
                 x, metric=metric, dpc=dpc, int8=int8, rchunk=rchunk
             )
             aux_c = aux_c.at[0].set(jnp.where(valid, aux_c[0], NEG))
+            # cluster-block layout per chunk (rchunk % cap == 0 by
+            # _plan_routed) so the flat (2, n_pad) aux + its transpose
+            # never coexist with the comp table — the 100M OOM fix
+            aux_b = aux_routed_layout_chunk(aux_c, cap, cls)
             if with_gt:
                 sq = jnp.sum(x * x, axis=1)
                 dots = jax.lax.dot_general(
@@ -603,7 +607,7 @@ def build_routed_split(
                 )
                 nd, sel = jax.lax.top_k(-all_d, gt_k)
                 carry = (-nd, jnp.take_along_axis(all_i, sel, axis=1))
-            return carry, (comp_c, aux_c)
+            return carry, (comp_c, aux_b)
 
         gt0 = (
             jnp.full((q_arg.shape[0], gt_k), jnp.inf, jnp.float32),
@@ -612,13 +616,13 @@ def build_routed_split(
         (gt_d, gt_i), (comp_s, aux_s) = jax.lax.scan(
             body, gt0, jnp.arange(n_ing // rchunk, dtype=jnp.int32)
         )
-        aux_s = jnp.moveaxis(aux_s, 1, 0).reshape(2, n_ing)[:, :n_pad]
-        return comp_s.reshape(n_ing, dpc)[:n_pad], aux_s, gt_i
+        members = cap // cls
+        aux_r = aux_s.reshape(n_ing // cap, 2 * members, cls)[: C + 1]
+        return comp_s.reshape(n_ing, dpc)[:n_pad], aux_r, gt_i
 
-    comp, aux, gt_i = ingest(
+    comp, aux_r, gt_i = ingest(
         oing_dev, q_dev, qn, with_gt=queries is not None
     )
-    aux_r = aux_routed_layout(aux, C + 1, cap, cls)
     say("# routed_split: clustered tables packed")
 
     idx = RoutedSplitIndex(

@@ -161,3 +161,17 @@ def aux_routed_layout(aux: jnp.ndarray, C: int, cap: int, cls: int):
     members = cap // cls
     a = aux.reshape(2, C, members, cls)
     return jnp.moveaxis(a, 0, 1).reshape(C, 2 * members, cls)
+
+
+def aux_routed_layout_chunk(aux_c: jnp.ndarray, cap: int, cls: int):
+    """Per-chunk twin of aux_routed_layout: (2, rchunk) with rchunk a
+    multiple of cap -> (rchunk//cap, 2*members, cls). Stacking chunk
+    outputs reproduces aux_routed_layout of the concatenated flat aux
+    exactly (tests/test_routed_split.py) — used inside the ingest scan
+    so the flat (2, n_pad) aux and its transpose never coexist in HBM
+    (at 100M the extra 0.85 GB copy on top of the 13.5 GB comp table
+    was the ResourceExhausted margin)."""
+    members = cap // cls
+    rchunk = aux_c.shape[1]
+    a = aux_c.reshape(2, rchunk // cap, members, cls)
+    return jnp.moveaxis(a, 0, 1).reshape(rchunk // cap, 2 * members, cls)

@@ -195,3 +195,28 @@ def test_routed_split_ip_metric(small_base):
                             kk=64, batch_size=128)
     assert recall_at_k(ids, gt, 10) >= 0.9
     assert (np.diff(dists, axis=1) >= -1e-5).all()
+
+
+def test_aux_layout_chunked_matches_flat():
+    """aux_routed_layout_chunk stacked over chunks must reproduce
+    aux_routed_layout of the concatenated flat aux bit-exactly — the
+    ingest scan uses the per-chunk form so the flat (2, n_pad) aux
+    never materializes (the 100M ResourceExhausted fix)."""
+    from shine_tpu.ops.pallas_scan_routed import (
+        aux_routed_layout,
+        aux_routed_layout_chunk,
+    )
+
+    rng = np.random.default_rng(5)
+    C, cap, cls = 6, 512, 128
+    rchunk = 2 * cap  # 2 clusters per chunk
+    flat = jnp.asarray(rng.normal(size=(2, C * cap)).astype(np.float32))
+    want = np.asarray(aux_routed_layout(flat, C, cap, cls))
+    chunks = [
+        np.asarray(
+            aux_routed_layout_chunk(flat[:, lo:lo + rchunk], cap, cls)
+        )
+        for lo in range(0, C * cap, rchunk)
+    ]
+    got = np.concatenate(chunks, axis=0)
+    np.testing.assert_array_equal(got, want)
