@@ -300,7 +300,7 @@ def build_routed_split_sharded(
         _make_rowfn,
         _plan_routed,
     )
-    from shine_tpu.ops.pallas_scan_routed import aux_routed_layout
+    from shine_tpu.ops.pallas_scan_routed import aux_routed_layout_chunk
     from shine_tpu.ops.pallas_scan_split import comp_width, pack_split_device
 
     S = mesh.devices.size
@@ -355,6 +355,10 @@ def build_routed_split_sharded(
                 x, metric=metric, dpc=dpc, int8=int8, rchunk=rchunk
             )
             aux_c = aux_c.at[0].set(jnp.where(valid, aux_c[0], NEG))
+            # per-chunk cluster-block layout (same 100M-per-shard OOM
+            # fix as build_routed_split: the flat (2, n_loc) aux plus
+            # its transpose never coexist with the comp table)
+            aux_b = aux_routed_layout_chunk(aux_c, cap, cls)
             if with_gt:
                 sq = jnp.sum(x * x, axis=1)
                 dots = jax.lax.dot_general(
@@ -374,7 +378,7 @@ def build_routed_split_sharded(
                 )
                 nd, sel = jax.lax.top_k(-all_d, gt_k)
                 carry = (-nd, jnp.take_along_axis(all_i, sel, axis=1))
-            return carry, (comp_c, aux_c)
+            return carry, (comp_c, aux_b)
 
         gt0 = (
             jnp.full((q_arg.shape[0], gt_k), jnp.inf, jnp.float32),
@@ -383,9 +387,8 @@ def build_routed_split_sharded(
         (gt_d, gt_i), (comp_s, aux_s) = jax.lax.scan(
             body, gt0, jnp.arange(n_ing // rchunk, dtype=jnp.int32)
         )
-        aux_s = jnp.moveaxis(aux_s, 1, 0).reshape(2, n_ing)[:, :n_loc]
         comp_s = comp_s.reshape(n_ing, dpc)[:n_loc]
-        aux_r = aux_routed_layout(aux_s, C_loc + 1, cap, cls)
+        aux_r = aux_s.reshape(n_ing // cap, 2 * members, cls)[: C_loc + 1]
         if with_gt:
             all_d = jax.lax.all_gather(gt_d, SHARD_AXIS)
             all_i = jax.lax.all_gather(gt_i, SHARD_AXIS)
