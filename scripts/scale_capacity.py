@@ -17,8 +17,15 @@ S x N rows (reference envelope: 100M rows over 5 MNs,
 /root/reference/src/memory_node.hh:112-125).
 
 Env: SHINE_CAP_N (default 20_971_520), SHINE_CAP_D (128),
-SHINE_CAP_RCHUNK (65536), SHINE_CAP_SKIP_BF16.
+SHINE_CAP_METRIC (l2|ip — ip measures the DEEP/TTI-class
+inner-product envelope), SHINE_CAP_RCHUNK (65536),
+SHINE_CAP_SKIP_BF16, SHINE_CAP_CPU=1 (host-CPU pre-flight).
 Results append to results/scale_capacity.jsonl.
+
+BASELINE.md config lines this script covers beyond the 128-d L2
+headline: GIST1M-class high-dim (SHINE_CAP_D=960 — VMEM tiling at
+dp=1024 lanes) and DEEP10M-class IP (SHINE_CAP_D=96
+SHINE_CAP_METRIC=ip).
 """
 
 from __future__ import annotations
@@ -33,19 +40,31 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# SHINE_CAP_CPU=1: whole script on host CPU (tiny N pre-flight; Pallas
+# kernels run in interpret mode)
+_CPU_SMOKE = os.environ.get("SHINE_CAP_CPU") == "1"
+if _CPU_SMOKE:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from shine_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
 
 N = int(os.environ.get("SHINE_CAP_N", 20_971_520))
 D = int(os.environ.get("SHINE_CAP_D", 128))
-NQ = 2048
+# "ip" measures the DEEP/TTI-class inner-product envelope
+# (BASELINE.md: DEEP10M 96-d IP, TTI ip at 200-d)
+METRIC = os.environ.get("SHINE_CAP_METRIC", "l2")
+NQ = int(os.environ.get("SHINE_CAP_NQ", 2048))
+BATCH = int(os.environ.get("SHINE_CAP_B", 2048))
 RCHUNK = int(os.environ.get("SHINE_CAP_RCHUNK", 65_536))
 OUT = os.path.join(ROOT, "results", "scale_capacity.jsonl")
 
 
 def emit(rec: dict) -> None:
-    rec = {"n": N, "d": D, "nq": NQ, **rec}
+    rec = {"n": N, "d": D, "nq": NQ, "metric": METRIC, **rec}
     print("#", json.dumps(rec), flush=True)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "a") as f:
@@ -76,7 +95,8 @@ def main() -> None:
 
     t0 = time.time()
     ds = device_rowkeyed_ext_dataset(
-        n=N, dim=D, num_queries=NQ, seed=17, gt_k=10, rchunk=RCHUNK
+        n=N, dim=D, num_queries=NQ, seed=17, gt_k=10, rchunk=RCHUNK,
+        metric=METRIC,
     )
     np.asarray(ds.ext_dev[:1])  # force
     emit({"stage": "rowkeyed-ingest+gt", "seconds": round(time.time() - t0, 1),
@@ -84,12 +104,13 @@ def main() -> None:
 
     # exact regen re-rank (the escape hatch)
     idx = FastFlatIndex.from_ext(
-        ds.ext_dev, ds.n, dim=D, row_source=ds.row_source
+        ds.ext_dev, ds.n, METRIC, dim=D, row_source=ds.row_source
     )
-    pre = idx.preload(ds.queries, batch_size=2048)
+    idx.interpret = _CPU_SMOKE
+    pre = idx.preload(ds.queries, batch_size=BATCH)
     for kb, keep2 in ((32, None), (64, None), (32, False)):
         qps, ids = timed_search(
-            idx, ds.queries, pre, kb=kb, batch_size=2048, keep2=keep2
+            idx, ds.queries, pre, kb=kb, batch_size=BATCH, keep2=keep2
         )
         rec = recall_at_k(ids, ds.ground_truth, 10)
         eps = streaming_eps_recall(ds, ids, 10, rtol=1e-4)
@@ -100,8 +121,9 @@ def main() -> None:
 
     if os.environ.get("SHINE_CAP_SKIP_BF16", "") != "1":
         # bf16 ext re-rank baseline on the same table (r2 behavior)
-        bf = FastFlatIndex.from_ext(ds.ext_dev, ds.n, dim=D)
-        qps, ids = timed_search(bf, ds.queries, pre, kb=32, batch_size=2048)
+        bf = FastFlatIndex.from_ext(ds.ext_dev, ds.n, METRIC, dim=D)
+        bf.interpret = _CPU_SMOKE
+        qps, ids = timed_search(bf, ds.queries, pre, kb=32, batch_size=BATCH)
         rec = recall_at_k(ids, ds.ground_truth, 10)
         eps = streaming_eps_recall(ds, ids, 10, rtol=1e-4)
         emit({"stage": "bf16-rerank", "kb": 32, "qps": round(qps, 1),
