@@ -183,6 +183,7 @@ def save_routed_split(idx, path: str) -> None:
         "dim": int(idx.dim),
         "metric": int(idx.metric),
         "cls": int(idx.cls),
+        "cap": int(idx.cap),
         "comp_dtype": comp_tag,
         "has_row_source": idx.row_source is not None,
     }
@@ -235,6 +236,7 @@ def load_routed_split(path: str, *, base_dev=None):
         return RoutedSplitIndex(
             jnp.asarray(z["centroids"]), comp, jnp.asarray(z["aux_r"]),
             jnp.asarray(z["gid"]), header["n"], header["dim"],
-            header["metric"], cls=header["cls"], row_source=row_source,
-            base_dev=base_dev, sqnorms=sqnorms,
+            header["metric"], cls=header["cls"],
+            cap=header.get("cap"),  # None (pre-r3s4 files): derived
+            row_source=row_source, base_dev=base_dev, sqnorms=sqnorms,
         )

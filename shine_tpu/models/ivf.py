@@ -58,9 +58,11 @@ def _capacity_assign_host(
     choice: np.ndarray,  # (n, R) i32 — per-row nearest clusters, best first
     choice_d: np.ndarray,  # (n, R) f32
     num_clusters: int,
-    cap: int,
+    cap,  # int, or (num_clusters,) per-cluster room
     v32: np.ndarray | None = None,  # only for the rare overflow fallback
     cents: np.ndarray | None = None,
+    *,
+    defer_residue: bool = False,
 ) -> np.ndarray:
     """Nearest-first capacity-bounded assignment (host, vectorized).
 
@@ -69,10 +71,18 @@ def _capacity_assign_host(
     residue (no top-R choice had room) goes to the nearest open cluster.
     This is the capacity_assign scheme of parallel/placement.py shared by
     the host and device IVF builders.
+
+    defer_residue=True returns the residue UNASSIGNED (-1) instead of
+    falling back — the routed builder re-chooses those rows among OPEN
+    clusters on device (models/routed_split.py:_plan_routed), which
+    keeps capacity spill probe-reachable instead of round-robin-random.
     """
     n, R = choice.shape
     assign = np.full(n, -1, dtype=np.int64)
-    room = np.full(num_clusters, cap, dtype=np.int64)
+    if np.ndim(cap) == 0:
+        room = np.full(num_clusters, cap, dtype=np.int64)
+    else:
+        room = np.asarray(cap, dtype=np.int64).copy()
     for r in range(R):
         un = np.where(assign < 0)[0]
         if len(un) == 0:
@@ -87,6 +97,8 @@ def _capacity_assign_host(
         ok = rank < room[c_r]
         assign[un[ok]] = c_r[ok]
         np.subtract.at(room, c_r[ok], 1)
+    if defer_residue:
+        return assign
     # final fallback: any cluster with room, nearest-first by centroid dist
     un = np.where(assign < 0)[0]
     if len(un):
@@ -238,6 +250,55 @@ def _lloyd_chunked(points: jnp.ndarray, *, k: int, iters: int, seed: int,
                          sums / jnp.maximum(counts[:, None], 1.0), cents)
 
     return jax.lax.fori_loop(0, iters, iter_body, cents0)
+
+
+def _lloyd_balance_refine(points: jnp.ndarray, cents: jnp.ndarray, *,
+                          k: int, rounds: int = 3, R: int = 8,
+                          chunk: int = 8192):
+    """Capacity-aware refinement of Lloyd centroids at chunked scale —
+    the placement.py kmeans(balanced=True) / reference penalty-based
+    balanced k-means (kmeans.hh:259-377) recipe, usable at k in the
+    tens of thousands. Each round capacity-assigns the training sample
+    (per-cluster cap = ceil(n/k), nearest-first over top-R choices) and
+    recomputes centroids from THAT assignment, so cells that would
+    overflow their share migrate centroids INTO dense regions instead
+    of letting ingest spill rows to far clusters. Deterministic."""
+    n, d = points.shape
+    cap_t = -(-n // k)
+    xs = points.astype(jnp.float32)
+    Rr = min(R, k)
+
+    # xs passed as an argument, never captured (the r2 captured-constant
+    # compile hazard, docs/TPU_NOTES.md)
+    @jax.jit
+    def choices(xs_arg, cents_dev):
+        csq = jnp.sum(cents_dev * cents_dev, axis=-1)
+
+        def body(_, x):
+            ii, dd = _nearest_r_chunk(x, cents_dev, csq, R=Rr)
+            return _, (ii, dd)
+
+        _, (ii, dd) = jax.lax.scan(
+            body, None, xs_arg.reshape(n // chunk, chunk, d)
+        )
+        return ii.reshape(n, -1), dd.reshape(n, -1)
+
+    @jax.jit
+    def update(xs_arg, cents_dev, assign_dev):
+        sums = jnp.zeros((k, d), jnp.float32).at[assign_dev].add(xs_arg)
+        counts = jnp.zeros((k,), jnp.float32).at[assign_dev].add(1.0)
+        return jnp.where(
+            counts[:, None] > 0.5,
+            sums / jnp.maximum(counts[:, None], 1.0), cents_dev
+        )
+
+    for _ in range(rounds):
+        cho, cho_d = choices(xs, cents)
+        assign = _capacity_assign_host(
+            np.asarray(cho), np.asarray(cho_d), k, cap_t
+        )
+        cents = update(xs, cents, jnp.asarray(assign))
+    return cents
 
 
 @partial(jax.jit, static_argnames=("R",))

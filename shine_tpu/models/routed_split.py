@@ -139,6 +139,7 @@ class RoutedSplitIndex:
         metric: int,
         *,
         cls: int,
+        cap: int | None = None,
         row_source=None,
         base_dev=None,
         sqnorms=None,
@@ -154,7 +155,12 @@ class RoutedSplitIndex:
         self.base_dev = base_dev
         self.sqnorms = sqnorms
         self.C = int(centroids.shape[0])
-        self.cap = int(comp.shape[0]) // (self.C + 1)
+        # comp may carry ingest-pad rows past (C+1)*cap (gid -1, never
+        # addressed by the kernel: cols <= C) — slicing them off would
+        # double-buffer the largest HBM array, the r3c 100M OOM
+        self.cap = int(cap) if cap is not None else (
+            int(comp.shape[0]) // (self.C + 1)
+        )
         self.last_coverage = None
         self.last_fallback = 0
 
@@ -315,18 +321,19 @@ def _spill_plan(n_need: int, probes: int, C: int):
     return Ts, Ps, bucket
 
 
-def scan_select(comp, aux_r, gid, q_s, cols, *, T: int, cap: int, cls: int,
-                kk: int, engine: str):
+def scan_select(comp, aux_r, gid, q_s, cols, *, C: int, T: int, cap: int,
+                cls: int, kk: int, engine: str):
     """Routed class-max scan + per-query survivor extraction: returns
     cand (B, kk) GLOBAL row ids (-1 invalid), affinity-sorted query
     order. Shared by the single-chip dispatch and the cluster-sharded
     SPMD path (parallel/routed_sharded.py) — `gid` carries global ids,
-    so the caller's table layout (whole or per-shard slice) is opaque."""
+    so the caller's table layout (whole or per-shard slice) is opaque.
+    C is the caller's cluster count for THIS table (C_loc on a shard);
+    comp may carry ingest-pad rows past (C+1)*cap."""
     from shine_tpu.ops.pallas_scan_routed import routed_classmax_scan
 
     B, dq = q_s.shape
     G, P = cols.shape
-    C = comp.shape[0] // cap - 1
     members = cap // cls
     dpc = comp.shape[1]
     if engine == "pallas" or engine == "interpret":
@@ -338,7 +345,7 @@ def scan_select(comp, aux_r, gid, q_s, cols, *, T: int, cap: int, cls: int,
         )
     else:
         # XLA emulation, identical class-max semantics (CPU/tests)
-        comp3 = comp.reshape(C + 1, cap, dpc)
+        comp3 = comp[: (C + 1) * cap].reshape(C + 1, cap, dpc)
         qpad = jnp.zeros((G, T, dpc), jnp.float32)
         qpad = qpad.at[:, :, :dq].set(q_s.reshape(G, T, -1))
         blk = comp3[cols].astype(jnp.bfloat16)  # (G, P, cap, dpc)
@@ -410,7 +417,7 @@ def routed_split_search_at(
         probes_[perm].reshape(G, T, p), C, P
     )
     cand = scan_select(
-        comp, aux_r, gid, q_s, cols, T=T, cap=cap, cls=cls, kk=kk,
+        comp, aux_r, gid, q_s, cols, C=C, T=T, cap=cap, cls=cls, kk=kk,
         engine=engine,
     )
 
@@ -428,8 +435,56 @@ def routed_split_search_at(
 # --- builder --------------------------------------------------------
 
 
+def fold_gt_stream(rowfn, n: int, queries: np.ndarray, metric: int,
+                   *, gt_k: int = 10, rchunk: int = 131_072) -> np.ndarray:
+    """Exact f32 ground truth by streaming row chunks through `rowfn`
+    (natural id order) — resident footprint is one chunk plus the
+    (nq, gt_k) heads. Run BEFORE the clustered ingest: folding GT into
+    the ingest scan made its transients coexist with the packed tables
+    and was the ResourceExhausted margin at 100M (r3c stage B)."""
+    rchunk = min(rchunk, max(n, 1))
+    q_dev = jnp.asarray(np.ascontiguousarray(queries, np.float32))
+    qn = jnp.sum(q_dev * q_dev, axis=1)
+    steps = -(-n // rchunk)
+
+    @jax.jit
+    def run(q_arg, qn_arg):
+        def body(carry, c):
+            gt_d, gt_i = carry
+            ids = c * rchunk + jnp.arange(rchunk, dtype=jnp.int32)
+            valid = ids < n
+            x = rowfn(jnp.minimum(ids, n - 1))
+            dots = jax.lax.dot_general(
+                q_arg, x, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            dd = (
+                qn_arg[:, None] - 2.0 * dots + jnp.sum(x * x, 1)[None, :]
+                if metric == METRIC_L2 else 1.0 - dots
+            )
+            dd = jnp.where(valid[None, :], dd, jnp.inf)
+            all_d = jnp.concatenate([gt_d, dd], axis=1)
+            all_i = jnp.concatenate(
+                [gt_i, jnp.broadcast_to(ids[None, :], dd.shape)], axis=1
+            )
+            nd, sel = jax.lax.top_k(-all_d, gt_k)
+            return (-nd, jnp.take_along_axis(all_i, sel, axis=1)), None
+
+        gt0 = (
+            jnp.full((q_arg.shape[0], gt_k), jnp.inf, jnp.float32),
+            jnp.full((q_arg.shape[0], gt_k), -1, jnp.int32),
+        )
+        (gt_d, gt_i), _ = jax.lax.scan(
+            body, gt0, jnp.arange(steps, dtype=jnp.int32)
+        )
+        return gt_i
+
+    return np.asarray(run(q_dev, qn))
+
+
 def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
-                 train_size, kmeans_iters, seed, achunk, say):
+                 train_size, kmeans_iters, seed, achunk, say, assign_r=8):
     """Stages A-C of the routed build (train / stream assignment
     choices / capacity-bounded cluster-major order). Shared by the
     single-chip builder and the direct per-shard SPMD build
@@ -437,10 +492,21 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
     stages are deterministic functions of (n, knobs, seed), so every
     caller lands on the same cluster-major id order.
 
+    assign_r: per-row nearest-centroid choices offered to the capacity
+    assignment. The measured failure mode of R=2 at 41.9M (C=10752,
+    slack 1.05): 31% of ground-truth rows overflowed both choices and
+    fell to the round-robin open-slot fallback — i.e. into effectively
+    RANDOM clusters (median centroid rank ~5k of 10752), capping
+    routed recall at 0.82 no matter how many clusters are probed
+    (docs/TPU_NOTES.md "Routed spill"). With R choices a spilled row
+    still lands within its R nearest clusters — reachable by any
+    p >= R probe setting.
+
     Returns (cents_dev (C, d) f32, order ((C+1)*cap,) i32 host with
     -1 = empty slot and cluster C = PAD, C, cap, rchunk)."""
     from shine_tpu.models.ivf import (
         _capacity_assign_host,
+        _lloyd_balance_refine,
         _lloyd_chunked,
         _nearest_r_chunk,
         _spatial_order_centroids,
@@ -455,8 +521,11 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
     C = _round_up(max(2, shards, math.ceil(cap_slack * n / cap)), shards)
     rchunk = m_ing * cap
 
-    # A: train
-    ts = min(train_size, n)
+    # A: train — auto-raise the sample with C: 131k rows at C=10752 is
+    # ~12/cluster (below the builder's own 16*C undertrained warning,
+    # models/ivf.py), and undersized dense-region cells are where the
+    # capacity spill starts. 24 rows/cluster, capped at 2M / n.
+    ts = min(max(train_size, min(24 * C, 2_097_152)), n)
     lchunk = min(8192, ts)
     ts -= ts % lchunk
     kt = jax.random.PRNGKey(seed)
@@ -464,6 +533,13 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
     x_train = jax.jit(rowfn)(train_ids)
     cents = _lloyd_chunked(
         x_train, k=C, iters=kmeans_iters, seed=seed, chunk=lchunk
+    )
+    # capacity-aware refinement: without it, Lloyd cells in dense
+    # regions hold >> cap rows and ingest cascades their overflow to
+    # far clusters no probe list reaches (the 41.9M 0.82 routing
+    # ceiling, docs/TPU_NOTES.md "Routed spill")
+    cents = _lloyd_balance_refine(
+        x_train, cents, k=C, rounds=3, R=assign_r, chunk=lchunk
     )
     cents = np.asarray(cents)
     cents = cents[_spatial_order_centroids(cents, seed)]
@@ -475,21 +551,87 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
         achunk //= 2
     csq = jnp.sum(cents_dev * cents_dev, axis=-1)
 
+    R = max(2, min(assign_r, C))
+
     @jax.jit
     def assign_chunk(lo):
         ids = lo + jnp.arange(achunk, dtype=jnp.int32)
-        return _nearest_r_chunk(rowfn(ids), cents_dev, csq, R=2)
+        return _nearest_r_chunk(rowfn(ids), cents_dev, csq, R=R)
 
-    choice = np.empty((n, 2), np.int32)
-    choice_d = np.empty((n, 2), np.float32)
+    choice = np.empty((n, R), np.int32)
+    choice_d = np.empty((n, R), np.float32)
     for lo in range(0, n, achunk):
         c2, d2 = assign_chunk(jnp.int32(lo))
         choice[lo:lo + achunk] = np.asarray(c2)
         choice_d[lo:lo + achunk] = np.asarray(d2)
-    say(f"# routed_split: assignment choices streamed ({n} rows)")
+    say(f"# routed_split: assignment choices streamed ({n} rows, R={R})")
 
-    # C: capacity assignment + cluster-major order (+ pad cluster)
-    assign = _capacity_assign_host(choice, choice_d, C, cap)
+    # C: capacity assignment + cluster-major order (+ pad cluster).
+    # Residue rows (all R choices full) are re-chosen among clusters
+    # that still have ROOM — a device-masked nearest-open pass — so
+    # even cascading dense-region overflow stays near-nearest instead
+    # of round-robin-random (the measured 41.9M recall ceiling,
+    # docs/TPU_NOTES.md "Routed spill").
+    assign = _capacity_assign_host(choice, choice_d, C, cap,
+                                   defer_residue=True)
+    un = np.where(assign < 0)[0]
+    widened = len(un)
+    if widened:
+        room = cap - np.bincount(
+            np.maximum(assign, 0), weights=(assign >= 0), minlength=C
+        )[:C].astype(np.int64)
+        penalty = jnp.asarray(
+            np.where(room > 0, 0.0, np.inf), jnp.float32
+        )
+        R2 = int(min(64, C))
+        wchunk = min(16_384, _round_up(widened, 256))
+
+        @jax.jit
+        def widen_chunk(ids):
+            xf = rowfn(ids).astype(jnp.float32)
+            dots = jax.lax.dot_general(
+                xf, cents_dev, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dd = (jnp.sum(xf * xf, -1, keepdims=True) - 2.0 * dots
+                  + csq[None, :] + penalty[None, :])
+            # approx above 4k clusters (the _nearest_r_chunk rule):
+            # widen choices re-sort by true distance at admission, so a
+            # rank near-miss only nudges the spill order
+            if C >= 4096 and R2 < C:
+                nd, ii = jax.lax.approx_max_k(-dd, R2, recall_target=0.99)
+            else:
+                nd, ii = jax.lax.top_k(-dd, R2)
+            return ii.astype(jnp.int32), -nd
+
+        un_pad = np.zeros(_round_up(widened, wchunk), np.int32)
+        un_pad[:widened] = un
+        cho2 = np.empty((len(un_pad), R2), np.int32)
+        cho2_d = np.empty((len(un_pad), R2), np.float32)
+        for lo in range(0, len(un_pad), wchunk):
+            ii, dd2 = widen_chunk(jnp.asarray(un_pad[lo:lo + wchunk]))
+            cho2[lo:lo + wchunk] = np.asarray(ii)
+            cho2_d[lo:lo + wchunk] = np.asarray(dd2)
+        assign2 = _capacity_assign_host(
+            cho2[:widened], cho2_d[:widened], C, room, defer_residue=True
+        )
+        assign[un] = assign2
+        un = un[assign2 < 0]
+    if len(un):
+        # truly nothing open near them: round-robin the open slots
+        room = cap - np.bincount(
+            np.maximum(assign, 0), weights=(assign >= 0), minlength=C
+        )[:C].astype(np.int64)
+        open_slots = np.repeat(np.arange(C), np.maximum(room, 0))
+        assign[un] = open_slots[: len(un)]
+    assert (assign >= 0).all()
+    ranks = np.full(n, R, np.int16)
+    for r in range(R - 1, -1, -1):
+        ranks[assign == choice[:, r]] = r
+    hist = np.bincount(ranks, minlength=R + 1).astype(np.float64) / n
+    say(f"# routed_split: assign ranks r0={hist[0]:.4f} r1={hist[1]:.4f} "
+        f"r2+={hist[2:R].sum():.4f} widened={widened / n:.6f} "
+        f"rr={len(un) / n:.6f}")
     sort_idx = np.argsort(assign, kind="stable")
     sa = assign[sort_idx]
     first = np.searchsorted(sa, np.arange(C))
@@ -517,6 +659,7 @@ def build_routed_split(
     kmeans_iters: int = 20,
     seed: int = 1234,
     achunk: int = 262_144,
+    assign_r: int = 8,
     queries: np.ndarray | None = None,
     gt_k: int = 10,
     log=None,
@@ -532,11 +675,14 @@ def build_routed_split(
       A. train balanced-k-means centroids on a sampled subset
          (_lloyd_chunked) + spatial cluster ordering;
       B. stream top-2 nearest-centroid choices to the host;
-      C. capacity-bounded nearest-first assignment
-         (ivf.py:_capacity_assign_host) -> cluster-major id order;
+      C. capacity-bounded nearest-first assignment over `assign_r`
+         choices (ivf.py:_capacity_assign_host; R=8 default — see
+         _plan_routed on why R=2 randomized 31% of dense-region rows)
+         -> cluster-major id order;
       D. stream the PERMUTED id order through the split packer
-         (pack_split_device), folding exact f32 ground truth for
-         `queries` exactly like device_rowkeyed_split_dataset.
+         (pack_split_device). Exact f32 ground truth for `queries` is
+         folded in a SEPARATE pre-ingest pass (fold_gt_stream) so its
+         transients never share HBM with the packed tables.
 
     Returns RoutedSplitIndex, or (RoutedSplitIndex, gt) when `queries`
     is given."""
@@ -553,30 +699,34 @@ def build_routed_split(
         n, dim, rowfn=rowfn, cap_target=cap_target, cls=cls,
         cap_slack=cap_slack, shards=shards, train_size=train_size,
         kmeans_iters=kmeans_iters, seed=seed, achunk=achunk, say=say,
+        assign_r=assign_r,
     )
 
-    # D: clustered ingest (+ optional exact GT fold); the sweep runs
-    # over n_ing >= n_pad rows (-1 tail pad) so rchunk never has to
-    # divide the table size
-    order_dev = jax.device_put(order)
+    # exact GT BEFORE the big tables exist (fold_gt_stream docstring)
+    gt_i = None
+    if queries is not None:
+        gt_i = fold_gt_stream(rowfn, n, queries, metric, gt_k=gt_k)
+        say("# routed_split: exact ground truth folded (pre-ingest)")
+
+    # D: clustered ingest; the sweep runs over n_ing >= n_pad rows
+    # (-1 tail pad) so rchunk never has to divide the table size. The
+    # comp table KEEPS its n_ing padded length: slicing to n_pad would
+    # materialize a second copy of the largest HBM array (the scan's
+    # stacked output cannot alias a differently-sized slice), which was
+    # the other half of the 100M ResourceExhausted. One padded order
+    # array serves both the ingest sweep and the index's gid.
     n_pad = (C + 1) * cap
     n_ing = _round_up(n_pad, rchunk)
     if n_ing != n_pad:
         order_ing = np.full(n_ing, -1, np.int32)
         order_ing[:n_pad] = order
-        oing_dev = jax.device_put(order_ing)
+        order_dev = jax.device_put(order_ing)
     else:
-        oing_dev = order_dev
-    if queries is not None:
-        q_dev = jnp.asarray(np.ascontiguousarray(queries, np.float32))
-        qn = jnp.sum(q_dev * q_dev, axis=1)
-    else:
-        q_dev = jnp.zeros((1, dim), jnp.float32)
-        qn = jnp.zeros((1,), jnp.float32)
-    @partial(jax.jit, static_argnames=("with_gt",))
-    def ingest(order_arg, q_arg, qn_arg, *, with_gt):
-        def body(carry, c):
-            gt_d, gt_i = carry
+        order_dev = jax.device_put(order)
+
+    @jax.jit
+    def ingest(order_arg):
+        def body(_, c):
             gids = jax.lax.dynamic_slice(order_arg, (c * rchunk,), (rchunk,))
             valid = gids >= 0
             x = rowfn(jnp.maximum(gids, 0))
@@ -589,45 +739,21 @@ def build_routed_split(
             # _plan_routed) so the flat (2, n_pad) aux + its transpose
             # never coexist with the comp table — the 100M OOM fix
             aux_b = aux_routed_layout_chunk(aux_c, cap, cls)
-            if with_gt:
-                sq = jnp.sum(x * x, axis=1)
-                dots = jax.lax.dot_general(
-                    q_arg, x, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                dd = (
-                    qn_arg[:, None] - 2.0 * dots + sq[None, :]
-                    if metric == METRIC_L2 else 1.0 - dots
-                )
-                dd = jnp.where(valid[None, :], dd, jnp.inf)
-                all_d = jnp.concatenate([gt_d, dd], axis=1)
-                all_i = jnp.concatenate(
-                    [gt_i, jnp.broadcast_to(gids[None, :], dd.shape)], axis=1
-                )
-                nd, sel = jax.lax.top_k(-all_d, gt_k)
-                carry = (-nd, jnp.take_along_axis(all_i, sel, axis=1))
-            return carry, (comp_c, aux_b)
+            return _, (comp_c, aux_b)
 
-        gt0 = (
-            jnp.full((q_arg.shape[0], gt_k), jnp.inf, jnp.float32),
-            jnp.full((q_arg.shape[0], gt_k), -1, jnp.int32),
-        )
-        (gt_d, gt_i), (comp_s, aux_s) = jax.lax.scan(
-            body, gt0, jnp.arange(n_ing // rchunk, dtype=jnp.int32)
+        _, (comp_s, aux_s) = jax.lax.scan(
+            body, None, jnp.arange(n_ing // rchunk, dtype=jnp.int32)
         )
         members = cap // cls
         aux_r = aux_s.reshape(n_ing // cap, 2 * members, cls)[: C + 1]
-        return comp_s.reshape(n_ing, dpc)[:n_pad], aux_r, gt_i
+        return comp_s.reshape(n_ing, dpc), aux_r
 
-    comp, aux_r, gt_i = ingest(
-        oing_dev, q_dev, qn, with_gt=queries is not None
-    )
+    comp, aux_r = ingest(order_dev)
     say("# routed_split: clustered tables packed")
 
     idx = RoutedSplitIndex(
         cents_dev, comp, aux_r, order_dev, n, dim, metric, cls=cls,
-        row_source=row_source, base_dev=base_dev,
+        cap=cap, row_source=row_source, base_dev=base_dev,
         sqnorms=(
             jnp.sum(base_dev.astype(jnp.float32) ** 2, axis=1)
             if (base_dev is not None and metric == METRIC_L2)
@@ -637,5 +763,5 @@ def build_routed_split(
         ),
     )
     if queries is not None:
-        return idx, np.asarray(gt_i)
+        return idx, gt_i
     return idx

@@ -90,9 +90,10 @@ class ShardedRoutedSplitIndex:
         C_loc = C // S
         dpc = idx.comp.shape[1]
         members = cap // cls
-        comp = np.asarray(idx.comp).reshape(C + 1, cap, dpc)
+        n_pad = (C + 1) * cap  # idx tables may carry ingest-pad rows
+        comp = np.asarray(idx.comp)[:n_pad].reshape(C + 1, cap, dpc)
         aux = np.asarray(idx.aux_r)  # (C+1, 2m, cls)
-        gid = np.asarray(idx.gid).reshape(C + 1, cap)
+        gid = np.asarray(idx.gid)[:n_pad].reshape(C + 1, cap)
         own = np.arange(C).reshape(-1, S).T  # (S, C_loc): shard s owns s::S
         pad = C  # global pad cluster index
         comp_sh = np.concatenate(
@@ -275,6 +276,7 @@ def build_routed_split_sharded(
     kmeans_iters: int = 20,
     seed: int = 1234,
     achunk: int = 262_144,
+    assign_r: int = 8,
     queries: np.ndarray | None = None,
     gt_k: int = 10,
     log=None,
@@ -294,7 +296,7 @@ def build_routed_split_sharded(
     given. Reference analogue: each MN populates only its own segment
     (memory_node.hh:112-125) while the plan (graph/placement) is built
     centrally."""
-    from shine_tpu.config import METRIC_L2, metric_id
+    from shine_tpu.config import metric_id
     from shine_tpu.models.routed_split import (
         NEG,
         _make_rowfn,
@@ -314,6 +316,7 @@ def build_routed_split_sharded(
         n, dim, rowfn=rowfn, cap_target=cap_target, cls=cls,
         cap_slack=cap_slack, shards=S, train_size=train_size,
         kmeans_iters=kmeans_iters, seed=seed, achunk=achunk, say=say,
+        assign_r=assign_r,
     )
     C_loc = C // S
     members = cap // cls
@@ -333,20 +336,21 @@ def build_routed_split_sharded(
     ord_dev = jax.device_put(
         jnp.asarray(ord_sh), NamedSharding(mesh, P_(SHARD_AXIS, None))
     )
-    with_gt = queries is not None
-    if with_gt:
-        q_dev = jnp.asarray(np.ascontiguousarray(queries, np.float32))
-        qn = jnp.sum(q_dev * q_dev, axis=1)
-    else:
-        q_dev = jnp.zeros((1, dim), jnp.float32)
-        qn = jnp.zeros((1,), jnp.float32)
-    q_dev = jax.device_put(q_dev, NamedSharding(mesh, P_()))
+    # exact GT before the big tables exist, by the SAME streaming pass
+    # the single-chip builder uses (fold_gt_stream) — bit-identical GT
+    # between the two builders by construction, and the GT transients
+    # never share HBM with the packed tables
+    gt_i = None
+    if queries is not None:
+        from shine_tpu.models.routed_split import fold_gt_stream
 
-    def spmd(ord_loc, q_arg, qn_arg):
+        gt_i = fold_gt_stream(rowfn, n, queries, metric, gt_k=gt_k)
+        say("# routed_split: exact ground truth folded (pre-ingest)")
+
+    def spmd(ord_loc):
         ord1 = ord_loc[0]
 
-        def body(carry, c):
-            gt_d, gt_i = carry
+        def body(_, c):
             gids = jax.lax.dynamic_slice(ord1, (c * rchunk,), (rchunk,))
             valid = gids >= 0
             x = rowfn(jnp.maximum(gids, 0))
@@ -359,54 +363,26 @@ def build_routed_split_sharded(
             # fix as build_routed_split: the flat (2, n_loc) aux plus
             # its transpose never coexist with the comp table)
             aux_b = aux_routed_layout_chunk(aux_c, cap, cls)
-            if with_gt:
-                sq = jnp.sum(x * x, axis=1)
-                dots = jax.lax.dot_general(
-                    q_arg, x, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                dd = (
-                    qn_arg[:, None] - 2.0 * dots + sq[None, :]
-                    if metric == METRIC_L2 else 1.0 - dots
-                )
-                dd = jnp.where(valid[None, :], dd, jnp.inf)
-                all_d = jnp.concatenate([gt_d, dd], axis=1)
-                all_i = jnp.concatenate(
-                    [gt_i, jnp.broadcast_to(gids[None, :], dd.shape)],
-                    axis=1,
-                )
-                nd, sel = jax.lax.top_k(-all_d, gt_k)
-                carry = (-nd, jnp.take_along_axis(all_i, sel, axis=1))
-            return carry, (comp_c, aux_b)
+            return _, (comp_c, aux_b)
 
-        gt0 = (
-            jnp.full((q_arg.shape[0], gt_k), jnp.inf, jnp.float32),
-            jnp.full((q_arg.shape[0], gt_k), -1, jnp.int32),
+        _, (comp_s, aux_s) = jax.lax.scan(
+            body, None, jnp.arange(n_ing // rchunk, dtype=jnp.int32)
         )
-        (gt_d, gt_i), (comp_s, aux_s) = jax.lax.scan(
-            body, gt0, jnp.arange(n_ing // rchunk, dtype=jnp.int32)
-        )
-        comp_s = comp_s.reshape(n_ing, dpc)[:n_loc]
+        # keep the n_ing pad rows: slicing to n_loc would double-buffer
+        # the per-shard comp table (models/routed_split.py stage D)
+        comp_s = comp_s.reshape(n_ing, dpc)
         aux_r = aux_s.reshape(n_ing // cap, 2 * members, cls)[: C_loc + 1]
-        if with_gt:
-            all_d = jax.lax.all_gather(gt_d, SHARD_AXIS)
-            all_i = jax.lax.all_gather(gt_i, SHARD_AXIS)
-            all_d = jnp.moveaxis(all_d, 0, 1).reshape(gt_d.shape[0], -1)
-            all_i = jnp.moveaxis(all_i, 0, 1).reshape(gt_d.shape[0], -1)
-            nd, sel = jax.lax.top_k(-all_d, gt_k)
-            gt_i = jnp.take_along_axis(all_i, sel, axis=1)
-        return comp_s, aux_r, ord1[:n_loc], gt_i
+        return comp_s, aux_r, ord1
 
     run = jax.jit(jax.shard_map(
         spmd,
         mesh=mesh,
-        in_specs=(P_(SHARD_AXIS, None), P_(), P_()),
+        in_specs=(P_(SHARD_AXIS, None),),
         out_specs=(P_(SHARD_AXIS), P_(SHARD_AXIS, None, None),
-                   P_(SHARD_AXIS), P_()),
+                   P_(SHARD_AXIS)),
         check_vma=False,
     ))
-    comp_sh, aux_sh, gid_sh, gt_i = run(ord_dev, q_dev, qn)
+    comp_sh, aux_sh, gid_sh = run(ord_dev)
     assert aux_sh.shape == (S * (C_loc + 1), 2 * members, cls)
     say("# routed_split: per-shard clustered tables packed")
 
@@ -418,8 +394,8 @@ def build_routed_split_sharded(
         n, dim, metric, mesh, C=C, cap=cap, cls=cls,
         row_source=row_source,
     )
-    if with_gt:
-        return idx, np.asarray(gt_i)
+    if queries is not None:
+        return idx, gt_i
     return idx
 
 
@@ -484,8 +460,8 @@ def _make_routed_spmd(mesh, k, p, P, P_loc, T, kk, metric, C, cap, cls,
             hit.any(-1).mean(-1).reshape(B), SHARD_AXIS
         )
         cand = scan_select(
-            comp, aux_r, gid, q_s, lcol_c, T=T, cap=cap, cls=cls, kk=kk,
-            engine=engine,
+            comp, aux_r, gid, q_s, lcol_c, C=C_loc, T=T, cap=cap, cls=cls,
+            kk=kk, engine=engine,
         )
         # the whole inter-chip exchange: (S, B, kk) global-id lanes
         allc = jax.lax.all_gather(cand, SHARD_AXIS)

@@ -112,8 +112,22 @@ def test_direct_sharded_build_bit_identical(setup):
         cls=128, train_size=8192, seed=4, queries=queries,
     )
     assert built.C == ref.C and built.cap == ref.cap
-    assert (np.asarray(built.gid) == np.asarray(ref.gid)).all()
-    assert (np.asarray(built.comp) == np.asarray(ref.comp)).all()
+    # the direct build keeps per-shard ingest-pad rows (gid -1, never
+    # addressed); the re-dealt reference is exactly n_loc rows/shard —
+    # compare the meaningful per-shard prefix
+    S = mesh.devices.size
+    n_loc = (built.C // S + 1) * built.cap
+
+    def per_shard(a):
+        a = np.asarray(a)
+        return a.reshape(S, a.shape[0] // S, *a.shape[1:])
+
+    b_gid = per_shard(built.gid)
+    assert (b_gid[:, n_loc:] == -1).all()
+    assert (b_gid[:, :n_loc] == per_shard(ref.gid)[:, :n_loc]).all()
+    assert (
+        per_shard(built.comp)[:, :n_loc] == per_shard(ref.comp)[:, :n_loc]
+    ).all()
     assert (np.asarray(built.aux_r) == np.asarray(ref.aux_r)).all()
     # per-shard GT fold + gathered merge ~ brute force (near-tie slack)
     assert (gt == gt_ref).mean() >= 0.99
