@@ -87,6 +87,12 @@ def main() -> None:
         ("kb16", dict(kb=16)),
         ("prerank16", dict(kb=KB, prerank=16)),
         ("ext_only", dict(kb=KB, no_base=True)),
+        # v5 fused in-kernel top-kb (ops/pallas_scan3.py:_topk_epilogue):
+        # the XLA TopK program + (B, cls) HBM round-trip disappear;
+        # bit-identical ids to base (tests/test_pallas.py)
+        ("fused", dict(kb=KB, fused_sel=True)),
+        ("fused16", dict(kb=16, fused_sel=True)),
+        ("fused_keep2", dict(kb=KB, fused_sel=True, keep2=True)),
     ]
     for name, kw in variants:
         no_base = kw.pop("no_base", False)

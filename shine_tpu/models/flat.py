@@ -420,6 +420,7 @@ class FastFlatIndex:
         keep2: bool | None = None,
         approx_sel: bool = False,
         prerank: int = 0,
+        fused_sel: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
         with dimension, so high-dim needs a bigger margin (measured:
@@ -449,7 +450,7 @@ class FastFlatIndex:
         out_i, out_d = _fast_flat_search_host(
             self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
             with_dists=with_dists, keep2=keep2, approx_sel=approx_sel,
-            prerank=prerank,
+            prerank=prerank, fused_sel=fused_sel,
         )
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
@@ -820,13 +821,13 @@ def split_flat_search_at(
     jax.jit,
     static_argnames=(
         "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
-        "keep2", "n", "approx_sel", "prerank",
+        "keep2", "n", "approx_sel", "prerank", "fused_sel",
     ),
 )
 def fast_flat_search_at(
     ext, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric, batch,
     interpret=False, keep2=False, n=0, row_source=None, approx_sel=False,
-    prerank=0,
+    prerank=0, fused_sel=False,
 ):
     """One fused program: slice the preloaded queries, pack the extended
     query, scan, select, re-rank — a single dispatch per batch."""
@@ -838,6 +839,7 @@ def fast_flat_search_at(
         ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
         metric=metric, interpret=interpret, keep2=keep2, n=n,
         row_source=row_source, approx_sel=approx_sel, prerank=prerank,
+        fused_sel=fused_sel,
     )
 
 
@@ -845,13 +847,13 @@ def fast_flat_search_at(
     jax.jit,
     static_argnames=(
         "k", "kb", "tq", "tn", "cls", "metric", "interpret", "keep2", "n",
-        "approx_sel", "prerank",
+        "approx_sel", "prerank", "fused_sel",
     ),
 )
 def fast_flat_search(
     ext, vectors, sqnorms, q_ext, q, *, k, kb, tq, tn, cls, metric,
     interpret=False, keep2=False, n=0, row_source=None, approx_sel=False,
-    prerank=0,
+    prerank=0, fused_sel=False,
 ):
     from shine_tpu.ops.distance import rerank_topk
 
@@ -866,25 +868,44 @@ def fast_flat_search(
         cand2 = jnp.take_along_axis(a2, sel, axis=1)  # runner-ups
         cand = jnp.concatenate([cand1, cand2], axis=1)
     elif keep2:
-        from shine_tpu.ops.pallas_scan3 import classmax2_scan
+        kb_eff = min(kb, cls)
+        if fused_sel and not approx_sel:
+            # v5: the select runs inside the kernel epilogue — the XLA
+            # TopK program and the (B, cls) HBM round-trip disappear
+            # from the dispatch tail (bit-identical outputs, tested)
+            from shine_tpu.ops.pallas_scan3 import classmax2_topk_scan
 
-        m1, a1, m2, a2 = classmax2_scan(ext, q_ext, tq=tq, tn=tn, cls=cls)
-        kb_eff = min(kb, m1.shape[1])
-        _, sel = _select_kb(m1, kb_eff, approx_sel)
-        cand1 = jnp.take_along_axis(a1, sel, axis=1)
+            _, cand1, v2, c2 = classmax2_topk_scan(
+                ext, q_ext, kb=kb_eff, tq=tq, tn=tn, cls=cls
+            )
+        else:
+            from shine_tpu.ops.pallas_scan3 import classmax2_scan
+
+            m1, a1, m2, a2 = classmax2_scan(
+                ext, q_ext, tq=tq, tn=tn, cls=cls
+            )
+            _, sel = _select_kb(m1, kb_eff, approx_sel)
+            cand1 = jnp.take_along_axis(a1, sel, axis=1)
+            c2 = jnp.take_along_axis(a2, sel, axis=1)
+            v2 = jnp.take_along_axis(m2, sel, axis=1)
         # runner-up of each selected class (recovers the one-decoy bf16
         # near-tie loss at large rows-per-class; ops/pallas_scan3.py v4)
-        c2 = jnp.take_along_axis(a2, sel, axis=1)
-        v2 = jnp.take_along_axis(m2, sel, axis=1)
         cand2 = jnp.where(v2 > -3e38, c2, -1)
         cand = jnp.concatenate([cand1, cand2], axis=1)
     else:
-        from shine_tpu.ops.pallas_scan3 import classmax_scan
+        kb_eff = min(kb, cls)
+        if fused_sel and not approx_sel:
+            from shine_tpu.ops.pallas_scan3 import classmax_topk_scan
 
-        m1, a1 = classmax_scan(ext, q_ext, tq=tq, tn=tn, cls=cls)
-        kb_eff = min(kb, m1.shape[1])
-        _, sel = _select_kb(m1, kb_eff, approx_sel)
-        cand = jnp.take_along_axis(a1, sel, axis=1)
+            _, cand = classmax_topk_scan(
+                ext, q_ext, kb=kb_eff, tq=tq, tn=tn, cls=cls
+            )
+        else:
+            from shine_tpu.ops.pallas_scan3 import classmax_scan
+
+            m1, a1 = classmax_scan(ext, q_ext, tq=tq, tn=tn, cls=cls)
+            _, sel = _select_kb(m1, kb_eff, approx_sel)
+            cand = jnp.take_along_axis(a1, sel, axis=1)
     limit = n or vectors.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
     if (
@@ -916,7 +937,7 @@ def fast_flat_search(
 
 def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                            preloaded=None, with_dists=True, keep2=False,
-                           approx_sel=False, prerank=0):
+                           approx_sel=False, prerank=0, fused_sel=False):
     nq, d = queries.shape
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
@@ -948,7 +969,7 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                 k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
                 batch=batch_size, interpret=idx.interpret, keep2=keep2,
                 n=idx.n, row_source=idx.row_source, approx_sel=approx_sel,
-                prerank=prerank,
+                prerank=prerank, fused_sel=fused_sel,
             )
         )
     # batches dispatch asynchronously; one host transfer at the end (the

@@ -237,3 +237,246 @@ def classmax_scan(
         ),
         interpret=interpret,
     )(q_ext, ext)
+
+
+def _topk_epilogue(sm, rows, kb: int, cls: int, extras=()):
+    """Exact iterative top-kb over the class lanes, inside the kernel.
+
+    Tie semantics match jax.lax.top_k (value desc, first lane wins), so
+    the fused kernel is drop-in for classmax_scan + top_k + gather: per
+    step, the max lane is located via a min-reduce over an iota mask
+    (no cumsum — Mosaic-friendly), its row is extracted with a masked
+    sum, and the lane is burned to NEG. kb passes of ~7 VPU ops over
+    (tq, cls) replace the XLA TopK program AND the (B, cls) HBM
+    round-trip — the measured 2.4 ms select in the 200k dispatch tail
+    (docs/TPU_NOTES.md 'Dispatch tail').
+
+    extras: additional (tq, cls) i32/f32 planes gathered at the winning
+    lane (the keep2 runner-up state). Returns (m (tq, kb) f32,
+    r (tq, kb) i32, *gathered extras)."""
+    tq = sm.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, cls), 1)
+    m_cols, r_cols = [], []
+    e_cols = [[] for _ in extras]
+    for _ in range(kb):
+        best = jnp.max(sm, axis=1, keepdims=True)
+        is_best = sm >= best
+        fl = jnp.min(jnp.where(is_best, lane, cls), axis=1, keepdims=True)
+        first = lane == fl
+        m_cols.append(best)
+        r_cols.append(jnp.sum(jnp.where(first, rows, 0), axis=1,
+                              keepdims=True))
+        for i, e in enumerate(extras):
+            e_cols[i].append(jnp.sum(
+                jnp.where(first, e, jnp.zeros_like(e)), axis=1,
+                keepdims=True,
+            ))
+        sm = jnp.where(first, -3e38, sm)
+    out = [jnp.concatenate(m_cols, 1), jnp.concatenate(r_cols, 1)]
+    out.extend(jnp.concatenate(c, 1) for c in e_cols)
+    return tuple(out)
+
+
+def _kernel_topk(q_ref, ext_hbm, m_ref, r_ref, *, n_pad: int, tn: int,
+                 cls: int, kb: int):
+    """v5: the v3 class-max sweep + fused exact top-kb epilogue."""
+    num_chunks = n_pad // tn
+    members = tn // cls
+    tq = q_ref.shape[0]
+
+    def body(sm_ref, sr_ref, buf_ref, sem_ref):
+        def get_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                ext_hbm.at[pl.ds(chunk * tn, tn), :],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+
+        get_dma(0, 0).start()
+        q = q_ref[:]
+        sm_ref[:] = jnp.full((tq, cls), -3e38, jnp.float32)
+        sr_ref[:] = jnp.zeros((tq, cls), jnp.int32)
+
+        def step(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            blk = buf_ref[slot]
+            dots = jax.lax.dot_general(
+                q, blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dd = dots.reshape(tq, members, cls)
+            sm, sr = sm_ref[:], sr_ref[:]
+            for m in range(members):
+                cur = dd[:, m, :]
+                better = cur > sm
+                sm = jnp.where(better, cur, sm)
+                sr = jnp.where(better, c * members + m, sr)
+            sm_ref[:] = sm
+            sr_ref[:] = sr
+            return _
+
+        jax.lax.fori_loop(0, num_chunks, step, None)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, cls), 1)
+        rows = sr_ref[:] * cls + lane
+        m_ref[:], r_ref[:] = _topk_epilogue(sm_ref[:], rows, kb, cls)
+
+    pl.run_scoped(
+        body,
+        sm_ref=pltpu.VMEM((tq, cls), jnp.float32),
+        sr_ref=pltpu.VMEM((tq, cls), jnp.int32),
+        buf_ref=pltpu.VMEM((2, tn, q_ref.shape[1]), jnp.bfloat16),
+        sem_ref=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _kernel2_topk(q_ref, ext_hbm, m_ref, r_ref, m2_ref, r2_ref, *,
+                  n_pad: int, tn: int, cls: int, kb: int):
+    """v5 keep2: the v4 sweep + fused top-kb; the runner-up planes are
+    gathered at the same winning lanes (fast_flat_search concatenates
+    winner + runner-up candidates exactly as the unfused path)."""
+    num_chunks = n_pad // tn
+    members = tn // cls
+    tq = q_ref.shape[0]
+
+    def body(sm_ref, sr_ref, sm2_ref, sr2_ref, buf_ref, sem_ref):
+        def get_dma(slot, chunk):
+            return pltpu.make_async_copy(
+                ext_hbm.at[pl.ds(chunk * tn, tn), :],
+                buf_ref.at[slot],
+                sem_ref.at[slot],
+            )
+
+        get_dma(0, 0).start()
+        q = q_ref[:]
+        sm_ref[:] = jnp.full((tq, cls), -3e38, jnp.float32)
+        sr_ref[:] = jnp.zeros((tq, cls), jnp.int32)
+        sm2_ref[:] = jnp.full((tq, cls), -3e38, jnp.float32)
+        sr2_ref[:] = jnp.zeros((tq, cls), jnp.int32)
+
+        def step(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < num_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+            blk = buf_ref[slot]
+            dots = jax.lax.dot_general(
+                q, blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dd = dots.reshape(tq, members, cls)
+            sm, sr = sm_ref[:], sr_ref[:]
+            sm2, sr2 = sm2_ref[:], sr2_ref[:]
+            for m in range(members):
+                cur = dd[:, m, :]
+                code = c * members + m
+                win = cur > sm
+                second = (cur > sm2) & ~win
+                sm2 = jnp.where(win, sm, jnp.where(second, cur, sm2))
+                sr2 = jnp.where(win, sr, jnp.where(second, code, sr2))
+                sm = jnp.where(win, cur, sm)
+                sr = jnp.where(win, code, sr)
+            sm_ref[:], sr_ref[:] = sm, sr
+            sm2_ref[:], sr2_ref[:] = sm2, sr2
+            return _
+
+        jax.lax.fori_loop(0, num_chunks, step, None)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, cls), 1)
+        rows = sr_ref[:] * cls + lane
+        rows2 = sr2_ref[:] * cls + lane
+        m_ref[:], r_ref[:], m2_ref[:], r2_ref[:] = _topk_epilogue(
+            sm_ref[:], rows, kb, cls, extras=(sm2_ref[:], rows2)
+        )
+
+    pl.run_scoped(
+        body,
+        sm_ref=pltpu.VMEM((tq, cls), jnp.float32),
+        sr_ref=pltpu.VMEM((tq, cls), jnp.int32),
+        sm2_ref=pltpu.VMEM((tq, cls), jnp.float32),
+        sr2_ref=pltpu.VMEM((tq, cls), jnp.int32),
+        buf_ref=pltpu.VMEM((2, tn, q_ref.shape[1]), jnp.bfloat16),
+        sem_ref=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("kb", "tq", "tn", "cls", "interpret"))
+def classmax_topk_scan(
+    ext: jnp.ndarray,
+    q_ext: jnp.ndarray,
+    *,
+    kb: int,
+    tq: int = 1024,
+    tn: int = TN,
+    cls: int = CLS,
+    interpret: bool = False,
+):
+    """Fused scan + select: returns (best (B, kb) f32, rows (B, kb) i32),
+    identical to classmax_scan followed by lax.top_k + take_along_axis."""
+    n_pad, dp = ext.shape
+    B = q_ext.shape[0]
+    assert n_pad % tn == 0 and B % tq == 0 and tn % cls == 0 and kb <= cls
+    spec = pl.BlockSpec((tq, kb), lambda i: (i, 0))
+    return pl.pallas_call(
+        partial(_kernel_topk, n_pad=n_pad, tn=tn, cls=cls, kb=kb),
+        grid=(B // tq,),
+        in_specs=[
+            pl.BlockSpec((tq, dp), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, kb), jnp.float32),
+            jax.ShapeDtypeStruct((B, kb), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_ext, ext)
+
+
+@partial(jax.jit, static_argnames=("kb", "tq", "tn", "cls", "interpret"))
+def classmax2_topk_scan(
+    ext: jnp.ndarray,
+    q_ext: jnp.ndarray,
+    *,
+    kb: int,
+    tq: int = 512,
+    tn: int = TN,
+    cls: int = CLS,
+    interpret: bool = False,
+):
+    """Fused keep2 scan + select: returns (best (B, kb), rows (B, kb),
+    best2 (B, kb), rows2 (B, kb)) — the v4 outputs pre-gathered at the
+    selected classes."""
+    n_pad, dp = ext.shape
+    B = q_ext.shape[0]
+    assert n_pad % tn == 0 and B % tq == 0 and tn % cls == 0 and kb <= cls
+    spec = pl.BlockSpec((tq, kb), lambda i: (i, 0))
+    return pl.pallas_call(
+        partial(_kernel2_topk, n_pad=n_pad, tn=tn, cls=cls, kb=kb),
+        grid=(B // tq,),
+        in_specs=[
+            pl.BlockSpec((tq, dp), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[spec, spec, spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, kb), jnp.float32),
+            jax.ShapeDtypeStruct((B, kb), jnp.int32),
+            jax.ShapeDtypeStruct((B, kb), jnp.float32),
+            jax.ShapeDtypeStruct((B, kb), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_ext, ext)

@@ -156,3 +156,47 @@ def test_fastflat_keep2_recall_adversarial(rng):
     from shine_tpu.io import recall_at_k
 
     assert recall_at_k(ids, np.asarray(gt), 10) > 0.9
+
+
+def test_classmax_topk_scan_fused_identity(rng):
+    """v5 fused select (in-kernel exact top-kb epilogue) must be
+    BIT-IDENTICAL to classmax_scan + lax.top_k + take_along_axis —
+    same first-lane tie semantics — for both keep1 and keep2."""
+    import jax
+
+    from shine_tpu.ops.pallas_scan3 import (
+        classmax2_scan,
+        classmax2_topk_scan,
+        classmax_scan,
+        classmax_topk_scan,
+    )
+
+    n_pad, dp, B, cls, tn, tq, kb = 8192, 128, 256, 512, 2048, 128, 32
+    ext = jnp.asarray(rng.normal(size=(n_pad, dp)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    q = jnp.asarray(rng.normal(size=(B, dp)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    m1, a1 = classmax_scan(ext, q, tq=tq, tn=tn, cls=cls, interpret=True)
+    ms, sel = jax.lax.top_k(m1, kb)
+    ref_rows = jnp.take_along_axis(a1, sel, axis=1)
+    mf, rf = classmax_topk_scan(
+        ext, q, kb=kb, tq=tq, tn=tn, cls=cls, interpret=True
+    )
+    assert (np.asarray(mf) == np.asarray(ms)).all()
+    assert (np.asarray(rf) == np.asarray(ref_rows)).all()
+
+    m1, a1, m2, a2 = classmax2_scan(
+        ext, q, tq=tq, tn=tn, cls=cls, interpret=True
+    )
+    ms, sel = jax.lax.top_k(m1, kb)
+    c1 = jnp.take_along_axis(a1, sel, axis=1)
+    c2 = jnp.take_along_axis(a2, sel, axis=1)
+    v2 = jnp.take_along_axis(m2, sel, axis=1)
+    mf, rf, m2f, r2f = classmax2_topk_scan(
+        ext, q, kb=kb, tq=tq, tn=tn, cls=cls, interpret=True
+    )
+    assert (np.asarray(mf) == np.asarray(ms)).all()
+    assert (np.asarray(rf) == np.asarray(c1)).all()
+    assert (np.asarray(m2f) == np.asarray(v2)).all()
+    assert (np.asarray(r2f) == np.asarray(c2)).all()
