@@ -122,6 +122,29 @@ def main() -> None:
             "ms_per_dispatch": round(best / (NQ // B) * 1e3, 2),
         })
 
+    # split-layout twin: the bench split row shares the same tail
+    from shine_tpu.models.flat import SplitFlatIndex
+
+    sidx = SplitFlatIndex(ds.base, interpret=INTERPRET)
+    pre = sidx.preload(ds.queries, batch_size=B) if hasattr(
+        sidx, "preload") else None
+    for name, kw in [("split_base", {}), ("split_fused",
+                                          dict(fused_sel=True))]:
+        skw = dict(kb=KB, batch_size=B, with_dists=False, **kw)
+        if pre is not None:
+            skw["preloaded"] = pre
+        ids, _ = sidx.search(ds.queries, K, **skw)  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            ids, _ = sidx.search(ds.queries, K, **skw)
+            best = min(best, time.time() - t0)
+        emit({
+            "variant": name, "qps": round(NQ / best, 1),
+            "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4),
+            "ms_per_dispatch": round(best / (NQ // B) * 1e3, 2),
+        })
+
 
 if __name__ == "__main__":
     main()

@@ -638,6 +638,7 @@ class SplitFlatIndex:
         keep2: bool | None = None,
         approx_sel: bool = False,
         prerank: int = 0,
+        fused_sel: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Same defaults/auto-rules as FastFlatIndex.search (measured:
         TPU_NOTES r3 'tune grid' + keep2_auto); int8 components widen
@@ -707,7 +708,7 @@ class SplitFlatIndex:
                     metric=self.metric, batch=batch_size,
                     interpret=self.interpret, keep2=keep2, n=self.n,
                     row_source=self.row_source, approx_sel=approx_sel,
-                    prerank=prerank,
+                    prerank=prerank, fused_sel=fused_sel,
                 )
             )
         if len(parts) == 1:
@@ -754,13 +755,13 @@ def _select_kb(m1, kb_eff, approx):
     jax.jit,
     static_argnames=(
         "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
-        "keep2", "n", "approx_sel", "prerank",
+        "keep2", "n", "approx_sel", "prerank", "fused_sel",
     ),
 )
 def split_flat_search_at(
     comp, aux, vectors, sqnorms, q_dev, lo, *, k, kb, tq, tn, cls, metric,
     batch, interpret=False, keep2=False, n=0, row_source=None,
-    approx_sel=False, prerank=0,
+    approx_sel=False, prerank=0, fused_sel=False,
 ):
     """One fused program on the split layout: slice queries, pad to the
     component lanes, class-max scan, select, re-rank."""
@@ -771,25 +772,41 @@ def split_flat_search_at(
 
     qj = jax.lax.dynamic_slice_in_dim(q_dev, lo, batch, 0)
     q_pad = pack_split_query(qj, comp.shape[1])
-    out = classmax_scan_split(
-        comp, aux, q_pad, tq=tq, tn=tn, cls=cls, keep2=keep2,
-        interpret=interpret,
-    )
-    if keep2:
-        m1, a1, m2, a2 = out
-        kb_eff = min(kb, m1.shape[1])
-        _, sel = _select_kb(m1, kb_eff, approx_sel)
-        cand1 = jnp.take_along_axis(a1, sel, axis=1)
-        c2 = jnp.take_along_axis(a2, sel, axis=1)
-        v2 = jnp.take_along_axis(m2, sel, axis=1)
-        cand = jnp.concatenate(
-            [cand1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+    kb_eff = min(kb, cls)
+    if fused_sel and not approx_sel and not interpret:
+        # v5 fused in-kernel top-kb (ops/pallas_scan3.py:_topk_epilogue;
+        # bit-identical to the unfused select, tests/test_split.py)
+        from shine_tpu.ops.pallas_scan_split import classmax_topk_scan_split
+
+        out = classmax_topk_scan_split(
+            comp, aux, q_pad, kb=kb_eff, tq=tq, tn=tn, cls=cls,
+            keep2=keep2,
         )
+        if keep2:
+            _, cand1, v2, c2 = out
+            cand = jnp.concatenate(
+                [cand1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+            )
+        else:
+            cand = out[1]
     else:
-        m1, a1 = out
-        kb_eff = min(kb, m1.shape[1])
-        _, sel = _select_kb(m1, kb_eff, approx_sel)
-        cand = jnp.take_along_axis(a1, sel, axis=1)
+        out = classmax_scan_split(
+            comp, aux, q_pad, tq=tq, tn=tn, cls=cls, keep2=keep2,
+            interpret=interpret,
+        )
+        if keep2:
+            m1, a1, m2, a2 = out
+            _, sel = _select_kb(m1, kb_eff, approx_sel)
+            cand1 = jnp.take_along_axis(a1, sel, axis=1)
+            c2 = jnp.take_along_axis(a2, sel, axis=1)
+            v2 = jnp.take_along_axis(m2, sel, axis=1)
+            cand = jnp.concatenate(
+                [cand1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+            )
+        else:
+            m1, a1 = out
+            _, sel = _select_kb(m1, kb_eff, approx_sel)
+            cand = jnp.take_along_axis(a1, sel, axis=1)
     limit = n or comp.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
     if (

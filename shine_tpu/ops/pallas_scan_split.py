@@ -59,7 +59,16 @@ def comp_width(dim: int) -> int:
 
 
 def _kernel_split(q_ref, comp_hbm, aux_hbm, m_ref, r_ref, *, n_pad: int,
-                  tn: int, cls: int, keep2: bool, m2_ref=None, r2_ref=None):
+                  tn: int, cls: int, keep2: bool, m2_ref=None, r2_ref=None,
+                  kb: int = 0, o_refs=None, scratch=None):
+    """kb=0: m_ref/r_ref (and the keep2 pair) are the (tq, cls) output
+    refs. kb>0: they are VMEM scratch and the fused exact top-kb
+    epilogue (ops/pallas_scan3.py:_topk_epilogue) writes (tq, kb)
+    results into o_refs — the select and the (B, cls) HBM round-trip
+    leave the dispatch tail, same trade as the v5 fastflat kernel.
+    scratch: pre-allocated (buf, aux, sem, aux_sem) refs — the topk
+    entry allocates everything in ONE run_scoped (nested scopes break
+    interpret-mode discharge)."""
     num_chunks = n_pad // tn
     members = tn // cls
 
@@ -132,17 +141,34 @@ def _kernel_split(q_ref, comp_hbm, aux_hbm, m_ref, r_ref, *, n_pad: int,
 
         jax.lax.fori_loop(0, num_chunks, step, None)
         lane = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], cls), 1)
-        r_ref[:] = r_ref[:] * cls + lane
-        if keep2:
-            r2_ref[:] = r2_ref[:] * cls + lane
+        if kb:
+            from shine_tpu.ops.pallas_scan3 import _topk_epilogue
 
-    pl.run_scoped(
-        body,
-        buf_ref=pltpu.VMEM((2, tn, q_ref.shape[1]), comp_hbm.dtype),
-        aux_ref=pltpu.VMEM((2, 2, members, cls), jnp.float32),
-        sem_ref=pltpu.SemaphoreType.DMA((2,)),
-        aux_sem=pltpu.SemaphoreType.DMA((2,)),
-    )
+            rows = r_ref[:] * cls + lane
+            if keep2:
+                rows2 = r2_ref[:] * cls + lane
+                om, orr, om2, or2 = o_refs
+                om[:], orr[:], om2[:], or2[:] = _topk_epilogue(
+                    m_ref[:], rows, kb, cls, extras=(m2_ref[:], rows2)
+                )
+            else:
+                om, orr = o_refs
+                om[:], orr[:] = _topk_epilogue(m_ref[:], rows, kb, cls)
+        else:
+            r_ref[:] = r_ref[:] * cls + lane
+            if keep2:
+                r2_ref[:] = r2_ref[:] * cls + lane
+
+    if scratch is not None:
+        body(*scratch)
+    else:
+        pl.run_scoped(
+            body,
+            buf_ref=pltpu.VMEM((2, tn, q_ref.shape[1]), comp_hbm.dtype),
+            aux_ref=pltpu.VMEM((2, 2, members, cls), jnp.float32),
+            sem_ref=pltpu.SemaphoreType.DMA((2,)),
+            aux_sem=pltpu.SemaphoreType.DMA((2,)),
+        )
 
 
 @partial(jax.jit, static_argnames=("tq", "tn", "cls", "keep2", "interpret"))
@@ -175,6 +201,96 @@ def classmax_scan_split(
         partial(
             _kernel_split_entry, n_pad=n_pad, tn=tn, cls=cls, keep2=keep2
         ),
+        grid=(B // tq,),
+        in_specs=[
+            pl.BlockSpec((tq, dpc), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[spec] * n_out,
+        out_shape=shp,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, comp, aux3)
+    return tuple(out)
+
+
+def _kernel_split_topk_entry(q_ref, comp_hbm, aux_hbm, *out_refs, n_pad,
+                             tn, cls, keep2, kb):
+    tq = q_ref.shape[0]
+    members = tn // cls
+    dma = dict(
+        buf_ref=pltpu.VMEM((2, tn, q_ref.shape[1]), comp_hbm.dtype),
+        aux_ref=pltpu.VMEM((2, 2, members, cls), jnp.float32),
+        sem_ref=pltpu.SemaphoreType.DMA((2,)),
+        aux_sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+    if keep2:
+        def scoped(sm_ref, sr_ref, sm2_ref, sr2_ref, buf_ref, aux_ref,
+                   sem_ref, aux_sem):
+            _kernel_split(
+                q_ref, comp_hbm, aux_hbm, sm_ref, sr_ref, n_pad=n_pad,
+                tn=tn, cls=cls, keep2=True, m2_ref=sm2_ref, r2_ref=sr2_ref,
+                kb=kb, o_refs=out_refs,
+                scratch=(buf_ref, aux_ref, sem_ref, aux_sem),
+            )
+
+        pl.run_scoped(
+            scoped,
+            sm_ref=pltpu.VMEM((tq, cls), jnp.float32),
+            sr_ref=pltpu.VMEM((tq, cls), jnp.int32),
+            sm2_ref=pltpu.VMEM((tq, cls), jnp.float32),
+            sr2_ref=pltpu.VMEM((tq, cls), jnp.int32),
+            **dma,
+        )
+    else:
+        def scoped(sm_ref, sr_ref, buf_ref, aux_ref, sem_ref, aux_sem):
+            _kernel_split(
+                q_ref, comp_hbm, aux_hbm, sm_ref, sr_ref, n_pad=n_pad,
+                tn=tn, cls=cls, keep2=False, kb=kb, o_refs=out_refs,
+                scratch=(buf_ref, aux_ref, sem_ref, aux_sem),
+            )
+
+        pl.run_scoped(
+            scoped,
+            sm_ref=pltpu.VMEM((tq, cls), jnp.float32),
+            sr_ref=pltpu.VMEM((tq, cls), jnp.int32),
+            **dma,
+        )
+
+
+@partial(jax.jit, static_argnames=("kb", "tq", "tn", "cls", "keep2",
+                                   "interpret"))
+def classmax_topk_scan_split(
+    comp: jnp.ndarray,
+    aux: jnp.ndarray,
+    q: jnp.ndarray,
+    *,
+    kb: int,
+    tq: int = 512,
+    tn: int = 2048,
+    cls: int = 1024,
+    keep2: bool = False,
+    interpret: bool = False,
+):
+    """Fused split scan + exact top-kb select: returns (best (B, kb),
+    rows (B, kb)[, best2, rows2]) — identical to classmax_scan_split
+    followed by lax.top_k + take_along_axis (tests/test_split.py)."""
+    n_pad, dpc = comp.shape
+    B = q.shape[0]
+    assert n_pad % tn == 0 and B % tq == 0 and tn % cls == 0 and kb <= cls
+    assert interpret or (tn // cls) % 8 == 0
+    assert aux.shape == (2, n_pad)
+    aux3 = aux.reshape(2, n_pad // cls, cls)
+    spec = pl.BlockSpec((tq, kb), lambda i: (i, 0))
+    n_out = 4 if keep2 else 2
+    shp = [jax.ShapeDtypeStruct((B, kb), jnp.float32),
+           jax.ShapeDtypeStruct((B, kb), jnp.int32)] * (n_out // 2)
+    out = pl.pallas_call(
+        partial(_kernel_split_topk_entry, n_pad=n_pad, tn=tn, cls=cls,
+                keep2=keep2, kb=kb),
         grid=(B // tq,),
         in_specs=[
             pl.BlockSpec((tq, dpc), lambda i: (i, 0)),

@@ -317,3 +317,49 @@ def test_split_ip_metric(rng):
     idx = SplitFlatIndex(ds.base, metric="ip", interpret=True)
     ids, _ = idx.search(ds.queries, 10, kb=16, cls=256, keep2=False)
     assert recall_at_k(ids, ds.ground_truth, 10) >= 0.95
+
+
+def test_classmax_topk_scan_split_fused_identity():
+    """Fused split select (kernel-resident exact top-kb) must be
+    BIT-IDENTICAL to classmax_scan_split + lax.top_k, keep1 and keep2
+    (same first-lane tie semantics as the v5 fastflat kernel)."""
+    import jax
+
+    from shine_tpu.ops.pallas_scan_split import (
+        classmax_scan_split,
+        classmax_topk_scan_split,
+        pack_split_tables,
+        pack_split_query,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, B, cls, tn, tq, kb = 8192, 96, 256, 512, 4096, 128, 32
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    comp, aux = pack_split_tables(base, 0, n, comp_dtype=np.int8)
+    comp, aux = jnp.asarray(comp), jnp.asarray(aux)
+    q = pack_split_query(
+        jnp.asarray(rng.normal(size=(B, d)).astype(np.float32)),
+        comp.shape[1],
+    )
+
+    for keep2 in (False, True):
+        ref = classmax_scan_split(
+            comp, aux, q, tq=tq, tn=tn, cls=cls, keep2=keep2,
+            interpret=True,
+        )
+        fused = classmax_topk_scan_split(
+            comp, aux, q, kb=kb, tq=tq, tn=tn, cls=cls, keep2=keep2,
+            interpret=True,
+        )
+        m1, a1 = ref[0], ref[1]
+        ms, sel = jax.lax.top_k(m1, kb)
+        assert (np.asarray(fused[0]) == np.asarray(ms)).all()
+        assert (
+            np.asarray(fused[1])
+            == np.asarray(jnp.take_along_axis(a1, sel, axis=1))
+        ).all()
+        if keep2:
+            v2 = jnp.take_along_axis(ref[2], sel, axis=1)
+            c2 = jnp.take_along_axis(ref[3], sel, axis=1)
+            assert (np.asarray(fused[2]) == np.asarray(v2)).all()
+            assert (np.asarray(fused[3]) == np.asarray(c2)).all()
