@@ -92,11 +92,12 @@ def main() -> None:
 
     from shine_tpu.io.checkpoint import load_routed_split, save_routed_split
 
-    # v2: balance-refined centroids + R=8 choices + nearest-open widen
-    # (the r3 spill fix) — a v1 checkpoint must not satisfy a v2 run
+    # v3: balance-refined centroids (96 rows/cluster training floor) +
+    # R=8 choices + ITERATIVE nearest-open widen (the r3 spill fixes) —
+    # an older checkpoint must not satisfy a v3 run
     ckpt = os.path.join(
         ROOT, ".bench_cache",
-        f"routed_{N}x{D}_c{CAP}_{CLS}_sl{SLACK}_s{SEED}_v2.npz",
+        f"routed_{N}x{D}_c{CAP}_{CLS}_sl{SLACK}_s{SEED}_v3.npz",
     )
     gt_path = ckpt.replace(".npz", "_gt.npy")
     t0 = time.time()

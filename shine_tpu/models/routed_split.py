@@ -521,11 +521,13 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
     C = _round_up(max(2, shards, math.ceil(cap_slack * n / cap)), shards)
     rchunk = m_ing * cap
 
-    # A: train — auto-raise the sample with C: 131k rows at C=10752 is
-    # ~12/cluster (below the builder's own 16*C undertrained warning,
-    # models/ivf.py), and undersized dense-region cells are where the
-    # capacity spill starts. 24 rows/cluster, capped at 2M / n.
-    ts = min(max(train_size, min(24 * C, 2_097_152)), n)
+    # A: train — auto-raise the sample with C. Measured on the chip
+    # (r3e queue): the 4.19M build trained at ~122 rows/cluster and
+    # placed 79% of rows in their top-2 choices; a 24/cluster floor at
+    # 41.9M (C=10752) placed only 56% — per-cell mass estimated from
+    # ~24 samples has ~20% relative error, exactly the overflow margin.
+    # 96 rows/cluster, capped at 2M rows / n.
+    ts = min(max(train_size, min(96 * C, 2_097_152)), n)
     lchunk = min(8192, ts)
     ts -= ts % lchunk
     kt = jax.random.PRNGKey(seed)
@@ -552,11 +554,21 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
     csq = jnp.sum(cents_dev * cents_dev, axis=-1)
 
     R = max(2, min(assign_r, C))
+    # sub-chunk INSIDE the jit: the (achunk, C) distance tile is 27 GB
+    # at achunk=262144 x C=25805 and XLA sometimes materializes it
+    # whole (the r3e 100M OOM); a scan over (sub, C) tiles bounds the
+    # temp at <=0.85 GB by construction, one dispatch per achunk rows
+    sub = min(8192, achunk)
 
     @jax.jit
     def assign_chunk(lo):
         ids = lo + jnp.arange(achunk, dtype=jnp.int32)
-        return _nearest_r_chunk(rowfn(ids), cents_dev, csq, R=R)
+
+        def body(_, s):
+            return _, _nearest_r_chunk(rowfn(s), cents_dev, csq, R=R)
+
+        _, (ii, dd) = jax.lax.scan(body, None, ids.reshape(-1, sub))
+        return ii.reshape(achunk, R), dd.reshape(achunk, R)
 
     choice = np.empty((n, R), np.int32)
     choice_d = np.empty((n, R), np.float32)
@@ -576,44 +588,52 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
                                    defer_residue=True)
     un = np.where(assign < 0)[0]
     widened = len(un)
-    if widened:
+    R2 = int(min(64, C))
+    wchunk = 8_192  # (wchunk, C) f32 tile stays under ~0.85 GB at 100M-C
+
+    @jax.jit
+    def widen_chunk(ids, penalty):
+        xf = rowfn(ids).astype(jnp.float32)
+        dots = jax.lax.dot_general(
+            xf, cents_dev, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dd = (jnp.sum(xf * xf, -1, keepdims=True) - 2.0 * dots
+              + csq[None, :] + penalty[None, :])
+        # approx above 4k clusters (the _nearest_r_chunk rule): widen
+        # choices re-sort by true distance at admission, so a rank
+        # near-miss only nudges the spill order
+        if C >= 4096 and R2 < C:
+            nd, ii = jax.lax.approx_max_k(-dd, R2, recall_target=0.99)
+        else:
+            nd, ii = jax.lax.top_k(-dd, R2)
+        return ii.astype(jnp.int32), -nd
+
+    # iterate: open clusters near dense regions fill during a widen
+    # round, so the residue re-chooses against the REMAINING room (one
+    # round left 5.3% of 41.9M round-robin-random, r3e measurement)
+    for _ in range(4):
+        if not len(un):
+            break
         room = cap - np.bincount(
             np.maximum(assign, 0), weights=(assign >= 0), minlength=C
         )[:C].astype(np.int64)
         penalty = jnp.asarray(
             np.where(room > 0, 0.0, np.inf), jnp.float32
         )
-        R2 = int(min(64, C))
-        wchunk = min(16_384, _round_up(widened, 256))
-
-        @jax.jit
-        def widen_chunk(ids):
-            xf = rowfn(ids).astype(jnp.float32)
-            dots = jax.lax.dot_general(
-                xf, cents_dev, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dd = (jnp.sum(xf * xf, -1, keepdims=True) - 2.0 * dots
-                  + csq[None, :] + penalty[None, :])
-            # approx above 4k clusters (the _nearest_r_chunk rule):
-            # widen choices re-sort by true distance at admission, so a
-            # rank near-miss only nudges the spill order
-            if C >= 4096 and R2 < C:
-                nd, ii = jax.lax.approx_max_k(-dd, R2, recall_target=0.99)
-            else:
-                nd, ii = jax.lax.top_k(-dd, R2)
-            return ii.astype(jnp.int32), -nd
-
-        un_pad = np.zeros(_round_up(widened, wchunk), np.int32)
-        un_pad[:widened] = un
+        # pad to whole chunks: one compiled widen shape for all rounds
+        un_pad = np.zeros(_round_up(len(un), wchunk), np.int32)
+        un_pad[:len(un)] = un
         cho2 = np.empty((len(un_pad), R2), np.int32)
         cho2_d = np.empty((len(un_pad), R2), np.float32)
         for lo in range(0, len(un_pad), wchunk):
-            ii, dd2 = widen_chunk(jnp.asarray(un_pad[lo:lo + wchunk]))
+            ii, dd2 = widen_chunk(
+                jnp.asarray(un_pad[lo:lo + wchunk]), penalty
+            )
             cho2[lo:lo + wchunk] = np.asarray(ii)
             cho2_d[lo:lo + wchunk] = np.asarray(dd2)
         assign2 = _capacity_assign_host(
-            cho2[:widened], cho2_d[:widened], C, room, defer_residue=True
+            cho2[:len(un)], cho2_d[:len(un)], C, room, defer_residue=True
         )
         assign[un] = assign2
         un = un[assign2 < 0]
