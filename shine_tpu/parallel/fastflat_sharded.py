@@ -26,29 +26,44 @@ from shine_tpu.ops.pallas_scan3 import classmax_scan
 from shine_tpu.parallel.mesh import SHARD_AXIS
 
 
-def _local_scan(ext, q_ext, B, kb, tq, tn, cls, interpret, keep2):
+def _local_scan(ext, q_ext, B, kb, tq, tn, cls, interpret, keep2,
+                fused_sel=False):
     """Per-shard fused class-max sweep -> local candidate rows."""
+    kb_eff = min(kb, cls)
     if keep2:
         # per-class runner-up (ops/pallas_scan3.py v4): recovers bf16
         # near-tie losses at large rows-per-class
-        from shine_tpu.ops.pallas_scan3 import classmax2_scan
+        if fused_sel and not interpret:
+            from shine_tpu.ops.pallas_scan3 import classmax2_topk_scan
 
-        m, r, m2, r2 = classmax2_scan(
-            ext, q_ext, tq=min(tq, B), tn=tn, cls=cls,
-            interpret=interpret,
-        )
-        kb_eff = min(kb, m.shape[1])
-        _, sel = jax.lax.top_k(m, kb_eff)
-        c1 = jnp.take_along_axis(r, sel, axis=1)
-        c2 = jnp.take_along_axis(r2, sel, axis=1)
-        v2 = jnp.take_along_axis(m2, sel, axis=1)
+            _, c1, v2, c2 = classmax2_topk_scan(
+                ext, q_ext, kb=kb_eff, tq=min(tq, B), tn=tn, cls=cls,
+            )
+        else:
+            from shine_tpu.ops.pallas_scan3 import classmax2_scan
+
+            m, r, m2, r2 = classmax2_scan(
+                ext, q_ext, tq=min(tq, B), tn=tn, cls=cls,
+                interpret=interpret,
+            )
+            _, sel = jax.lax.top_k(m, kb_eff)
+            c1 = jnp.take_along_axis(r, sel, axis=1)
+            c2 = jnp.take_along_axis(r2, sel, axis=1)
+            v2 = jnp.take_along_axis(m2, sel, axis=1)
         return jnp.concatenate(
             [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
         ), kb_eff
+    if fused_sel and not interpret:
+        # v5 fused in-kernel top-kb (bit-identical, tests/test_pallas.py)
+        from shine_tpu.ops.pallas_scan3 import classmax_topk_scan
+
+        _, rows = classmax_topk_scan(
+            ext, q_ext, kb=kb_eff, tq=min(tq, B), tn=tn, cls=cls,
+        )
+        return rows, kb_eff
     m, r = classmax_scan(
         ext, q_ext, tq=min(tq, B), tn=tn, cls=cls, interpret=interpret,
     )
-    kb_eff = min(kb, m.shape[1])
     _, sel = jax.lax.top_k(m, kb_eff)
     return jnp.take_along_axis(r, sel, axis=1), kb_eff  # local rows
 
@@ -69,14 +84,14 @@ def _merge_shards(dd, gi, k):
 def _make_search(
     mesh: Mesh, k: int, kb: int, tq: int, cls: int, tn: int, metric: int,
     rows_per_shard: int, interpret: bool, keep2: bool = False,
-    prerank: int = 0,
+    prerank: int = 0, fused_sel: bool = False,
 ):
     def spmd(ext, vectors, sqnorms, queries):
         B = queries.shape[0]
         q = queries.astype(jnp.float32)
         q_ext = pack_ext_query(q, ext.shape[1]).astype(jnp.bfloat16)
         cand_local, kb_eff = _local_scan(
-            ext, q_ext, B, kb, tq, tn, cls, interpret, keep2
+            ext, q_ext, B, kb, tq, tn, cls, interpret, keep2, fused_sel
         )
         cand_local = jnp.where(cand_local < vectors.shape[0], cand_local, -1)
         if prerank and k <= prerank < cand_local.shape[1]:
@@ -110,7 +125,7 @@ def _make_search(
 def _make_search_ext(
     mesh: Mesh, k: int, kb: int, tq: int, cls: int, tn: int, metric: int,
     rows_per_shard: int, interpret: bool, keep2: bool = False,
-    with_regen: bool = False, prerank: int = 0,
+    with_regen: bool = False, prerank: int = 0, fused_sel: bool = False,
 ):
     """Capacity-mode SPMD search: each shard holds ONLY its slice of the
     packed bf16 ext table (no f32 base anywhere — per-chip capacity is
@@ -128,7 +143,7 @@ def _make_search_ext(
         q = queries.astype(jnp.float32)
         q_ext = pack_ext_query(q, ext.shape[1]).astype(jnp.bfloat16)
         cand_local, kb_eff = _local_scan(
-            ext, q_ext, B, kb, tq, tn, cls, interpret, keep2
+            ext, q_ext, B, kb, tq, tn, cls, interpret, keep2, fused_sel
         )
         cand_local = jnp.where(cand_local < ext.shape[0], cand_local, -1)
         my = jax.lax.axis_index(SHARD_AXIS)
@@ -167,7 +182,8 @@ def _make_search_ext(
     return run
 
 
-def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2):
+def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2,
+                      fused_sel=False):
     """Per-shard split-layout class-max sweep -> local candidate rows
     (ops/pallas_scan_split.py; tn follows the 8*cls Mosaic rule)."""
     from shine_tpu.ops.pallas_scan_split import classmax_scan_split
@@ -179,13 +195,27 @@ def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2):
         tn = 8 * cls
         if tn < 16384 and n_loc % (2 * tn) == 0:
             tn *= 2
+    kb_eff = min(kb, cls)
+    if fused_sel and not interpret:
+        # v5 fused in-kernel top-kb (bit-identical, tests/test_split.py)
+        from shine_tpu.ops.pallas_scan_split import classmax_topk_scan_split
+
+        out = classmax_topk_scan_split(
+            comp, aux, q_pad, kb=kb_eff, tq=min(tq, B), tn=tn, cls=cls,
+            keep2=keep2,
+        )
+        if keep2:
+            _, c1, v2, c2 = out
+            return jnp.concatenate(
+                [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+            ), kb_eff
+        return out[1], kb_eff
     out = classmax_scan_split(
         comp, aux, q_pad, tq=min(tq, B), tn=tn, cls=cls, keep2=keep2,
         interpret=interpret,
     )
     if keep2:
         m, r, m2, r2 = out
-        kb_eff = min(kb, m.shape[1])
         _, sel = jax.lax.top_k(m, kb_eff)
         c1 = jnp.take_along_axis(r, sel, axis=1)
         c2 = jnp.take_along_axis(r2, sel, axis=1)
@@ -194,7 +224,6 @@ def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2):
             [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
         ), kb_eff
     m, r = out
-    kb_eff = min(kb, m.shape[1])
     _, sel = jax.lax.top_k(m, kb_eff)
     return jnp.take_along_axis(r, sel, axis=1), kb_eff
 
@@ -202,7 +231,7 @@ def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2):
 def _make_search_split(
     mesh: Mesh, k: int, kb: int, tq: int, cls: int, metric: int,
     rows_per_shard: int, interpret: bool, keep2: bool = False,
-    with_regen: bool = False, prerank: int = 0,
+    with_regen: bool = False, prerank: int = 0, fused_sel: bool = False,
 ):
     """Capacity-mode SPMD search on the SPLIT layout: each shard holds
     its slice of the component table (bf16: 264 B/row, int8: 136 B/row
@@ -218,7 +247,7 @@ def _make_search_split(
         q = queries.astype(jnp.float32)
         q_pad = pack_split_query(q, comp.shape[1])
         cand_local, kb_eff = _local_scan_split(
-            comp, aux, q_pad, B, kb, tq, cls, interpret, keep2
+            comp, aux, q_pad, B, kb, tq, cls, interpret, keep2, fused_sel
         )
         cand_local = jnp.where(cand_local < comp.shape[0], cand_local, -1)
         my = jax.lax.axis_index(SHARD_AXIS)
@@ -360,6 +389,7 @@ class ShardedSplitFlatIndex:
         cls: int = 0,
         keep2: bool | None = None,
         prerank: int = 0,
+        fused_sel: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         from shine_tpu.models.flat import keep2_auto
 
@@ -371,12 +401,13 @@ class ShardedSplitFlatIndex:
         batch_size = min(batch_size, max(nq, 1))
         batch_size = max(tq, -(-batch_size // tq) * tq)
         kb = max(kb, k)
-        key = (k, kb, tq, cls, batch_size, keep2, prerank)
+        key = (k, kb, tq, cls, batch_size, keep2, prerank, fused_sel)
         if key not in self._runs:
             self._runs[key] = _make_search_split(
                 self.mesh, k, kb, tq, cls, self.metric, self.rows,
                 self.interpret, keep2=keep2,
                 with_regen=self.row_source is not None, prerank=prerank,
+                fused_sel=fused_sel,
             )
         run = self._runs[key]
         rep = NamedSharding(self.mesh, P())
@@ -518,6 +549,7 @@ class ShardedFastFlatIndex:
         cls: int = 0,
         keep2: bool | None = None,
         prerank: int = 0,
+        fused_sel: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         from shine_tpu.models.flat import keep2_auto
 
@@ -532,20 +564,20 @@ class ShardedFastFlatIndex:
         batch_size = max(tq, -(-batch_size // tq) * tq)
         kb = max(kb, k)
         capacity = self.vectors is None
-        key = (k, kb, tq, cls, batch_size, keep2, prerank)
+        key = (k, kb, tq, cls, batch_size, keep2, prerank, fused_sel)
         if key not in self._runs:
             if capacity:
                 self._runs[key] = _make_search_ext(
                     self.mesh, k, kb, tq, cls, max(self.tn, cls),
                     self.metric, self.rows, self.interpret, keep2=keep2,
                     with_regen=self.row_source is not None,
-                    prerank=prerank,
+                    prerank=prerank, fused_sel=fused_sel,
                 )
             else:
                 self._runs[key] = _make_search(
                     self.mesh, k, kb, tq, cls, max(self.tn, cls),
                     self.metric, self.rows, self.interpret, keep2=keep2,
-                    prerank=prerank,
+                    prerank=prerank, fused_sel=fused_sel,
                 )
         run = self._runs[key]
         rep = NamedSharding(self.mesh, P())
