@@ -244,6 +244,31 @@ def main() -> None:
                     / wall / 1e9, 1
                 ),
             }
+            if not interp:
+                # v5 fused in-kernel top-kb select: BIT-IDENTICAL ids
+                # to the row above (tests/test_pallas.py), the XLA TopK
+                # program + (B, cls) round-trip leave the dispatch tail
+                qps, ids = time_search(
+                    lambda: fast.search(
+                        qs, 10, batch_size=batch_s, preloaded=pres,
+                        with_dists=False, fused_sel=True,
+                    ),
+                    nq_s,
+                )
+                r = recall_at_k(ids, gts, 10)
+                log(f"# fastflat sustained fused x{reps_s}: qps={qps:.0f} "
+                    f"recall@10={r:.4f}")
+                results.append(("fastflat_sustained_fused", qps, r))
+                wall = nq_s / qps
+                perf["fastflat_sustained_fused"] = {
+                    "tflops": round(
+                        2.0 * nq_s * n_pad * dp / wall / 1e12, 1
+                    ),
+                    "hbm_gbs": round(
+                        (-(-nq_s // batch_s)) * int(fast.ext.nbytes)
+                        / wall / 1e9, 1
+                    ),
+                }
             del pres
     except Exception as e:
         log(f"# fastflat failed: {e!r}")
