@@ -170,6 +170,21 @@ def main() -> None:
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# fastflat keep2: qps={qps:.0f} recall@10={r:.4f}")
         results.append(("fastflat_keep2", qps, r))
+        if not interp:
+            # fused keep2: measured recall 1.0000 at base-scan speed on
+            # the chip (r3f ablation — the v4 kernel's exact point no
+            # longer pays the select tail)
+            qps, ids = time_search(
+                lambda: fast.search(
+                    ds.queries, 10, batch_size=batch, tq=256, kb=32,
+                    keep2=True, fused_sel=True, preloaded=pre,
+                    with_dists=False,
+                ),
+                nq,
+            )
+            r = recall_at_k(ids, ds.ground_truth, 10)
+            log(f"# fastflat keep2 fused: qps={qps:.0f} recall@10={r:.4f}")
+            results.append(("fastflat_keep2_fused", qps, r))
 
         # padding-minimal batch: preload pads nq up to a batch multiple,
         # and at nq=10000/batch=4096 the scan burns 22.9% of its rows on
@@ -245,13 +260,15 @@ def main() -> None:
                 ),
             }
             if not interp:
-                # v5 fused in-kernel top-kb select: BIT-IDENTICAL ids
-                # to the row above (tests/test_pallas.py), the XLA TopK
-                # program + (B, cls) round-trip leave the dispatch tail
+                # v5 fused in-kernel top-kb select at kb=16 (the r3f
+                # chip ablation: fused16 190.6k vs base 158.6k at
+                # B=4096, -0.0007 recall; the kb=32 epilogue loses —
+                # results/tune_dispatch_trims.jsonl). Ids are identical
+                # to the unfused kb=16 select (tests/test_pallas.py).
                 qps, ids = time_search(
                     lambda: fast.search(
                         qs, 10, batch_size=batch_s, preloaded=pres,
-                        with_dists=False, fused_sel=True,
+                        with_dists=False, fused_sel=True, kb=16,
                     ),
                     nq_s,
                 )
