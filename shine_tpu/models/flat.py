@@ -775,11 +775,14 @@ def split_flat_search_at(
     kb_eff = min(kb, cls)
     if fused_sel and not approx_sel and not interpret:
         # v5 fused in-kernel top-kb (ops/pallas_scan3.py:_topk_epilogue;
-        # bit-identical to the unfused select, tests/test_split.py)
+        # bit-identical to the unfused select, tests/test_split.py).
+        # tq halved: sweep state + DMA buffers + epilogue temps hit the
+        # scoped-VMEM cap at tq=512 x cls=2048 (r3f measured 110.9 MB >
+        # 100 MB); the select wall scales with total B, not tq.
         from shine_tpu.ops.pallas_scan_split import classmax_topk_scan_split
 
         out = classmax_topk_scan_split(
-            comp, aux, q_pad, kb=kb_eff, tq=tq, tn=tn, cls=cls,
+            comp, aux, q_pad, kb=kb_eff, tq=min(tq, 256), tn=tn, cls=cls,
             keep2=keep2,
         )
         if keep2:

@@ -200,9 +200,12 @@ def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2,
         # v5 fused in-kernel top-kb (bit-identical, tests/test_split.py)
         from shine_tpu.ops.pallas_scan_split import classmax_topk_scan_split
 
+        # tq capped at 256: the fused split kernel's scoped-VMEM bill
+        # (sweep state + DMA buffers + epilogue temps) exceeds the cap
+        # at tq=512 x cls=2048 (models/flat.py, r3f measurement)
         out = classmax_topk_scan_split(
-            comp, aux, q_pad, kb=kb_eff, tq=min(tq, B), tn=tn, cls=cls,
-            keep2=keep2,
+            comp, aux, q_pad, kb=kb_eff, tq=min(tq, B, 256), tn=tn,
+            cls=cls, keep2=keep2,
         )
         if keep2:
             _, c1, v2, c2 = out
