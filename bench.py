@@ -168,23 +168,10 @@ def main() -> None:
             nq,
         )
         r = recall_at_k(ids, ds.ground_truth, 10)
+        # keep2 now auto-fuses its select (flat.py measured rule — r3f:
+        # 159k vs 116k at identical ids, recall 1.0000 on this dataset)
         log(f"# fastflat keep2: qps={qps:.0f} recall@10={r:.4f}")
         results.append(("fastflat_keep2", qps, r))
-        if not interp:
-            # fused keep2: measured recall 1.0000 at base-scan speed on
-            # the chip (r3f ablation — the v4 kernel's exact point no
-            # longer pays the select tail)
-            qps, ids = time_search(
-                lambda: fast.search(
-                    ds.queries, 10, batch_size=batch, tq=256, kb=32,
-                    keep2=True, fused_sel=True, preloaded=pre,
-                    with_dists=False,
-                ),
-                nq,
-            )
-            r = recall_at_k(ids, ds.ground_truth, 10)
-            log(f"# fastflat keep2 fused: qps={qps:.0f} recall@10={r:.4f}")
-            results.append(("fastflat_keep2_fused", qps, r))
 
         # padding-minimal batch: preload pads nq up to a batch multiple,
         # and at nq=10000/batch=4096 the scan burns 22.9% of its rows on

@@ -420,7 +420,7 @@ class FastFlatIndex:
         keep2: bool | None = None,
         approx_sel: bool = False,
         prerank: int = 0,
-        fused_sel: bool = False,
+        fused_sel: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
         with dimension, so high-dim needs a bigger margin (measured:
@@ -447,6 +447,12 @@ class FastFlatIndex:
             cls = 1024 if keep2_auto(int(self.ext.shape[0]), 2048) else 2048
         if keep2 is None:
             keep2 = keep2_auto(int(self.ext.shape[0]), cls)
+        if fused_sel is None:
+            # measured rule (r3f chip ablation, results/
+            # tune_dispatch_trims.jsonl): the in-kernel select wins for
+            # keep2 (159k vs 116k, identical ids) and kb<=16 (190.6k vs
+            # 159.3k); the kb=32 keep1 epilogue loses (142k vs 158.6k)
+            fused_sel = (keep2 or kb <= 16) and not approx_sel
         out_i, out_d = _fast_flat_search_host(
             self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
             with_dists=with_dists, keep2=keep2, approx_sel=approx_sel,
@@ -638,7 +644,7 @@ class SplitFlatIndex:
         keep2: bool | None = None,
         approx_sel: bool = False,
         prerank: int = 0,
-        fused_sel: bool = False,
+        fused_sel: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Same defaults/auto-rules as FastFlatIndex.search (measured:
         TPU_NOTES r3 'tune grid' + keep2_auto); int8 components widen
@@ -664,6 +670,9 @@ class SplitFlatIndex:
                 ) else 2048
         if keep2 is None:
             keep2 = keep2_auto(int(self.comp.shape[0]), cls)
+        if fused_sel is None:
+            # the FastFlatIndex.search measured rule (r3f ablation)
+            fused_sel = (keep2 or kb <= 16) and not approx_sel
         nq, d = queries.shape
         if self.interpret:
             tq = min(tq, 128)

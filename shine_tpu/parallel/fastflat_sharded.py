@@ -392,7 +392,7 @@ class ShardedSplitFlatIndex:
         cls: int = 0,
         keep2: bool | None = None,
         prerank: int = 0,
-        fused_sel: bool = False,
+        fused_sel: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         from shine_tpu.models.flat import keep2_auto
 
@@ -400,6 +400,9 @@ class ShardedSplitFlatIndex:
             cls = 1024 if keep2_auto(self.rows, 2048) else 2048
         if keep2 is None:
             keep2 = keep2_auto(self.rows, cls)
+        if fused_sel is None:
+            # the FastFlatIndex.search measured rule (r3f ablation)
+            fused_sel = keep2 or kb <= 16
         nq, d = queries.shape
         batch_size = min(batch_size, max(nq, 1))
         batch_size = max(tq, -(-batch_size // tq) * tq)
@@ -552,7 +555,7 @@ class ShardedFastFlatIndex:
         cls: int = 0,
         keep2: bool | None = None,
         prerank: int = 0,
-        fused_sel: bool = False,
+        fused_sel: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         from shine_tpu.models.flat import keep2_auto
 
@@ -562,6 +565,9 @@ class ShardedFastFlatIndex:
             cls = 1024 if keep2_auto(self.rows, 2048) else 2048
         if keep2 is None:
             keep2 = keep2_auto(self.rows, cls)
+        if fused_sel is None:
+            # the FastFlatIndex.search measured rule (r3f ablation)
+            fused_sel = keep2 or kb <= 16
         nq, d = queries.shape
         batch_size = min(batch_size, max(nq, 1))
         batch_size = max(tq, -(-batch_size // tq) * tq)
