@@ -8,6 +8,13 @@ of JAX_PLATFORMS, so the platform is forced through jax.config as well.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Never let tests touch the persistent compile cache: test_cli runs the
+# CLI in-process, which would enable .jax_cache/ for the REST of the
+# suite — and CPU executables AOT-compiled on an earlier host
+# generation (mismatched machine features; the cpu_aot_loader warning)
+# can miscompute, which surfaced as a flaky exact-equality failure in
+# test_chunked_dense_entry_matches_oneshot (full-suite order only).
+os.environ["SHINE_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
