@@ -175,7 +175,10 @@ def build_ivf_layout(
 
     cap = int(np.ceil(cap_slack * n / num_clusters))
     # chunked nearest-centroid ranking (keep top 4 choices per point)
-    R = min(4, num_clusters)
+    # 8 assignment choices: R=2-4 let capacity overflow fall through to
+    # far clusters (the measured routed-split spill, docs/TPU_NOTES.md
+    # "Routed spill"); more choices keep spilled rows probe-reachable
+    R = min(8, num_clusters)
     choice = np.empty((n, R), dtype=np.int32)
     choice_d = np.empty((n, R), dtype=np.float32)
     for lo in range(0, n, 65536):
@@ -386,7 +389,10 @@ def build_ivf_layout_device(
     cents = cents[jnp.asarray(_spatial_order_centroids(np.asarray(cents), seed))]
     csq = jnp.sum(cents * cents, axis=-1)
 
-    R = min(4, num_clusters)
+    # 8 assignment choices: R=2-4 let capacity overflow fall through to
+    # far clusters (the measured routed-split spill, docs/TPU_NOTES.md
+    # "Routed spill"); more choices keep spilled rows probe-reachable
+    R = min(8, num_clusters)
     choice = np.empty((n, R), np.int32)
     choice_d = np.empty((n, R), np.float32)
     for lo in range(0, n, assign_chunk):
