@@ -101,6 +101,7 @@ def main() -> None:
     )
     gt_path = ckpt.replace(".npz", "_gt.npy")
     t0 = time.time()
+    save_after = False
     if os.path.exists(ckpt) and os.path.exists(gt_path):
         idx = load_routed_split(ckpt)
         gt = np.load(gt_path)
@@ -111,8 +112,12 @@ def main() -> None:
             cap_slack=SLACK, comp_dtype="int8", seed=SEED, queries=queries,
             log=lambda m: print(m, flush=True),
         )
-        save_routed_split(idx, ckpt)
         np.save(gt_path, gt)
+        # checkpoint AFTER the sweep: the 100M comp download is ~14 GB
+        # through the tunnel (an hour-class transfer when it degrades,
+        # r3g) — measure first so a timeout still records the sweep.
+        # SHINE_CR_SAVE=0 skips it entirely.
+        save_after = os.environ.get("SHINE_CR_SAVE", "1") == "1"
     table_gb = (idx.comp.nbytes + idx.aux_r.nbytes + idx.gid.nbytes) / 1e9
     emit({
         "stage": "ingest", "seconds": round(time.time() - t0, 1),
@@ -173,6 +178,11 @@ def main() -> None:
         "coverage": round(idx.last_coverage, 4),
         "fallback_queries": idx.last_fallback,
     })
+
+    if save_after:
+        t1 = time.time()
+        save_routed_split(idx, ckpt)
+        emit({"stage": "checkpoint", "seconds": round(time.time() - t1, 1)})
 
 
 if __name__ == "__main__":
