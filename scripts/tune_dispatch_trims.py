@@ -93,6 +93,15 @@ def main() -> None:
         ("fused", dict(kb=KB, fused_sel=True)),
         ("fused16", dict(kb=16, fused_sel=True)),
         ("fused_keep2", dict(kb=KB, fused_sel=True, keep2=True)),
+        # FREE prerank (ops/distance.py:score_trim): the fused kernel's
+        # returned scores trim the candidate set before the f32 gather —
+        # keep2's 2*kb=64 rows/query shrink to 16/24 at the cost of one
+        # (B, 64) sort; the exact-recall row at fused16-class tail cost
+        ("fused_keep2_pre16", dict(kb=KB, fused_sel=True, keep2=True,
+                                   prerank=16)),
+        ("fused_keep2_pre24", dict(kb=KB, fused_sel=True, keep2=True,
+                                   prerank=24)),
+        ("fused16_pre12", dict(kb=16, fused_sel=True, prerank=12)),
     ]
     for name, kw in variants:
         no_base = kw.pop("no_base", False)

@@ -795,12 +795,13 @@ def split_flat_search_at(
             keep2=keep2,
         )
         if keep2:
-            _, cand1, v2, c2 = out
+            v1, cand1, v2, c2 = out
             cand = jnp.concatenate(
                 [cand1, jnp.where(v2 > -3e38, c2, -1)], axis=1
             )
+            vals = jnp.concatenate([v1, v2], axis=1)
         else:
-            cand = out[1]
+            vals, cand = out
     else:
         out = classmax_scan_split(
             comp, aux, q_pad, tq=tq, tn=tn, cls=cls, keep2=keep2,
@@ -808,16 +809,17 @@ def split_flat_search_at(
         )
         if keep2:
             m1, a1, m2, a2 = out
-            _, sel = _select_kb(m1, kb_eff, approx_sel)
+            v1, sel = _select_kb(m1, kb_eff, approx_sel)
             cand1 = jnp.take_along_axis(a1, sel, axis=1)
             c2 = jnp.take_along_axis(a2, sel, axis=1)
             v2 = jnp.take_along_axis(m2, sel, axis=1)
             cand = jnp.concatenate(
                 [cand1, jnp.where(v2 > -3e38, c2, -1)], axis=1
             )
+            vals = jnp.concatenate([v1, v2], axis=1)
         else:
             m1, a1 = out
-            _, sel = _select_kb(m1, kb_eff, approx_sel)
+            vals, sel = _select_kb(m1, kb_eff, approx_sel)
             cand = jnp.take_along_axis(a1, sel, axis=1)
     limit = n or comp.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
@@ -826,12 +828,12 @@ def split_flat_search_at(
         and max(prerank, k) < cand.shape[-1]
         and (vectors is not None or row_source is not None)
     ):
-        # stage-1 trim from the resident split tables before the exact
-        # re-rank (f32 gather or PRNG regen); at capacity scale the regen
-        # cost is O(candidates) threefry, so the trim converts directly
-        from shine_tpu.ops.distance import prerank_trim_split
+        # FREE stage-1 trim from the scan's own candidate scores (see
+        # fast_flat_search); at capacity scale the regen re-rank cost is
+        # O(candidates) threefry, so the trim converts directly
+        from shine_tpu.ops.distance import score_trim
 
-        cand = prerank_trim_split(comp, aux, qj, cand, max(prerank, k))
+        cand = score_trim(vals, cand, max(prerank, k))
     if vectors is not None:
         from shine_tpu.ops.distance import rerank_topk
 
@@ -892,10 +894,13 @@ def fast_flat_search(
         m1, a1, m2, a2 = blockmax_scan(ext, q_ext, tq=tq, tn=tn, interpret=True)
         nb = m1.shape[1]
         kb_eff = min(kb, nb)
-        _, sel = jax.lax.top_k(m1, kb_eff)
+        v1, sel = jax.lax.top_k(m1, kb_eff)
         cand1 = jnp.take_along_axis(a1, sel, axis=1)  # block best rows
         cand2 = jnp.take_along_axis(a2, sel, axis=1)  # runner-ups
         cand = jnp.concatenate([cand1, cand2], axis=1)
+        vals = jnp.concatenate(
+            [v1, jnp.take_along_axis(m2, sel, axis=1)], axis=1
+        )
     elif keep2:
         kb_eff = min(kb, cls)
         if fused_sel and not approx_sel:
@@ -904,7 +909,7 @@ def fast_flat_search(
             # from the dispatch tail (bit-identical outputs, tested)
             from shine_tpu.ops.pallas_scan3 import classmax2_topk_scan
 
-            _, cand1, v2, c2 = classmax2_topk_scan(
+            v1, cand1, v2, c2 = classmax2_topk_scan(
                 ext, q_ext, kb=kb_eff, tq=tq, tn=tn, cls=cls
             )
         else:
@@ -913,7 +918,7 @@ def fast_flat_search(
             m1, a1, m2, a2 = classmax2_scan(
                 ext, q_ext, tq=tq, tn=tn, cls=cls
             )
-            _, sel = _select_kb(m1, kb_eff, approx_sel)
+            v1, sel = _select_kb(m1, kb_eff, approx_sel)
             cand1 = jnp.take_along_axis(a1, sel, axis=1)
             c2 = jnp.take_along_axis(a2, sel, axis=1)
             v2 = jnp.take_along_axis(m2, sel, axis=1)
@@ -921,19 +926,20 @@ def fast_flat_search(
         # near-tie loss at large rows-per-class; ops/pallas_scan3.py v4)
         cand2 = jnp.where(v2 > -3e38, c2, -1)
         cand = jnp.concatenate([cand1, cand2], axis=1)
+        vals = jnp.concatenate([v1, v2], axis=1)
     else:
         kb_eff = min(kb, cls)
         if fused_sel and not approx_sel:
             from shine_tpu.ops.pallas_scan3 import classmax_topk_scan
 
-            _, cand = classmax_topk_scan(
+            vals, cand = classmax_topk_scan(
                 ext, q_ext, kb=kb_eff, tq=tq, tn=tn, cls=cls
             )
         else:
             from shine_tpu.ops.pallas_scan3 import classmax_scan
 
             m1, a1 = classmax_scan(ext, q_ext, tq=tq, tn=tn, cls=cls)
-            _, sel = _select_kb(m1, kb_eff, approx_sel)
+            vals, sel = _select_kb(m1, kb_eff, approx_sel)
             cand = jnp.take_along_axis(a1, sel, axis=1)
     limit = n or vectors.shape[0]
     cand = jnp.where(cand < limit, cand, -1)
@@ -942,12 +948,15 @@ def fast_flat_search(
         and max(prerank, k) < cand.shape[-1]
         and (vectors is not None or row_source is not None)
     ):
-        # stage-1 bf16 trim from the resident scan table before the
-        # exact re-rank (f32 gather or PRNG regen) — shrinks the tail
-        # that binds the small-N dispatch (round-4 candidate #3)
-        from shine_tpu.ops.distance import prerank_trim_ext
+        # FREE stage-1 trim: the scan already scored every candidate
+        # (kernel epilogue values / top_k values), so the kb -> prerank
+        # cut before the exact re-rank is a (B, K) sort — no table
+        # re-read (prerank_trim_ext re-gathered K bf16 rows to recompute
+        # the same scores). Shrinks the gather + re-rank tail that binds
+        # the small-N dispatch (round-4 candidate #3).
+        from shine_tpu.ops.distance import score_trim
 
-        cand = prerank_trim_ext(ext, q_ext, cand, max(prerank, k))
+        cand = score_trim(vals, cand, max(prerank, k))
     if vectors is None:
         if row_source is not None:
             # capacity mode, EXACT: regenerate candidate rows from their

@@ -158,6 +158,28 @@ def rerank_topk_split(
     return dd[..., :k], ids[..., :k]
 
 
+def score_trim(
+    vals: jnp.ndarray,  # (..., K) f32 stage-1 scores (higher = closer)
+    cand_ids: jnp.ndarray,  # (..., K) i32, -1 pad
+    pre: int,
+) -> jnp.ndarray:
+    """The FREE prerank: trim candidates to the best `pre` using scores
+    already in hand. The class-max scan kernels return the bf16-accumulated
+    score of every selected candidate (fused v5 epilogue, or the top_k
+    values on the unfused path), so the kb -> pre trim before the exact
+    re-rank needs no HBM gather and no re-scoring — prerank_trim_ext /
+    prerank_trim_split re-read K rows from the resident tables to recompute
+    exactly this number. A (B, K) three-key sort replaces that round trip.
+    Tie-break (score desc, id asc) matches the trim helpers given equal
+    scores; -1 padding sorts last."""
+    sd = jnp.where(cand_ids >= 0, -vals.astype(jnp.float32), jnp.inf)
+    key_i = jnp.where(cand_ids < 0, jnp.int32(2**31 - 1), cand_ids)
+    _, _, ids = jax.lax.sort(
+        (sd, key_i, cand_ids), dimension=-1, num_keys=2
+    )
+    return ids[..., :pre]
+
+
 def prerank_trim_ext(
     ext: jnp.ndarray,  # (N_pad, dp) bf16 packed score table
     q_ext: jnp.ndarray,  # (B, dp) packed extended queries

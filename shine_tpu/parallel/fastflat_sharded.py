@@ -28,7 +28,9 @@ from shine_tpu.parallel.mesh import SHARD_AXIS
 
 def _local_scan(ext, q_ext, B, kb, tq, tn, cls, interpret, keep2,
                 fused_sel=False):
-    """Per-shard fused class-max sweep -> local candidate rows."""
+    """Per-shard fused class-max sweep -> (local candidate rows, their
+    stage-1 scores, kb_eff). The scores feed the FREE prerank trim
+    (ops/distance.py:score_trim) — no table re-read."""
     kb_eff = min(kb, cls)
     if keep2:
         # per-class runner-up (ops/pallas_scan3.py v4): recovers bf16
@@ -36,7 +38,7 @@ def _local_scan(ext, q_ext, B, kb, tq, tn, cls, interpret, keep2,
         if fused_sel and not interpret:
             from shine_tpu.ops.pallas_scan3 import classmax2_topk_scan
 
-            _, c1, v2, c2 = classmax2_topk_scan(
+            v1, c1, v2, c2 = classmax2_topk_scan(
                 ext, q_ext, kb=kb_eff, tq=min(tq, B), tn=tn, cls=cls,
             )
         else:
@@ -46,26 +48,28 @@ def _local_scan(ext, q_ext, B, kb, tq, tn, cls, interpret, keep2,
                 ext, q_ext, tq=min(tq, B), tn=tn, cls=cls,
                 interpret=interpret,
             )
-            _, sel = jax.lax.top_k(m, kb_eff)
+            v1, sel = jax.lax.top_k(m, kb_eff)
             c1 = jnp.take_along_axis(r, sel, axis=1)
             c2 = jnp.take_along_axis(r2, sel, axis=1)
             v2 = jnp.take_along_axis(m2, sel, axis=1)
-        return jnp.concatenate(
-            [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
-        ), kb_eff
+        return (
+            jnp.concatenate([c1, jnp.where(v2 > -3e38, c2, -1)], axis=1),
+            jnp.concatenate([v1, v2], axis=1),
+            kb_eff,
+        )
     if fused_sel and not interpret:
         # v5 fused in-kernel top-kb (bit-identical, tests/test_pallas.py)
         from shine_tpu.ops.pallas_scan3 import classmax_topk_scan
 
-        _, rows = classmax_topk_scan(
+        vals, rows = classmax_topk_scan(
             ext, q_ext, kb=kb_eff, tq=min(tq, B), tn=tn, cls=cls,
         )
-        return rows, kb_eff
+        return rows, vals, kb_eff
     m, r = classmax_scan(
         ext, q_ext, tq=min(tq, B), tn=tn, cls=cls, interpret=interpret,
     )
-    _, sel = jax.lax.top_k(m, kb_eff)
-    return jnp.take_along_axis(r, sel, axis=1), kb_eff  # local rows
+    vals, sel = jax.lax.top_k(m, kb_eff)
+    return jnp.take_along_axis(r, sel, axis=1), vals, kb_eff  # local rows
 
 
 def _merge_shards(dd, gi, k):
@@ -90,17 +94,17 @@ def _make_search(
         B = queries.shape[0]
         q = queries.astype(jnp.float32)
         q_ext = pack_ext_query(q, ext.shape[1]).astype(jnp.bfloat16)
-        cand_local, kb_eff = _local_scan(
+        cand_local, vals, kb_eff = _local_scan(
             ext, q_ext, B, kb, tq, tn, cls, interpret, keep2, fused_sel
         )
         cand_local = jnp.where(cand_local < vectors.shape[0], cand_local, -1)
         if prerank and k <= prerank < cand_local.shape[1]:
-            # stage-1 bf16 trim from the shard's own scan table: shrinks
-            # BOTH the exact-re-rank gather and the merge's all_gather
-            # lanes (kb -> prerank per shard)
-            from shine_tpu.ops.distance import prerank_trim_ext
+            # FREE stage-1 trim from the scan's own scores: shrinks BOTH
+            # the exact-re-rank gather and the merge's all_gather lanes
+            # (kb -> prerank per shard) at the cost of one (B, K) sort
+            from shine_tpu.ops.distance import score_trim
 
-            cand_local = prerank_trim_ext(ext, q_ext, cand_local, prerank)
+            cand_local = score_trim(vals, cand_local, prerank)
             kb_eff = prerank
         # exact f32 re-rank against OWNED rows
         dd, ii = rerank_topk(vectors, sqnorms, q, cand_local, kb_eff, metric)
@@ -142,21 +146,20 @@ def _make_search_ext(
         B = queries.shape[0]
         q = queries.astype(jnp.float32)
         q_ext = pack_ext_query(q, ext.shape[1]).astype(jnp.bfloat16)
-        cand_local, kb_eff = _local_scan(
+        cand_local, vals, kb_eff = _local_scan(
             ext, q_ext, B, kb, tq, tn, cls, interpret, keep2, fused_sel
         )
         cand_local = jnp.where(cand_local < ext.shape[0], cand_local, -1)
         my = jax.lax.axis_index(SHARD_AXIS)
         if with_regen:
             if prerank and k <= prerank < cand_local.shape[1]:
-                # trim before the O(candidates) threefry regeneration —
-                # stage-1 precision equals the scan's, so the exact
-                # stage keeps its recall at a generous margin
-                from shine_tpu.ops.distance import prerank_trim_ext
+                # FREE trim before the O(candidates) threefry regen —
+                # the trim reuses the scan's own scores (score_trim),
+                # whose precision equals the stage that picked the
+                # candidates, so the exact stage keeps its recall
+                from shine_tpu.ops.distance import score_trim
 
-                cand_local = prerank_trim_ext(
-                    ext, q_ext, cand_local, prerank
-                )
+                cand_local = score_trim(vals, cand_local, prerank)
                 kb_eff = prerank
             rkey, centers = rs
             gid = jnp.where(
@@ -208,27 +211,33 @@ def _local_scan_split(comp, aux, q_pad, B, kb, tq, cls, interpret, keep2,
             cls=cls, keep2=keep2,
         )
         if keep2:
-            _, c1, v2, c2 = out
-            return jnp.concatenate(
-                [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
-            ), kb_eff
-        return out[1], kb_eff
+            v1, c1, v2, c2 = out
+            return (
+                jnp.concatenate(
+                    [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
+                ),
+                jnp.concatenate([v1, v2], axis=1),
+                kb_eff,
+            )
+        return out[1], out[0], kb_eff
     out = classmax_scan_split(
         comp, aux, q_pad, tq=min(tq, B), tn=tn, cls=cls, keep2=keep2,
         interpret=interpret,
     )
     if keep2:
         m, r, m2, r2 = out
-        _, sel = jax.lax.top_k(m, kb_eff)
+        v1, sel = jax.lax.top_k(m, kb_eff)
         c1 = jnp.take_along_axis(r, sel, axis=1)
         c2 = jnp.take_along_axis(r2, sel, axis=1)
         v2 = jnp.take_along_axis(m2, sel, axis=1)
-        return jnp.concatenate(
-            [c1, jnp.where(v2 > -3e38, c2, -1)], axis=1
-        ), kb_eff
+        return (
+            jnp.concatenate([c1, jnp.where(v2 > -3e38, c2, -1)], axis=1),
+            jnp.concatenate([v1, v2], axis=1),
+            kb_eff,
+        )
     m, r = out
-    _, sel = jax.lax.top_k(m, kb_eff)
-    return jnp.take_along_axis(r, sel, axis=1), kb_eff
+    vals, sel = jax.lax.top_k(m, kb_eff)
+    return jnp.take_along_axis(r, sel, axis=1), vals, kb_eff
 
 
 def _make_search_split(
@@ -249,20 +258,18 @@ def _make_search_split(
         B = queries.shape[0]
         q = queries.astype(jnp.float32)
         q_pad = pack_split_query(q, comp.shape[1])
-        cand_local, kb_eff = _local_scan_split(
+        cand_local, vals, kb_eff = _local_scan_split(
             comp, aux, q_pad, B, kb, tq, cls, interpret, keep2, fused_sel
         )
         cand_local = jnp.where(cand_local < comp.shape[0], cand_local, -1)
         my = jax.lax.axis_index(SHARD_AXIS)
         if with_regen:
             if prerank and k <= prerank < cand_local.shape[1]:
-                # stage-1 trim from the shard's split tables before the
-                # exact regen re-rank (same win as _make_search_ext)
-                from shine_tpu.ops.distance import prerank_trim_split
+                # FREE stage-1 trim from the scan's own scores before
+                # the exact regen re-rank (same win as _make_search_ext)
+                from shine_tpu.ops.distance import score_trim
 
-                cand_local = prerank_trim_split(
-                    comp, aux, q, cand_local, prerank
-                )
+                cand_local = score_trim(vals, cand_local, prerank)
                 kb_eff = prerank
             rkey, centers = rs
             gid = jnp.where(

@@ -363,3 +363,49 @@ def test_classmax_topk_scan_split_fused_identity():
             c2 = jnp.take_along_axis(ref[3], sel, axis=1)
             assert (np.asarray(fused[2]) == np.asarray(v2)).all()
             assert (np.asarray(fused[3]) == np.asarray(c2)).all()
+
+
+def test_score_trim_matches_bruteforce(rng):
+    """score_trim (the FREE prerank: sort candidates by in-hand stage-1
+    scores) picks exactly the best `pre` ids with (score desc, id asc)
+    tie-breaks and keeps -1 pads out — same contract as
+    prerank_trim_ext given equal scores, minus the table re-read."""
+    from shine_tpu.ops.distance import score_trim
+
+    B, K, pre = 16, 32, 8
+    vals = rng.normal(size=(B, K)).astype(np.float32)
+    cand = rng.integers(0, 4096, size=(B, K)).astype(np.int32)
+    cand[:, -3:] = -1
+    vals[:, 5] = vals[:, 6]  # forced score ties: id breaks them
+    got = np.asarray(score_trim(jnp.asarray(vals), jnp.asarray(cand), pre))
+    for b in range(B):
+        order = sorted(
+            range(K),
+            key=lambda j: (
+                (np.inf, 2**31 - 1, -1)
+                if cand[b, j] < 0
+                else (-vals[b, j], int(cand[b, j]), int(cand[b, j]))
+            ),
+        )
+        want = [int(cand[b, j]) for j in order[:pre]]
+        assert list(got[b]) == want, b
+    assert (got >= 0).all()
+
+
+def test_fastflat_prerank_end_to_end(rng):
+    """prerank>0 on the single-chip fastflat + split programs: the free
+    score trim shrinks the exact re-rank set kb -> prerank without
+    losing recall (the trim's precision equals the scan's own)."""
+    from shine_tpu.io import recall_at_k, synthetic_dataset
+    from shine_tpu.models.flat import FastFlatIndex, SplitFlatIndex
+
+    ds = synthetic_dataset(n=4096, dim=32, num_queries=64, seed=11, gt_k=10)
+    for cls_idx in (FastFlatIndex, SplitFlatIndex):
+        idx = cls_idx(ds.base, interpret=True)
+        base_i, _ = idx.search(ds.queries, 10, kb=32, tq=64, batch_size=64)
+        trim_i, _ = idx.search(
+            ds.queries, 10, kb=32, tq=64, batch_size=64, prerank=16
+        )
+        r0 = recall_at_k(base_i, ds.ground_truth, 10)
+        r1 = recall_at_k(trim_i, ds.ground_truth, 10)
+        assert r1 >= r0 - 0.03, (cls_idx.__name__, r0, r1)
