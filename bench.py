@@ -273,6 +273,32 @@ def main() -> None:
                         / wall / 1e9, 1
                     ),
                 }
+                # megabatch: the whole stream as ONE lax.map program
+                # (models/flat.py:fast_flat_search_mega) — no per-batch
+                # launch cost at all; measures the pure device ceiling
+                # the dispatch profile predicts (~470k QPS at 200k)
+                qps, ids = time_search(
+                    lambda: fast.search(
+                        qs, 10, batch_size=batch_s, preloaded=pres,
+                        with_dists=False, fused_sel=True, kb=16,
+                        megabatch=True,
+                    ),
+                    nq_s,
+                )
+                r = recall_at_k(ids, gts, 10)
+                log(f"# fastflat sustained mega x{reps_s}: qps={qps:.0f} "
+                    f"recall@10={r:.4f}")
+                results.append(("fastflat_sustained_mega", qps, r))
+                wall = nq_s / qps
+                perf["fastflat_sustained_mega"] = {
+                    "tflops": round(
+                        2.0 * nq_s * n_pad * dp / wall / 1e12, 1
+                    ),
+                    "hbm_gbs": round(
+                        (-(-nq_s // batch_s)) * int(fast.ext.nbytes)
+                        / wall / 1e9, 1
+                    ),
+                }
             del pres
     except Exception as e:
         log(f"# fastflat failed: {e!r}")

@@ -421,6 +421,7 @@ class FastFlatIndex:
         approx_sel: bool = False,
         prerank: int = 0,
         fused_sel: bool | None = None,
+        megabatch: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """kb=0 auto-sizes the re-rank margin: bf16 score near-ties widen
         with dimension, so high-dim needs a bigger margin (measured:
@@ -436,11 +437,14 @@ class FastFlatIndex:
         costs QPS — TPU_NOTES '1M x 64 keep2 refresh').
         with_dists=False skips the distance download (the dev tunnel
         moves ~20 MB/s; recall-only callers save a transfer).
-        prerank>0 inserts a stage-1 bf16 trim from the resident scan
-        table before the exact f32 re-rank (kb -> prerank candidates) —
-        the gather + re-rank tail is ~2.4x the scan in the small-N
-        dispatch (TPU_NOTES 'Dispatch stage profile'); measure with
-        scripts/tune_dispatch_trims.py before changing the default."""
+        prerank>0 trims kb -> prerank candidates before the exact f32
+        re-rank using the scan's own scores (ops/distance.py:score_trim
+        — free); the gather + re-rank tail is ~2.4x the scan in the
+        small-N dispatch (TPU_NOTES 'Dispatch stage profile'); measure
+        with scripts/tune_dispatch_trims.py before changing the default.
+        megabatch=True folds the whole batch loop into ONE dispatched
+        program (fast_flat_search_mega, lax.map over batches) — for
+        sustained streams where the per-dispatch launch cost binds."""
         if kb <= 0:
             kb = 32 if self.dim < 512 else 128
         if cls <= 0:
@@ -456,7 +460,7 @@ class FastFlatIndex:
         out_i, out_d = _fast_flat_search_host(
             self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
             with_dists=with_dists, keep2=keep2, approx_sel=approx_sel,
-            prerank=prerank, fused_sel=fused_sel,
+            prerank=prerank, fused_sel=fused_sel, megabatch=megabatch,
         )
         if self.perm is not None:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
@@ -973,9 +977,46 @@ def fast_flat_search(
     return rerank_topk(vectors, sqnorms, q, cand, k, metric)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
+        "keep2", "n", "approx_sel", "prerank", "fused_sel",
+    ),
+)
+def fast_flat_search_mega(
+    ext, vectors, sqnorms, q_dev, *, k, kb, tq, tn, cls, metric, batch,
+    interpret=False, keep2=False, n=0, row_source=None, approx_sel=False,
+    prerank=0, fused_sel=False,
+):
+    """The whole query stream in ONE dispatch: `lax.map` over (L, batch)
+    query slabs. The per-batch host loop pays a fixed program-launch +
+    tunnel cost per dispatch (~4.7 ms/batch measured even with async
+    dispatches — docs/TPU_NOTES.md 'Dispatch stage profile'); folding the
+    batch loop into the program leaves only device time. Same per-batch
+    program as fast_flat_search, bit-identical outputs (tests)."""
+    from shine_tpu.ops.pallas_scan import pack_ext_query
+
+    L = q_dev.shape[0] // batch
+    qs = q_dev[: L * batch].reshape(L, batch, q_dev.shape[1])
+
+    def body(qj):
+        q_ext = pack_ext_query(qj, ext.shape[1]).astype(jnp.bfloat16)
+        return fast_flat_search(
+            ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn,
+            cls=cls, metric=metric, interpret=interpret, keep2=keep2, n=n,
+            row_source=row_source, approx_sel=approx_sel, prerank=prerank,
+            fused_sel=fused_sel,
+        )
+
+    d, i = jax.lax.map(body, qs)
+    return d.reshape(L * batch, -1), i.reshape(L * batch, -1)
+
+
 def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                            preloaded=None, with_dists=True, keep2=False,
-                           approx_sel=False, prerank=0, fused_sel=False):
+                           approx_sel=False, prerank=0, fused_sel=False,
+                           megabatch=False):
     nq, d = queries.shape
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
@@ -999,24 +1040,37 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
     # the scan kernel needs tn % cls == 0; raise the DMA chunk when the
     # class count grows (cls scales with N to bound collision loss)
     tn = max(idx.tn, cls)
-    parts = []
-    for lo in range(0, nq_pad, batch_size):
-        parts.append(
-            fast_flat_search_at(
-                idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
-                k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
-                batch=batch_size, interpret=idx.interpret, keep2=keep2,
-                n=idx.n, row_source=idx.row_source, approx_sel=approx_sel,
-                prerank=prerank, fused_sel=fused_sel,
-            )
+    if megabatch and nq_pad > batch_size:
+        # one program for the whole stream (lax.map over batches): kills
+        # the per-dispatch launch cost that binds the sustained cadence
+        all_d, all_i = fast_flat_search_mega(
+            idx.ext, idx.vectors, idx.sqnorms, q_dev,
+            k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
+            batch=batch_size, interpret=idx.interpret, keep2=keep2,
+            n=idx.n, row_source=idx.row_source, approx_sel=approx_sel,
+            prerank=prerank, fused_sel=fused_sel,
         )
-    # batches dispatch asynchronously; one host transfer at the end (the
-    # tunnel round-trip costs ~50-100 ms, so per-batch syncs dominate)
-    if len(parts) == 1:
-        all_d, all_i = parts[0]
     else:
-        all_d = jnp.concatenate([p[0] for p in parts], axis=0)
-        all_i = jnp.concatenate([p[1] for p in parts], axis=0)
+        parts = []
+        for lo in range(0, nq_pad, batch_size):
+            parts.append(
+                fast_flat_search_at(
+                    idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
+                    k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=idx.metric,
+                    batch=batch_size, interpret=idx.interpret, keep2=keep2,
+                    n=idx.n, row_source=idx.row_source,
+                    approx_sel=approx_sel, prerank=prerank,
+                    fused_sel=fused_sel,
+                )
+            )
+        # batches dispatch asynchronously; one host transfer at the end
+        # (the tunnel round-trip costs ~50-100 ms, so per-batch syncs
+        # dominate)
+        if len(parts) == 1:
+            all_d, all_i = parts[0]
+        else:
+            all_d = jnp.concatenate([p[0] for p in parts], axis=0)
+            all_i = jnp.concatenate([p[1] for p in parts], axis=0)
     out_i[:] = np.asarray(all_i)[:nq]
     if with_dists:
         out_d[:] = np.asarray(all_d)[:nq]

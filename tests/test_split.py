@@ -409,3 +409,18 @@ def test_fastflat_prerank_end_to_end(rng):
         r0 = recall_at_k(base_i, ds.ground_truth, 10)
         r1 = recall_at_k(trim_i, ds.ground_truth, 10)
         assert r1 >= r0 - 0.03, (cls_idx.__name__, r0, r1)
+
+
+def test_fastflat_megabatch_identity(rng):
+    """megabatch=True (one lax.map program over the batch loop) is
+    bit-identical to the per-batch dispatch path."""
+    from shine_tpu.io import synthetic_dataset
+    from shine_tpu.models.flat import FastFlatIndex
+
+    ds = synthetic_dataset(n=4096, dim=32, num_queries=192, seed=7, gt_k=10)
+    idx = FastFlatIndex(ds.base, interpret=True)
+    kw = dict(k=10, kb=16, tq=64, batch_size=64)
+    loop_i, loop_d = idx.search(ds.queries, **kw)
+    mega_i, mega_d = idx.search(ds.queries, megabatch=True, **kw)
+    assert (loop_i == mega_i).all()
+    assert np.array_equal(loop_d, mega_d)
