@@ -649,6 +649,7 @@ class SplitFlatIndex:
         approx_sel: bool = False,
         prerank: int = 0,
         fused_sel: bool | None = None,
+        megabatch: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Same defaults/auto-rules as FastFlatIndex.search (measured:
         TPU_NOTES r3 'tune grid' + keep2_auto); int8 components widen
@@ -712,23 +713,35 @@ class SplitFlatIndex:
                     f"n_pad={n_pad} not divisible by tn={tn}; pad split "
                     f"tables to SPLIT_QUANTUM or lower cls"
                 )
-        parts = []
-        for lo in range(0, nq_pad, batch_size):
-            parts.append(
-                split_flat_search_at(
-                    self.comp, self.aux, self.vectors, self.sqnorms,
-                    q_dev, lo, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
-                    metric=self.metric, batch=batch_size,
-                    interpret=self.interpret, keep2=keep2, n=self.n,
-                    row_source=self.row_source, approx_sel=approx_sel,
-                    prerank=prerank, fused_sel=fused_sel,
-                )
+        if megabatch and nq_pad > batch_size:
+            # one lax.map program over the batch loop (see
+            # fast_flat_search_mega — kills the per-dispatch launch cost)
+            all_d, all_i = split_flat_search_mega(
+                self.comp, self.aux, self.vectors, self.sqnorms, q_dev,
+                k=k, kb=kb, tq=tq, tn=tn, cls=cls, metric=self.metric,
+                batch=batch_size, interpret=self.interpret, keep2=keep2,
+                n=self.n, row_source=self.row_source,
+                approx_sel=approx_sel, prerank=prerank,
+                fused_sel=fused_sel,
             )
-        if len(parts) == 1:
-            all_d, all_i = parts[0]
         else:
-            all_d = jnp.concatenate([p[0] for p in parts], axis=0)
-            all_i = jnp.concatenate([p[1] for p in parts], axis=0)
+            parts = []
+            for lo in range(0, nq_pad, batch_size):
+                parts.append(
+                    split_flat_search_at(
+                        self.comp, self.aux, self.vectors, self.sqnorms,
+                        q_dev, lo, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
+                        metric=self.metric, batch=batch_size,
+                        interpret=self.interpret, keep2=keep2, n=self.n,
+                        row_source=self.row_source, approx_sel=approx_sel,
+                        prerank=prerank, fused_sel=fused_sel,
+                    )
+                )
+            if len(parts) == 1:
+                all_d, all_i = parts[0]
+            else:
+                all_d = jnp.concatenate([p[0] for p in parts], axis=0)
+                all_i = jnp.concatenate([p[1] for p in parts], axis=0)
         out_i[:] = np.asarray(all_i)[:nq]
         if with_dists:
             out_d[:] = np.asarray(all_d)[:nq]
@@ -778,12 +791,55 @@ def split_flat_search_at(
 ):
     """One fused program on the split layout: slice queries, pad to the
     component lanes, class-max scan, select, re-rank."""
+    qj = jax.lax.dynamic_slice_in_dim(q_dev, lo, batch, 0)
+    return _split_flat_batch(
+        comp, aux, vectors, sqnorms, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
+        metric=metric, interpret=interpret, keep2=keep2, n=n,
+        row_source=row_source, approx_sel=approx_sel, prerank=prerank,
+        fused_sel=fused_sel,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "kb", "tq", "tn", "cls", "metric", "batch", "interpret",
+        "keep2", "n", "approx_sel", "prerank", "fused_sel",
+    ),
+)
+def split_flat_search_mega(
+    comp, aux, vectors, sqnorms, q_dev, *, k, kb, tq, tn, cls, metric,
+    batch, interpret=False, keep2=False, n=0, row_source=None,
+    approx_sel=False, prerank=0, fused_sel=False,
+):
+    """The split twin of fast_flat_search_mega: the whole query stream as
+    ONE lax.map program — no per-batch launch cost (bit-identical to the
+    per-batch loop, tests)."""
+    L = q_dev.shape[0] // batch
+    qs = q_dev[: L * batch].reshape(L, batch, q_dev.shape[1])
+
+    def body(qj):
+        return _split_flat_batch(
+            comp, aux, vectors, sqnorms, qj, k=k, kb=kb, tq=tq, tn=tn,
+            cls=cls, metric=metric, interpret=interpret, keep2=keep2, n=n,
+            row_source=row_source, approx_sel=approx_sel, prerank=prerank,
+            fused_sel=fused_sel,
+        )
+
+    d, i = jax.lax.map(body, qs)
+    return d.reshape(L * batch, -1), i.reshape(L * batch, -1)
+
+
+def _split_flat_batch(
+    comp, aux, vectors, sqnorms, qj, *, k, kb, tq, tn, cls, metric,
+    interpret=False, keep2=False, n=0, row_source=None,
+    approx_sel=False, prerank=0, fused_sel=False,
+):
     from shine_tpu.ops.pallas_scan_split import (
         classmax_scan_split,
         pack_split_query,
     )
 
-    qj = jax.lax.dynamic_slice_in_dim(q_dev, lo, batch, 0)
     q_pad = pack_split_query(qj, comp.shape[1])
     kb_eff = min(kb, cls)
     if fused_sel and not approx_sel and not interpret:

@@ -424,3 +424,17 @@ def test_fastflat_megabatch_identity(rng):
     mega_i, mega_d = idx.search(ds.queries, megabatch=True, **kw)
     assert (loop_i == mega_i).all()
     assert np.array_equal(loop_d, mega_d)
+
+
+def test_split_megabatch_identity(rng):
+    """SplitFlatIndex megabatch=True is bit-identical to the loop path."""
+    from shine_tpu.io import synthetic_dataset
+    from shine_tpu.models.flat import SplitFlatIndex
+
+    ds = synthetic_dataset(n=4096, dim=32, num_queries=192, seed=9, gt_k=10)
+    idx = SplitFlatIndex(ds.base, interpret=True)
+    kw = dict(k=10, kb=16, tq=64, batch_size=64, cls=256)
+    loop_i, loop_d = idx.search(ds.queries, **kw)
+    mega_i, mega_d = idx.search(ds.queries, megabatch=True, **kw)
+    assert (loop_i == mega_i).all()
+    assert np.array_equal(loop_d, mega_d)
