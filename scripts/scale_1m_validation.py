@@ -138,6 +138,16 @@ def phase_onchip(ivf_only: bool = False):
         dt = _t.time() - t0
     r = recall_at_k(ids, z["gt"], 10)
     print(f"# fastflat 1M x {D} on-chip: qps={NQ/dt:.0f} recall@10={r:.4f}")
+    # megabatch (one lax.map program over the batch loop): at 1M the
+    # scan is ~6 ms/1024-batch, so the ~4.7 ms/dispatch launch cost is
+    # nearly half the wall — the mega program should recover most of it
+    for _ in range(2):
+        t0 = _t.time()
+        ids, _ = fast.search(q, 10, batch_size=1024, preloaded=pre,
+                             with_dists=False, megabatch=True)
+        dt = _t.time() - t0
+    r = recall_at_k(ids, z["gt"], 10)
+    print(f"# fastflat 1M mega: qps={NQ/dt:.0f} recall@10={r:.4f}")
     _onchip_ivf(z, q)
 
 
