@@ -77,8 +77,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     q.add_argument("--prerank", type=int, default=0,
                    help="fastflat/split stage-1 trim width before the "
-                        "exact re-rank (0 = off; measured by "
-                        "scripts/tune_dispatch_trims.py)")
+                        "exact re-rank (0 = off; the trim reuses the "
+                        "scan's own scores — ops/distance.py:score_trim; "
+                        "measured by scripts/tune_dispatch_trims.py)")
+    q.add_argument("--megabatch", action="store_true",
+                   help="fastflat/split single-chip: fold the whole "
+                        "query stream into ONE compiled program "
+                        "(lax.map over batches) — kills the per-batch "
+                        "launch cost on sustained streams")
     q.add_argument("--exchange", choices=("dense", "compact"),
                    default="dense", help="sharded-HNSW ICI exchange "
                    "pattern (compact = bucketed all_to_all owner RPC)")
@@ -298,9 +304,10 @@ def _build(args, ds, params, mesh, timing):
                 ds.base, metric=params.metric,
                 interpret=jax.default_backend() != "tpu",
             )
+        kw = {} if mesh is not None else {"megabatch": args.megabatch}
         return (
             lambda q: idx.search(q, args.k, batch_size=args.batch,
-                                 prerank=args.prerank)[0],
+                                 prerank=args.prerank, **kw)[0],
             ds.base.nbytes,
             idx,
         )
@@ -328,9 +335,10 @@ def _build(args, ds, params, mesh, timing):
                 seed=args.seed,
                 interpret=jax.default_backend() != "tpu",
             )
+        kw = {} if mesh is not None else {"megabatch": args.megabatch}
         return (
             lambda q: idx.search(q, args.k, batch_size=args.batch,
-                                 prerank=args.prerank)[0],
+                                 prerank=args.prerank, **kw)[0],
             idx.comp.nbytes + idx.aux.nbytes,
             idx,
         )

@@ -375,6 +375,14 @@ def batched_search(
                 idx = off + jax.lax.broadcasted_iota(
                     jnp.int32, (B, UCHUNK), 1
                 )
+                # the clamped tail window (off < lo) re-covers ids already
+                # seen by earlier chunks; an unmasked duplicate that lands
+                # in the running top-m would DISPLACE a genuine m-th seed
+                # (the beam dedups ids, so the chunked path would start
+                # with fewer unique seeds than the one-shot sweep — a
+                # real, graph-dependent results divergence, caught as an
+                # order-dependent test flake)
+                du = jnp.where(idx >= lo, du, jnp.inf)
                 all_d = jnp.concatenate([bd, du], axis=1)
                 all_i = jnp.concatenate([bi, idx], axis=1)
                 nd_, sel_ = jax.lax.top_k(-all_d, m)
@@ -385,8 +393,6 @@ def batched_search(
             nd, sel = jax.lax.fori_loop(
                 0, num_c, entry_chunk, (bd0, bi0)
             )
-            # duplicate rows from the clamped tail window are harmless:
-            # the beam's id-dedup merge drops them
             seed_ids = g.upper_ids[sel]
             nd = -nd
         seed_d = -nd
