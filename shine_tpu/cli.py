@@ -186,6 +186,14 @@ def main(argv: list[str] | None = None) -> int:
         from shine_tpu.parallel import shard_mesh
 
         mesh = shard_mesh(args.shards)
+        if args.megabatch:
+            import warnings
+
+            warnings.warn(
+                "--megabatch is single-chip only and is ignored with "
+                "--shards > 1 (the sharded searcher dispatches per batch)",
+                stacklevel=1,
+            )
 
     if args.index == "auto":
         # measured family rule (TPU_NOTES "Rate model"): the packed-bf16

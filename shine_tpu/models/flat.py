@@ -445,6 +445,19 @@ class FastFlatIndex:
         megabatch=True folds the whole batch loop into ONE dispatched
         program (fast_flat_search_mega, lax.map over batches) — for
         sustained streams where the per-dispatch launch cost binds."""
+        kb, cls, keep2, fused_sel = self._resolve_knobs(
+            kb, cls, keep2, fused_sel, approx_sel
+        )
+        out_i, out_d = _fast_flat_search_host(
+            self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
+            with_dists=with_dists, keep2=keep2, approx_sel=approx_sel,
+            prerank=prerank, fused_sel=fused_sel, megabatch=megabatch,
+        )
+        if self.perm is not None:
+            out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
+        return out_i, out_d
+
+    def _resolve_knobs(self, kb, cls, keep2, fused_sel, approx_sel):
         if kb <= 0:
             kb = 32 if self.dim < 512 else 128
         if cls <= 0:
@@ -457,14 +470,50 @@ class FastFlatIndex:
             # keep2 (159k vs 116k, identical ids) and kb<=16 (190.6k vs
             # 159.3k); the kb=32 keep1 epilogue loses (142k vs 158.6k)
             fused_sel = (keep2 or kb <= 16) and not approx_sel
-        out_i, out_d = _fast_flat_search_host(
-            self, queries, k, kb, batch_size, tq, cls, preloaded=preloaded,
-            with_dists=with_dists, keep2=keep2, approx_sel=approx_sel,
-            prerank=prerank, fused_sel=fused_sel, megabatch=megabatch,
+        return kb, cls, keep2, fused_sel
+
+    def search_device(
+        self,
+        preloaded,
+        k: int = 10,
+        *,
+        kb: int = 0,
+        batch_size: int = 4096,
+        tq: int = 512,
+        cls: int = 0,
+        keep2: bool | None = None,
+        approx_sel: bool = False,
+        prerank: int = 0,
+        fused_sel: bool | None = None,
+        megabatch: bool = True,
+    ):
+        """Device-resident twin of search(): same programs, same knob
+        auto-rules, but returns (ids, dists) as DEVICE arrays with the
+        shuffle permutation applied on-device — no host download. This
+        is the production serving shape (a colocated host, or results
+        feeding further on-device work); over this environment's dev
+        tunnel (~20-40 MB/s) the download otherwise dominates the timed
+        wall (docs/TPU_NOTES.md r4 'Mega profile'). Callers sync with
+        np.asarray(jnp.sum(ids)) and download outside the timed region.
+        Reference analogue: the CN keeps results in its own RAM and only
+        aggregates recall (compute_node.cc:277-319)."""
+        q_dev, nq = preloaded
+        kb, cls, keep2, fused_sel = self._resolve_knobs(
+            kb, cls, keep2, fused_sel, approx_sel
+        )
+        all_d, all_i = _fast_flat_search_dispatch(
+            self, q_dev, k, kb, batch_size, tq, cls, keep2=keep2,
+            approx_sel=approx_sel, prerank=prerank, fused_sel=fused_sel,
+            megabatch=megabatch,
         )
         if self.perm is not None:
-            out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
-        return out_i, out_d
+            if getattr(self, "_perm_dev", None) is None:
+                self._perm_dev = jnp.asarray(self.perm)
+            all_i = jnp.where(
+                all_i >= 0, jnp.take(self._perm_dev, jnp.maximum(all_i, 0)),
+                -1,
+            )
+        return all_i[:nq], all_d[:nq]
 
     def cost_counters(self, nq: int, k: int = 10, *, kb: int = 0,
                       batch_size: int = 4096) -> dict:
@@ -815,6 +864,10 @@ def split_flat_search_mega(
     """The split twin of fast_flat_search_mega: the whole query stream as
     ONE lax.map program — no per-batch launch cost (bit-identical to the
     per-batch loop, tests)."""
+    assert q_dev.shape[0] % batch == 0, (
+        f"mega path needs rows % batch == 0 (got {q_dev.shape[0]} % {batch});"
+        " pad the query stream like FastFlatIndex.search does"
+    )
     L = q_dev.shape[0] // batch
     qs = q_dev[: L * batch].reshape(L, batch, q_dev.shape[1])
 
@@ -956,11 +1009,13 @@ def fast_flat_search(
         kb_eff = min(kb, nb)
         v1, sel = jax.lax.top_k(m1, kb_eff)
         cand1 = jnp.take_along_axis(a1, sel, axis=1)  # block best rows
+        m2_sel = jnp.take_along_axis(m2, sel, axis=1)
         cand2 = jnp.take_along_axis(a2, sel, axis=1)  # runner-ups
+        # same sentinel mask as every kernel keep2 path: a -inf runner-up
+        # score must not carry a valid-looking row id downstream
+        cand2 = jnp.where(m2_sel > -3e38, cand2, -1)
         cand = jnp.concatenate([cand1, cand2], axis=1)
-        vals = jnp.concatenate(
-            [v1, jnp.take_along_axis(m2, sel, axis=1)], axis=1
-        )
+        vals = jnp.concatenate([v1, m2_sel], axis=1)
     elif keep2:
         kb_eff = min(kb, cls)
         if fused_sel and not approx_sel:
@@ -1053,6 +1108,10 @@ def fast_flat_search_mega(
     program as fast_flat_search, bit-identical outputs (tests)."""
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
+    assert q_dev.shape[0] % batch == 0, (
+        f"mega path needs rows % batch == 0 (got {q_dev.shape[0]} % {batch});"
+        " pad the query stream like FastFlatIndex.search does"
+    )
     L = q_dev.shape[0] // batch
     qs = q_dev[: L * batch].reshape(L, batch, q_dev.shape[1])
 
@@ -1074,8 +1133,6 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
                            approx_sel=False, prerank=0, fused_sel=False,
                            megabatch=False):
     nq, d = queries.shape
-    from shine_tpu.ops.pallas_scan import pack_ext_query
-
     if idx.interpret:
         tq = min(tq, 128)
     batch_size = max(tq, -(-min(batch_size, max(nq, 1)) // tq) * tq)
@@ -1087,12 +1144,33 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
     if preloaded is not None:
         q_dev, nq_real = preloaded
         assert nq_real == nq and q_dev.shape[0] % batch_size == 0
-        nq_pad = q_dev.shape[0]
     else:
         nq_pad = -(-nq // batch_size) * batch_size
         q_all = np.zeros((nq_pad, d), np.float32)
         q_all[:nq] = queries.astype(np.float32)
         q_dev = jnp.asarray(q_all)
+    all_d, all_i = _fast_flat_search_dispatch(
+        idx, q_dev, k, kb, batch_size, tq, cls, keep2=keep2,
+        approx_sel=approx_sel, prerank=prerank, fused_sel=fused_sel,
+        megabatch=megabatch,
+    )
+    out_i[:] = np.asarray(all_i)[:nq]
+    if with_dists:
+        out_d[:] = np.asarray(all_d)[:nq]
+    else:
+        out_d.fill(0)
+    return out_i, out_d
+
+
+def _fast_flat_search_dispatch(idx, q_dev, k, kb, batch_size, tq, cls,
+                               keep2=False, approx_sel=False, prerank=0,
+                               fused_sel=False, megabatch=False):
+    """Dispatch the scan programs over a staged (nq_pad, d) device query
+    array; returns DEVICE (dists, ids) — download is the caller's call."""
+    if idx.interpret:
+        tq = min(tq, 128)
+    nq_pad = q_dev.shape[0]
+    assert nq_pad % batch_size == 0
     # the scan kernel needs tn % cls == 0; raise the DMA chunk when the
     # class count grows (cls scales with N to bound collision loss)
     tn = max(idx.tn, cls)
@@ -1127,9 +1205,4 @@ def _fast_flat_search_host(idx, queries, k, kb, batch_size, tq, cls=1024,
         else:
             all_d = jnp.concatenate([p[0] for p in parts], axis=0)
             all_i = jnp.concatenate([p[1] for p in parts], axis=0)
-    out_i[:] = np.asarray(all_i)[:nq]
-    if with_dists:
-        out_d[:] = np.asarray(all_d)[:nq]
-    else:
-        out_d.fill(0)
-    return out_i, out_d
+    return all_d, all_i

@@ -157,6 +157,38 @@ def test_chunked_dense_entry_matches_oneshot(ds, graph):
     np.testing.assert_allclose(da, db, rtol=1e-4, atol=1e-3)
 
 
+def test_clamped_tail_chunk_no_duplicate_seeds(ds, graph):
+    """Regression for the clamped-tail duplicate-seed hazard
+    (models/hnsw.py entry_chunk): when U % UCHUNK != 0 the last chunk's
+    window is clamped to [U-UCHUNK, U) and re-covers ids earlier chunks
+    already scored; without the idx >= lo mask a duplicate can DISPLACE
+    a genuine m-th seed from the running top-m. Pick UCHUNK just over
+    U/2 so chunk 2 overlaps chunk 1 almost entirely, and entry_seeds
+    near UCHUNK so any displacement lands inside the kept window."""
+    from shine_tpu.config import SearchParams
+    from shine_tpu.models import hnsw as hnsw_mod
+    from shine_tpu.models.hnsw import HNSWIndex
+
+    U = int(np.sum(graph.levels > 0))  # upper vertices (GraphSoA invariant)
+    assert U >= 8, "fixture graph too small for the overlap scenario"
+    m = min(U, 32)
+    sp = SearchParams(k=10, ef=48, entry_seeds=m)
+    idx = HNSWIndex(graph)
+    a, da = idx.search(ds.queries[:64], sp, batch_size=64)
+
+    old = hnsw_mod.ENTRY_UCHUNK
+    try:
+        # two chunks, second clamped: lo = UCHUNK > U - UCHUNK = off
+        hnsw_mod.ENTRY_UCHUNK = U // 2 + 3
+        hnsw_mod.batched_search.clear_cache()
+        b, db = idx.search(ds.queries[:64], sp, batch_size=64)
+    finally:
+        hnsw_mod.ENTRY_UCHUNK = old
+        hnsw_mod.batched_search.clear_cache()
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(da, db, rtol=1e-4, atol=1e-3)
+
+
 def test_quantized_row_serving(ds, graph):
     """One built graph serves at f32/bf16/int8 row storage (quantized at
     upload, models/hnsw.py:device_graph): traversal is gather-bound, so
