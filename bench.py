@@ -96,13 +96,22 @@ def log(msg: str) -> None:
 
 
 def time_search(fn, nq: int, reps: int = 3) -> tuple[float, np.ndarray]:
+    """Median-of-reps QPS (the gate needs a statistic that doesn't chase
+    the single luckiest rep on this shared host; reference reports a
+    single full-run wall, compute_node.cc:554-556). Per-rep walls land
+    in time_search.last for rows that publish spread."""
     ids, _ = fn()  # compile + warmup
-    best = float("inf")
+    walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
         ids, _ = fn()
-        best = min(best, time.perf_counter() - t0)
-    return nq / best, ids
+        walls.append(time.perf_counter() - t0)
+    med = sorted(walls)[len(walls) // 2]
+    time_search.last = {
+        "qps_reps": [round(nq / w, 1) for w in walls],
+        "qps_spread": round((max(walls) - min(walls)) / med, 3),
+    }
+    return nq / med, ids
 
 
 def main() -> None:
@@ -130,6 +139,16 @@ def main() -> None:
     results = []  # (name, qps, recall)
     perf = {}  # name -> {tflops, hbm_gbs} achieved-rate attribution
 
+    spreads = {}  # name -> {qps_reps, qps_spread} (median-of-3 stats)
+
+    def add_result(name, qps, r):
+        """Record a row + its per-rep spread (time_search.last)."""
+        results.append((name, qps, r))
+        last = getattr(time_search, "last", None)
+        if last:
+            spreads[name] = dict(last)
+            time_search.last = None
+
     # --- flagship: fused block-max scan (pallas) ---
     try:
         from shine_tpu.models.flat import FastFlatIndex
@@ -146,7 +165,7 @@ def main() -> None:
         )
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# fastflat: qps={qps:.0f} recall@10={r:.4f}")
-        results.append(("fastflat", qps, r))
+        add_result("fastflat", qps, r)
         # achieved kernel rates (statistics.hh:122-141 analogue): the
         # scan computes 2*B*N_pad*dp flops and streams the bf16 ext
         # table once per batch; rates are N-dependent (chunk-count
@@ -171,7 +190,7 @@ def main() -> None:
         # keep2 now auto-fuses its select (flat.py measured rule — r3f:
         # 159k vs 116k at identical ids, recall 1.0000 on this dataset)
         log(f"# fastflat keep2: qps={qps:.0f} recall@10={r:.4f}")
-        results.append(("fastflat_keep2", qps, r))
+        add_result("fastflat_keep2", qps, r)
 
         # padding-minimal batch: preload pads nq up to a batch multiple,
         # and at nq=10000/batch=4096 the scan burns 22.9% of its rows on
@@ -194,7 +213,7 @@ def main() -> None:
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# fastflat b{b2}: qps={qps:.0f} recall@10={r:.4f}")
-            results.append((f"fastflat_b{b2}", qps, r))
+            add_result(f"fastflat_b{b2}", qps, r)
             wall = nq / qps
             perf[f"fastflat_b{b2}"] = {
                 "tflops": round(2.0 * nq * n_pad * dp / wall / 1e12, 1),
@@ -237,7 +256,7 @@ def main() -> None:
             r = recall_at_k(ids, gts, 10)
             log(f"# fastflat sustained x{reps_s}: qps={qps:.0f} "
                 f"recall@10={r:.4f}")
-            results.append(("fastflat_sustained", qps, r))
+            add_result("fastflat_sustained", qps, r)
             wall = nq_s / qps
             perf["fastflat_sustained"] = {
                 "tflops": round(2.0 * nq_s * n_pad * dp / wall / 1e12, 1),
@@ -262,7 +281,7 @@ def main() -> None:
                 r = recall_at_k(ids, gts, 10)
                 log(f"# fastflat sustained fused x{reps_s}: qps={qps:.0f} "
                     f"recall@10={r:.4f}")
-                results.append(("fastflat_sustained_fused", qps, r))
+                add_result("fastflat_sustained_fused", qps, r)
                 wall = nq_s / qps
                 perf["fastflat_sustained_fused"] = {
                     "tflops": round(
@@ -288,7 +307,7 @@ def main() -> None:
                 r = recall_at_k(ids, gts, 10)
                 log(f"# fastflat sustained mega x{reps_s}: qps={qps:.0f} "
                     f"recall@10={r:.4f}")
-                results.append(("fastflat_sustained_mega", qps, r))
+                add_result("fastflat_sustained_mega", qps, r)
                 wall = nq_s / qps
                 perf["fastflat_sustained_mega"] = {
                     "tflops": round(
@@ -299,6 +318,57 @@ def main() -> None:
                         / wall / 1e9, 1
                     ),
                 }
+                # device-timed mega: the row above spends ~40% of its
+                # wall downloading the (nq, 10) ids over this env's dev
+                # tunnel (~20-40 MB/s) — an artifact a colocated serving
+                # host doesn't pay (the reference CN likewise keeps
+                # results in local RAM, compute_node.cc:277-319). Here
+                # the timed region is dispatch + full device execution,
+                # synced by an all-elements digest; ids download for the
+                # recall check happens after the clock stops.
+                # (r4 profile: results/profile_mega.jsonl — the same
+                # program measures 6.3 ms/slab device vs 10.6 ms with
+                # the download in the loop.)
+                import jax.numpy as _jnp
+
+                def _mega_dev():
+                    ii, _dd = fast.search_device(
+                        pres, 10, batch_size=batch_s, fused_sel=True,
+                        kb=16, megabatch=True,
+                    )
+                    return ii
+
+                ii = _mega_dev()
+                float(np.asarray(_jnp.sum(ii.astype(_jnp.float32))))  # warm
+                walls_md = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    ii = _mega_dev()
+                    float(np.asarray(_jnp.sum(ii.astype(_jnp.float32))))
+                    walls_md.append(time.perf_counter() - t0)
+                med = sorted(walls_md)[len(walls_md) // 2]
+                time_search.last = {
+                    "qps_reps": [round(nq_s / w, 1) for w in walls_md],
+                    "qps_spread": round(
+                        (max(walls_md) - min(walls_md)) / med, 3
+                    ),
+                }
+                qps = nq_s / med
+                ids = np.asarray(ii)[:nq_s]
+                r = recall_at_k(ids, gts, 10)
+                log(f"# fastflat sustained mega dev x{reps_s}: "
+                    f"qps={qps:.0f} recall@10={r:.4f}")
+                add_result("fastflat_sustained_mega_dev", qps, r)
+                wall = nq_s / qps
+                perf.setdefault("fastflat_sustained_mega_dev", {}).update({
+                    "tflops": round(
+                        2.0 * nq_s * n_pad * dp / wall / 1e12, 1
+                    ),
+                    "hbm_gbs": round(
+                        (-(-nq_s // batch_s)) * int(fast.ext.nbytes)
+                        / wall / 1e9, 1
+                    ),
+                })
             del pres
     except Exception as e:
         log(f"# fastflat failed: {e!r}")
@@ -322,7 +392,7 @@ def main() -> None:
         )
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# split: qps={qps:.0f} recall@10={r:.4f}")
-        results.append(("split", qps, r))
+        add_result("split", qps, r)
         n_pad, dpc = spl.comp.shape
         wall = nq / qps
         batches = -(-nq // batch)
@@ -344,19 +414,22 @@ def main() -> None:
     )
     r = recall_at_k(ids, ds.ground_truth, 10)
     log(f"# flat: qps={qps:.0f} recall@10={r:.4f}")
-    results.append(("flat", qps, r))
+    add_result("flat", qps, r)
 
     # --- IVF (clustered pruning) ---
     try:
         ivf = IVFIndex(ds.base, seed=7)
-        for probes in (16, 32, 64):
+        # p=16 published 0.9036 recall at 200k — below the 0.95 operating
+        # point, so it's out of the table (VERDICT r3 weak #5); p=32 is
+        # the family's first >=0.95 point on this dataset
+        for probes in (32, 64):
             qps, ids = time_search(
                 lambda p=probes: ivf.search(ds.queries, 10, probes=p, batch_size=batch),
                 nq,
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# ivf p={probes}: qps={qps:.0f} recall@10={r:.4f}")
-            results.append((f"ivf{probes}", qps, r))
+            add_result(f"ivf{probes}", qps, r)
         # routed: tile-shared probing (wins past ~1M rows where the flat
         # scan's O(N) per query bites; measured 27.3k @ 0.995 at 200k)
         ipre = ivf.preload(ds.queries, batch_size=batch)
@@ -369,7 +442,7 @@ def main() -> None:
         )
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# ivf routed p=16 P=128 T=64: qps={qps:.0f} recall@10={r:.4f}")
-        results.append(("ivf_routed", qps, r))
+        add_result("ivf_routed", qps, r)
     except Exception as e:  # keep the bench robust
         log(f"# ivf failed: {e!r}")
 
@@ -390,7 +463,7 @@ def main() -> None:
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# hnsw ef={ef}: qps={qps:.0f} recall@10={r:.4f}")
-            results.append(("hnsw", qps, r))
+            add_result("hnsw", qps, r)
             # bf16 traversal rows: halves the gather bytes of the
             # gather-bound path (at 10M this was ~1.5x; same graph,
             # quantized at upload — models/hnsw.py DeviceGraph)
@@ -401,7 +474,7 @@ def main() -> None:
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# hnsw bf16 ef={ef}: qps={qps:.0f} recall@10={r:.4f}")
-            results.append(("hnsw_bf16", qps, r))
+            add_result("hnsw_bf16", qps, r)
         except Exception as e:
             log(f"# hnsw failed: {e!r}")
 
@@ -429,7 +502,40 @@ def main() -> None:
         "vs_baseline": round(qps / BASELINE_QPS, 3),
     }
     doc.update(perf.get(name, {}))
+    doc.update(spreads.get(name, {}))
+    rc = 0
+    if "--gate" in sys.argv:
+        # regression gate (VERDICT r3 #6): every row named in the
+        # checked-in floors file must exist, meet its recall floor, and
+        # hold >= 85% of its floor QPS (floors sit at the low edge of
+        # the measured band, so a trip is a real regression, not host
+        # noise — CLAUDE.md 'run-to-run variance'). Same JSON-result
+        # discipline as the reference (statistics.hh:14-62).
+        floors_path = os.environ.get("SHINE_BENCH_FLOORS") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_floors.json"
+        )
+        with open(floors_path) as f:
+            floors = json.load(f)
+        by_name = {nm: (q, rr) for nm, q, rr in results}
+        for nm, fl in floors.items():
+            if nm not in by_name:
+                log(f"# GATE FAIL: row {nm} missing from this run")
+                rc = 2
+                continue
+            q, rr = by_name[nm]
+            if q < 0.85 * fl["qps"]:
+                log(f"# GATE FAIL: {nm} qps {q:.0f} < 85% of floor "
+                    f"{fl['qps']}")
+                rc = 2
+            if rr < fl["recall10"]:
+                log(f"# GATE FAIL: {nm} recall {rr:.4f} < floor "
+                    f"{fl['recall10']}")
+                rc = 2
+        if rc == 0:
+            log(f"# gate: all {len(floors)} floors held")
     print(json.dumps(doc))
+    if rc:
+        raise SystemExit(rc)
 
 
 if __name__ == "__main__":

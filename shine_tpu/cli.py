@@ -196,12 +196,12 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     if args.index == "auto":
-        # measured family rule (TPU_NOTES "Rate model"): the packed-bf16
-        # ext scan is the speed layout (6.05 ns/row marginal) up to
-        # ~20M rows/chip; the int8 split layout trades 2.6x the scan
-        # rate for 3.3x the rows/chip (100.66M @ recall 1.0 measured)
+        # measured family rule incl. the routed-vs-split crossover —
+        # thresholds + rationale live in config.auto_index_family
+        from shine_tpu.config import auto_index_family
+
         rows_per_chip = ds.n / (args.shards if args.shards > 1 else 1)
-        args.index = "fastflat" if rows_per_chip <= 20e6 else "split"
+        args.index = auto_index_family(ds.n, args.shards)
         print(f"# --index auto: {rows_per_chip/1e6:.1f}M rows/chip -> "
               f"{args.index}", file=sys.stderr)
 

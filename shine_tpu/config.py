@@ -10,11 +10,45 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 METRIC_L2 = 0  # squared L2, matching reference distance.hh:80-118
 METRIC_IP = 1  # 1 - <a,b>, matching reference distance.hh:139
 
 _METRIC_NAMES = {"l2": METRIC_L2, "ip": METRIC_IP}
+
+# --index auto family thresholds (rows PER CHIP), all measured on chip:
+# - the packed-bf16 fastflat scan is the speed family to ~20M rows/chip
+#   (6.05 ns/row marginal, 20.97M @ recall 0.9968 — TPU_NOTES "Rate
+#   model"); beyond that the exact-re-rank layout stops fitting HBM.
+# - the routed split capacity layout (models/routed_split.py) holds the
+#   reference's >=0.95 operating point (scripts/datasets.py:13-20)
+#   through ~64M rows/chip: 41.9M v3 recipe measures 0.955 @ 20.4k QPS,
+#   ~7x the exact split scan (results/scale_capacity_routed.jsonl) —
+#   while at 100M its nearest-assignment coverage ceiling (the "T=32
+#   law", TPU_NOTES) tops out at 0.91.
+# - above the routed ceiling only the exact int8 split scan keeps
+#   >=0.95 (100.66M rows on one chip @ recall 1.0000, 1.25k QPS).
+# Env overrides (tests + operating-point revisions without a release):
+# SHINE_AUTO_FASTFLAT_MAX, SHINE_AUTO_ROUTED_MAX.
+AUTO_FASTFLAT_MAX_ROWS = 20e6
+AUTO_ROUTED_MAX_ROWS = 64e6
+
+
+def auto_index_family(n_rows: int, shards: int = 1) -> str:
+    """The --index auto rule: pick the fastest family whose measured
+    recall envelope clears the reference's 0.95 operating point at this
+    many rows per chip (reference tunes per dataset, datasets.py)."""
+    per_chip = n_rows / max(shards, 1)
+    fmax = float(os.environ.get("SHINE_AUTO_FASTFLAT_MAX",
+                                AUTO_FASTFLAT_MAX_ROWS))
+    rmax = float(os.environ.get("SHINE_AUTO_ROUTED_MAX",
+                                AUTO_ROUTED_MAX_ROWS))
+    if per_chip <= fmax:
+        return "fastflat"
+    if per_chip <= rmax:
+        return "routed"
+    return "split"
 
 
 def metric_id(metric: str | int) -> int:

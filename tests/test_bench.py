@@ -43,3 +43,43 @@ def test_bench_smoke(tmp_path):
     # every family row must have run (a crashed row logs "# ... failed")
     assert "failed" not in out.stderr, out.stderr[-2000:]
     assert "# fastflat sustained x2:" in out.stderr
+
+
+def test_bench_gate(tmp_path):
+    """--gate: floors that hold -> rc 0; an unreachable floor or a
+    missing row -> rc 2 with a GATE FAIL line (VERDICT r3 #6)."""
+    env = dict(
+        os.environ,
+        SHINE_BENCH_CPU="1",
+        SHINE_BENCH_N="8192",
+        SHINE_BENCH_D="32",
+        SHINE_BENCH_Q="256",
+        SHINE_BENCH_BATCH="128",
+        SHINE_BENCH_SKIP_HNSW="1",
+        SHINE_BENCH_SUSTAIN="0",
+        SHINE_BENCH_CACHE=str(tmp_path),
+    )
+    ok_floors = tmp_path / "floors_ok.json"
+    ok_floors.write_text(json.dumps({"flat": {"qps": 1, "recall10": 0.9}}))
+    bad_floors = tmp_path / "floors_bad.json"
+    bad_floors.write_text(json.dumps({
+        "flat": {"qps": 10 ** 12, "recall10": 0.9},
+        "no_such_row": {"qps": 1, "recall10": 0.0},
+    }))
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py"), "--gate"],
+        env=dict(env, SHINE_BENCH_FLOORS=str(ok_floors)),
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "gate: all 1 floors held" in out.stderr
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py"), "--gate"],
+        env=dict(env, SHINE_BENCH_FLOORS=str(bad_floors)),
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 2, (out.returncode, out.stderr[-2000:])
+    assert "GATE FAIL" in out.stderr
+    # the headline JSON still prints so the driver records the run
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["value"] > 0

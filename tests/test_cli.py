@@ -254,6 +254,48 @@ def test_cli_index_auto(capsys):
     assert doc["queries"]["recall"] > 0.95
 
 
+def test_auto_index_family_boundaries():
+    """The three-family rule at its measured edges (config.py): fastflat
+    to 20M rows/chip, routed through 64M (41.9M holds >=0.95 at ~7x the
+    exact split QPS), exact split beyond. Shards divide the rows."""
+    from shine_tpu.config import (
+        AUTO_FASTFLAT_MAX_ROWS,
+        AUTO_ROUTED_MAX_ROWS,
+        auto_index_family,
+    )
+
+    f, r = int(AUTO_FASTFLAT_MAX_ROWS), int(AUTO_ROUTED_MAX_ROWS)
+    assert auto_index_family(f) == "fastflat"
+    assert auto_index_family(f + 1) == "routed"
+    assert auto_index_family(r) == "routed"
+    assert auto_index_family(r + 1) == "split"
+    # shards scale the per-chip rows: 8 chips push the boundary 8x out
+    assert auto_index_family(8 * f, shards=8) == "fastflat"
+    assert auto_index_family(8 * f + 8, shards=8) == "routed"
+    assert auto_index_family(8 * r + 8, shards=8) == "split"
+
+
+def test_cli_index_auto_routed_and_split_e2e(capsys, monkeypatch):
+    """End-to-end at each auto-family boundary: shrink the thresholds via
+    the env overrides so a CPU-sized dataset exercises each branch."""
+    monkeypatch.setenv("SHINE_AUTO_FASTFLAT_MAX", "10000")
+    monkeypatch.setenv("SHINE_AUTO_ROUTED_MAX", "30000")
+    doc = run_cli(
+        ["--synthetic", "20000:16", "--index", "auto", "--probes", "16",
+         "--ivf-shared", "32", "--ivf-tile", "32",
+         "--num-queries", "64", "--batch", "64"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.85  # routed branch
+    monkeypatch.setenv("SHINE_AUTO_ROUTED_MAX", "15000")
+    doc = run_cli(
+        ["--synthetic", "20000:16", "--index", "auto",
+         "--num-queries", "64", "--batch", "64"],
+        capsys,
+    )
+    assert doc["queries"]["recall"] > 0.95  # exact split branch
+
+
 def test_cli_sharded_split(capsys):
     # --index split --shards: host base row-sharded over the CPU mesh
     # (ShardedSplitFlatIndex.from_host), ids mapped back through perm
