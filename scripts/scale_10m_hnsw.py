@@ -31,12 +31,20 @@ enable_compile_cache()
 N = int(os.environ.get("SHINE_10MH_N", 10_485_760))
 M = int(os.environ.get("SHINE_10MH_M", 16))
 D = int(os.environ.get("SHINE_10MH_D", 128))
+# efc-parity pool: exact top-`pool` candidate lists feed select_heuristic
+# (the reference's ef_construction analog — fastbuild docstring); 0 keeps
+# the scan-speed default (2M)
+POOL = int(os.environ.get("SHINE_10MH_EFC", 0))
+# serving row storage: 20M-row graphs need bf16 rows for base+adjacency
+# to coexist in 16 GB HBM (models/hnsw.py quantized upload)
+ROWS = os.environ.get("SHINE_10MH_ROWS", "f32")
 NQ = 2048
 OUT = os.path.join(ROOT, "results", "scale_10m_hnsw.jsonl")
 
 
 def emit(rec: dict) -> None:
-    rec = {"n": N, "d": D, "nq": NQ, **rec}
+    rec = {"n": N, "d": D, "nq": NQ, "M": M, "pool": POOL, "rows": ROWS,
+           **rec}
     print("#", json.dumps(rec), flush=True)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "a") as f:
@@ -57,11 +65,9 @@ def main() -> None:
     emit({"stage": "gen+gt", "seconds": round(time.time() - t0, 1)})
 
     os.environ["SHINE_FASTBUILD_TIMING"] = "1"
-    params = HNSWParams(M=M, ef_construction=200)
-    ckpt = os.path.join(
-        ROOT, ".bench_cache",
-        f"hnsw10m_{N}x{D}.npz" if M == 16 else f"hnsw10m_{N}x{D}_m{M}.npz",
-    )
+    params = HNSWParams(M=M, ef_construction=POOL or 200)
+    tag = ("" if M == 16 else f"_m{M}") + (f"_efc{POOL}" if POOL else "")
+    ckpt = os.path.join(ROOT, ".bench_cache", f"hnsw10m_{N}x{D}{tag}.npz")
     if os.path.exists(ckpt) and os.environ.get("SHINE_10MH_REBUILD") != "1":
         from shine_tpu.io import load_graph
 
@@ -84,16 +90,16 @@ def main() -> None:
         t0 = time.time()
         graph = fast_build_graph(
             base, params, base_dev=ds.base_dev, stage_path=stage,
+            pool=POOL,
         )
         build_s = time.time() - t0
-        emit({"stage": "fastbuild", "seconds": round(build_s, 1),
-              "M": params.M})
+        emit({"stage": "fastbuild", "seconds": round(build_s, 1)})
         from shine_tpu.io import save_graph
 
         save_graph(graph, ckpt)  # a ~70-min build deserves a checkpoint
 
-    del ds.base_dev  # free 5 GB HBM before the search graph uploads
-    idx = HNSWIndex(graph)
+    del ds.base_dev  # free 5-10 GB HBM before the search graph uploads
+    idx = HNSWIndex(graph, rows=ROWS)
     for ef in (64, 96, 128):
         sp = SearchParams(k=10, ef=ef, frontier=8)
         ids, _ = idx.search(ds.queries, sp, batch_size=2048)

@@ -32,6 +32,10 @@ enable_compile_cache()
 
 N = int(os.environ.get("SHINE_1M_N", 1_048_576))
 D = int(os.environ.get("SHINE_1M_D", 128))
+M = int(os.environ.get("SHINE_1M_M", 16))
+# efc-parity pool (exact top-`pool` candidates into select_heuristic —
+# the reference ef_construction analog, fastbuild docstring); 0 = 2M
+POOL = int(os.environ.get("SHINE_1M_EFC", 0))
 NQ = 2048
 EFS = tuple(
     int(x) for x in os.environ.get("SHINE_1M_EFS", "64,96,128").split(",")
@@ -84,18 +88,20 @@ def main() -> None:
           "gb": round(base.nbytes / 1e9, 2)})
 
     os.environ["SHINE_FASTBUILD_TIMING"] = "1"
-    params = HNSWParams(M=16, ef_construction=200)
+    params = HNSWParams(M=M, ef_construction=POOL or 200)
     # crash-resume checkpoint for layer 0; a leftover stage file would make
     # build_s a lie (layer 0 skipped), so unless the caller explicitly asks
     # to resume (SHINE_1M_RESUME=1) a stale one is removed first
-    stage = os.path.join(ROOT, ".bench_cache", f"hnsw1m_{N}x{D}_stage0.npz")
+    tag = ("" if M == 16 else f"_m{M}") + (f"_efc{POOL}" if POOL else "")
+    stage = os.path.join(ROOT, ".bench_cache",
+                         f"hnsw1m_{N}x{D}{tag}_stage0.npz")
     if os.environ.get("SHINE_1M_RESUME") != "1" and os.path.exists(stage):
         os.remove(stage)
     t0 = time.time()
-    graph = fast_build_graph(base, params, stage_path=stage)
+    graph = fast_build_graph(base, params, stage_path=stage, pool=POOL)
     build_s = time.time() - t0
     emit({"stage": "fastbuild", "seconds": round(build_s, 1),
-          "M": params.M})
+          "M": params.M, "pool": POOL})
 
     idx = HNSWIndex(graph)
     for ef in EFS:

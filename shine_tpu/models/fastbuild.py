@@ -72,6 +72,12 @@ def _device_select(
     # hierarchy share compiled select programs — the 1M build spent
     # ~250 s compiling per-level shapes (axon compile service latency)
     batch = min(batch, 1 << max(8, (B - 1).bit_length()))
+    # the pairwise tile is (batch, C, C) f32 + a (batch, C, d) gather;
+    # wide efc-parity pools (C ~ 500) would put the default batch at
+    # ~9 GB HBM — halve until the tile budget holds (floor 256)
+    d_ = int(vdev.shape[1])
+    while batch > 256 and batch * C * (C + d_) * 4 > 2_500_000_000:
+        batch //= 2
 
     parts = []
     for lo in range(0, B, batch):
@@ -161,10 +167,33 @@ def _knn_device_sweep(
     the layer-0 stage of the 10M-scale graph build. The base is both
     table and query set, so nothing crosses the tunnel except the
     (n, k+1) results, downloaded in bounded flushes. Returns global-id
-    (cand (n, k), dists) with self-matches removed."""
-    from shine_tpu.models.flat import FastFlatIndex, fast_flat_search_at
+    (cand (n, k), dists) with self-matches removed.
 
-    idx = FastFlatIndex.from_device(base_dev, metric=metric)
+    Above ~12M x 128 rows the packed ext table (dp = next128(d+2), 2x
+    the raw bf16 bytes at d%128==0) no longer coexists with the f32 base
+    in 16 GB HBM; the sweep switches to the SPLIT layout (lane-exact
+    bf16 components + f32 aux — half the table bytes, same bf16 scan
+    precision, ops/pallas_scan_split.py), which carries the 16.78M M=32
+    build (the 100M-class per-shard unit: 8 x 16.78M = 134M)."""
+    from shine_tpu.models.flat import (
+        FastFlatIndex,
+        SplitFlatIndex,
+        fast_flat_search_at,
+        split_flat_search_at,
+    )
+
+    import os as _os
+
+    n, d = base_dev.shape
+    dp = -(-(d + 2) // 128) * 128
+    use_split = (
+        _os.environ.get("SHINE_SWEEP_SPLIT") == "1"  # test/smoke override
+        or (not interpret and n * (dp * 2 + d * 4 + 8) > 13.5e9)
+    )
+    if use_split:
+        idx = SplitFlatIndex.from_device(base_dev, metric=metric)
+    else:
+        idx = FastFlatIndex.from_device(base_dev, metric=metric)
     idx.interpret = interpret
     n = int(idx.n)
     assert n % batch == 0, "device sweep wants batch | n"
@@ -182,11 +211,19 @@ def _knn_device_sweep(
 
     tq = 128 if interpret else 512
     for lo in range(0, n, batch):
-        dd, ii = fast_flat_search_at(
-            idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
-            k=k + 1, kb=kb, tq=tq, tn=1024, cls=1024, metric=metric,
-            batch=batch, interpret=interpret, n=n,
-        )
+        if use_split:
+            # split aux slicing needs tn/cls % 8 == 0 (Mosaic sublanes)
+            dd, ii = split_flat_search_at(
+                idx.comp, idx.aux, idx.vectors, idx.sqnorms, q_dev, lo,
+                k=k + 1, kb=kb, tq=tq, tn=8192, cls=1024, metric=metric,
+                batch=batch, interpret=interpret, n=n,
+            )
+        else:
+            dd, ii = fast_flat_search_at(
+                idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
+                k=k + 1, kb=kb, tq=tq, tn=1024, cls=1024, metric=metric,
+                batch=batch, interpret=interpret, n=n,
+            )
         buf.append((lo, (dd, ii)))
         if len(buf) >= flush_every:
             flush()
@@ -274,6 +311,7 @@ def fast_build_graph(
     mesh=None,
     base_dev=None,
     stage_path: str | None = None,
+    pool: int = 0,
 ) -> GraphSoA:
     """Construct a GraphSoA at scan speed (see module docstring).
 
@@ -290,7 +328,16 @@ def fast_build_graph(
     checkpoint is keyed on (n, d, M, M0, metric) and ignored (not
     trusted) on any mismatch. Reference analogue: MN dump/load of the
     built index (SURVEY §5.4) — extended to the build's dominant stage
-    because rebuilding is this platform's expensive op."""
+    because rebuilding is this platform's expensive op.
+
+    pool: candidate-pool width fed to select_heuristic — the
+    ef_construction analog. The reference's insert collects an
+    efc-wide beam per node (hnsw.hh insert/search_level, efc=500 at its
+    published operating point, scripts/config.py:9); this builder feeds
+    the EXACT top-`pool` neighbors instead, a strictly stronger pool at
+    equal width. 0 keeps the scan-speed default (2*M_out), matching all
+    pre-r4 builds; pool=efc is the construction-quality parity setting
+    (measured: scripts/scale_1m_hnsw.py efc ladder)."""
     params = params or HNSWParams()
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     n, d = vectors.shape
@@ -318,7 +365,7 @@ def fast_build_graph(
 
     def build_level(ids: np.ndarray, m_out: int, cap: int):
         """(adjacency (len(ids), cap) global ids,) for one level."""
-        k = min(2 * m_out, len(ids) - 1)
+        k = min(max(2 * m_out, pool), len(ids) - 1)
         if k <= 0:
             return np.full((len(ids), cap), -1, np.int32)
         t0 = _time.perf_counter()
@@ -329,9 +376,10 @@ def fast_build_graph(
         else:
             cand, cd = _knn_candidates(vectors, ids, k, metric, interpret,
                                        mesh)
-        if cand.shape[1] < 2 * m_out:
+        width = max(2 * m_out, pool)
+        if cand.shape[1] < width:
             # fixed candidate width across levels -> shared select compiles
-            pad = 2 * m_out - cand.shape[1]
+            pad = width - cand.shape[1]
             cand = np.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
             cd = np.pad(cd, ((0, 0), (0, pad)), constant_values=np.inf)
         t1 = _time.perf_counter()
@@ -367,6 +415,7 @@ def fast_build_graph(
                 int(z["n"]) == n and int(z["d"]) == d
                 and int(z["M"]) == M and int(z["M0"]) == M0
                 and int(z["metric"]) == metric
+                and int(z["pool"] if "pool" in z else 0) == pool
             )
             if key_ok:
                 neighbors0 = z["neighbors0"]
@@ -411,7 +460,7 @@ def fast_build_graph(
         if stage_path:
             tmp = stage_path + ".tmp.npz"  # np.savez appends .npz itself
             np.savez(
-                tmp, n=n, d=d, M=M, M0=M0, metric=metric,
+                tmp, n=n, d=d, M=M, M0=M0, metric=metric, pool=pool,
                 levels=levels, neighbors0=neighbors0,
             )
             os.replace(tmp, stage_path)
