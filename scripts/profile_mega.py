@@ -148,6 +148,49 @@ def main() -> None:
               "ms_per_slab": round((walls[cur] - walls[prev]) / L * 1e3,
                                    3)})
 
+    # scan-tiling grid inside the mega program (SHINE_PROF_GRID=1): the
+    # B=4096 scan runs ~96 TF/s at tq=512/tn=2048 — roughly half the
+    # measured marginal kernel rate; if a tiling recovers it, the full
+    # program ceiling moves from ~1.0M toward ~1.3M QPS/chip
+    if os.environ.get("SHINE_PROF_GRID") == "1":
+        from shine_tpu.ops.pallas_scan import pack_ext_query
+        from shine_tpu.ops.pallas_scan3 import classmax_topk_scan
+
+        for tq_g in (256, 512, 1024):
+            for tn_g in (2048, 4096, 8192):
+                if N % tn_g:
+                    continue
+
+                @partial(jax.jit, static_argnames=("tq_", "tn_"))
+                def run_g(ext, qs, *, tq_, tn_):
+                    def body(qj):
+                        q_ext = pack_ext_query(
+                            qj, ext.shape[1]
+                        ).astype(jnp.bfloat16)
+                        vals, cand = classmax_topk_scan(
+                            ext, q_ext, kb=KB, tq=tq_, tn=tn_, cls=CLS
+                        )
+                        return jnp.max(vals, axis=1) + cand[:, 0]
+
+                    return jax.lax.map(body, qs)
+
+                try:
+                    out = run_g(ext, qs, tq_=tq_g, tn_=tn_g)
+                    np.asarray(out[0, 0])
+                    best = float("inf")
+                    for _ in range(3):
+                        t0 = time.time()
+                        out = run_g(ext, qs, tq_=tq_g, tn_=tn_g)
+                        _ = float(np.asarray(out[0, 0]))
+                        best = min(best, time.time() - t0)
+                    flops = 2.0 * L * B * N * D
+                    emit({"stage": f"grid:fscan tq={tq_g} tn={tn_g}",
+                          "ms_per_slab": round(best / L * 1e3, 3),
+                          "tflops": round(flops / best / 1e12, 1)})
+                except Exception as e:
+                    emit({"stage": f"grid:fscan tq={tq_g} tn={tn_g}",
+                          "error": repr(e)[:200]})
+
 
 if __name__ == "__main__":
     main()
