@@ -233,7 +233,11 @@ def main() -> None:
         # GT query set measures the amortized per-dispatch throughput a
         # production stream sees. Upload happens once in preload,
         # outside the timed region, exactly like the other rows.
-        reps_s = int(os.environ.get("SHINE_BENCH_SUSTAIN", 5))
+        # x10 replay ~= 98k sustained queries — still 4x short of the
+        # reference's 400k-query replayed stream (create_queries.py),
+        # but enough that the one tunnel RTT per timed call stops
+        # dominating the per-slab cost (r4: 29 ms / L slabs)
+        reps_s = int(os.environ.get("SHINE_BENCH_SUSTAIN", 10))
         if reps_s > 1:
             # per-dispatch send cost (~4.7 ms over this tunnel) amortizes
             # with batch; a larger sustained batch is a separate knob so
