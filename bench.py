@@ -363,6 +363,32 @@ def main() -> None:
                 log(f"# fastflat sustained mega dev x{reps_s}: "
                     f"qps={qps:.0f} recall@10={r:.4f}")
                 add_result("fastflat_sustained_mega_dev", qps, r)
+
+                # the exactness-grade point: keep2 (per-class runner-up)
+                # through the same device-timed mega program — measured
+                # recall 0.9999-1.0000 on this dataset (r3 keep2 rows)
+                def _mega_dev_k2():
+                    ii, _dd = fast.search_device(
+                        pres, 10, batch_size=batch_s, keep2=True,
+                        kb=32, megabatch=True,
+                    )
+                    return ii
+
+                ii = _mega_dev_k2()
+                float(np.asarray(_jnp.sum(ii.astype(_jnp.float32))))
+                walls_k2 = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    ii = _mega_dev_k2()
+                    float(np.asarray(_jnp.sum(ii.astype(_jnp.float32))))
+                    walls_k2.append(time.perf_counter() - t0)
+                med2 = sorted(walls_k2)[len(walls_k2) // 2]
+                qps2 = nq_s / med2
+                ids2 = np.asarray(ii)[:nq_s]
+                r2 = recall_at_k(ids2, gts, 10)
+                log(f"# fastflat sustained mega dev keep2 x{reps_s}: "
+                    f"qps={qps2:.0f} recall@10={r2:.4f}")
+                add_result("fastflat_sustained_mega_dev_keep2", qps2, r2)
                 wall = nq_s / qps
                 perf.setdefault("fastflat_sustained_mega_dev", {}).update({
                     "tflops": round(
