@@ -595,6 +595,8 @@ def main() -> None:
         )
         with open(floors_path) as f:
             floors = json.load(f)
+        floors = {nm: fl for nm, fl in floors.items()
+                  if not nm.startswith("_")}
         by_name = {nm: (q, rr) for nm, q, rr in results}
         for nm, fl in floors.items():
             if nm not in by_name:
