@@ -426,6 +426,27 @@ def test_fastflat_megabatch_identity(rng):
     assert np.array_equal(loop_d, mega_d)
 
 
+def test_search_device_matches_host(rng):
+    """search_device (device-resident results, on-device perm remap) is
+    bit-identical to search() in both dispatch modes — the r4 headline
+    methodology depends on this identity (bench fastflat_sustained_
+    mega_dev row)."""
+    from shine_tpu.io import synthetic_dataset
+    from shine_tpu.models.flat import FastFlatIndex
+
+    ds = synthetic_dataset(n=4096, dim=32, num_queries=192, seed=11,
+                           gt_k=10)
+    idx = FastFlatIndex(ds.base, interpret=True)  # shuffle on: perm path
+    assert idx.perm is not None
+    kw = dict(kb=16, tq=64, batch_size=64)
+    host_i, host_d = idx.search(ds.queries, 10, **kw)
+    pre = idx.preload(ds.queries, batch_size=64)
+    for mega in (False, True):
+        ii, dd = idx.search_device(pre, 10, megabatch=mega, **kw)
+        np.testing.assert_array_equal(np.asarray(ii), host_i)
+        np.testing.assert_allclose(np.asarray(dd), host_d, rtol=1e-6)
+
+
 def test_split_megabatch_identity(rng):
     """SplitFlatIndex megabatch=True is bit-identical to the loop path."""
     from shine_tpu.io import synthetic_dataset
