@@ -365,9 +365,13 @@ def fast_build_graph(
         sqn = np.zeros(n, np.float32)
     vsel, ssel = vectors, sqn
     if base_dev is not None:
+        from shine_tpu.models.flat import _row_sq
+
         vsel = base_dev.astype(jnp.float32)
+        # jitted fused norm: the eager square would add a second
+        # base-sized buffer (+8.6 GB at 16.78M x 128)
         ssel = (
-            jnp.sum(vsel * vsel, axis=-1)
+            _row_sq(vsel)
             if metric == METRIC_L2
             else jnp.zeros(n, jnp.float32)
         )

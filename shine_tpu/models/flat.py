@@ -41,6 +41,15 @@ class FlatData(NamedTuple):
 CHUNK_QUANTUM = 1024
 
 
+@jax.jit
+def _row_sq(v: jnp.ndarray) -> jnp.ndarray:
+    """Fused row squared-norms. MUST stay jitted: called eagerly,
+    `v * v` materializes a second base-sized buffer — at 16.78M x 128
+    f32 that is +8.6 GB and the 16 GB chip OOMs (chip_plan_r4a stage
+    B); under jit XLA fuses the square into the row reduction."""
+    return jnp.sum(v * v, axis=-1)
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "chunk", "metric", "use_bf16", "rerank", "approx"),
@@ -136,7 +145,7 @@ class FlatIndex:
             v = np.concatenate([v, np.zeros((n_pad - n, dim), np.float32)])
         vj = jnp.asarray(v)
         sq = (
-            jnp.sum(vj * vj, axis=-1)
+            _row_sq(vj)
             if self.metric == METRIC_L2
             else jnp.zeros(n_pad, jnp.float32)
         )
@@ -164,7 +173,7 @@ class FlatIndex:
                 [vj, jnp.zeros((n_pad - n, dim), jnp.float32)]
             )
         sq = (
-            jnp.sum(vj * vj, axis=-1)
+            _row_sq(vj)
             if self.metric == METRIC_L2
             else jnp.zeros(n_pad, jnp.float32)
         )
@@ -383,7 +392,7 @@ class FastFlatIndex:
         self.ext = _pack_ext_device(v, metric=self.metric, dp=dp)
         self.vectors = v
         sq = (
-            jnp.sum(v * v, axis=-1)
+            _row_sq(v)
             if self.metric == METRIC_L2
             else jnp.zeros(n, jnp.float32)
         )
@@ -468,8 +477,14 @@ class FastFlatIndex:
             # measured rule (r3f chip ablation, results/
             # tune_dispatch_trims.jsonl): the in-kernel select wins for
             # keep2 (159k vs 116k, identical ids) and kb<=16 (190.6k vs
-            # 159.3k); the kb=32 keep1 epilogue loses (142k vs 158.6k)
-            fused_sel = (keep2 or kb <= 16) and not approx_sel
+            # 159.3k); the kb=32 keep1 epilogue loses (142k vs 158.6k).
+            # kb is capped at 32 for the keep2 fusion: the per-kb
+            # epilogue unrolls, and at kb=81/dp=256 the Mosaic register
+            # allocator spills 122 MB of VMEM (chip_plan_r4a stage C
+            # compile OOM) — big-kb sweeps take the unfused select.
+            fused_sel = (
+                (keep2 and kb <= 32) or kb <= 16
+            ) and not approx_sel
         return kb, cls, keep2, fused_sel
 
     def search_device(
@@ -636,7 +651,7 @@ class SplitFlatIndex:
         if keep_base:
             self.vectors = v
             sq = (
-                jnp.sum(v * v, axis=-1)
+                _row_sq(v)
                 if self.metric == METRIC_L2
                 else jnp.zeros(n, jnp.float32)
             )
@@ -725,8 +740,11 @@ class SplitFlatIndex:
         if keep2 is None:
             keep2 = keep2_auto(int(self.comp.shape[0]), cls)
         if fused_sel is None:
-            # the FastFlatIndex.search measured rule (r3f ablation)
-            fused_sel = (keep2 or kb <= 16) and not approx_sel
+            # the FastFlatIndex.search measured rule (r3f ablation);
+            # keep2 fusion capped at kb<=32 (register-spill OOM above)
+            fused_sel = (
+                (keep2 and kb <= 32) or kb <= 16
+            ) and not approx_sel
         nq, d = queries.shape
         if self.interpret:
             tq = min(tq, 128)

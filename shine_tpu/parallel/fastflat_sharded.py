@@ -407,13 +407,15 @@ class ShardedSplitFlatIndex:
             cls = 1024 if keep2_auto(self.rows, 2048) else 2048
         if keep2 is None:
             keep2 = keep2_auto(self.rows, cls)
+        kb = max(kb, k)
         if fused_sel is None:
-            # the FastFlatIndex.search measured rule (r3f ablation)
-            fused_sel = keep2 or kb <= 16
+            # the FastFlatIndex.search measured rule (r3f ablation);
+            # keep2 fusion capped at kb<=32 (Mosaic register-spill OOM
+            # at kb=81/dp=256, chip_plan_r4a stage C)
+            fused_sel = (keep2 and kb <= 32) or kb <= 16
         nq, d = queries.shape
         batch_size = min(batch_size, max(nq, 1))
         batch_size = max(tq, -(-batch_size // tq) * tq)
-        kb = max(kb, k)
         key = (k, kb, tq, cls, batch_size, keep2, prerank, fused_sel)
         if key not in self._runs:
             self._runs[key] = _make_search_split(
@@ -572,13 +574,15 @@ class ShardedFastFlatIndex:
             cls = 1024 if keep2_auto(self.rows, 2048) else 2048
         if keep2 is None:
             keep2 = keep2_auto(self.rows, cls)
+        kb = max(kb, k)
         if fused_sel is None:
-            # the FastFlatIndex.search measured rule (r3f ablation)
-            fused_sel = keep2 or kb <= 16
+            # the FastFlatIndex.search measured rule (r3f ablation);
+            # keep2 fusion capped at kb<=32 (Mosaic register-spill OOM
+            # at kb=81/dp=256, chip_plan_r4a stage C)
+            fused_sel = (keep2 and kb <= 32) or kb <= 16
         nq, d = queries.shape
         batch_size = min(batch_size, max(nq, 1))
         batch_size = max(tq, -(-batch_size // tq) * tq)
-        kb = max(kb, k)
         capacity = self.vectors is None
         key = (k, kb, tq, cls, batch_size, keep2, prerank, fused_sel)
         if key not in self._runs:
