@@ -178,7 +178,7 @@ class RoutedSplitIndex:
         queries: np.ndarray,
         k: int = 10,
         *,
-        probes: int = 32,
+        probes: int = 0,
         shared: int = 0,
         tile: int = 0,
         kk: int = 0,
@@ -190,7 +190,9 @@ class RoutedSplitIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Tile-shared routed search over the clustered split tables.
 
-        probes: per-query probe wishes (stage-1 nearest centroids).
+        probes: per-query probe wishes (stage-1 nearest centroids);
+        <= 0 = auto, the measured >=0.95 frontier by C (_auto_probes —
+        32 below C~8k, deepening to 128 at the 100M-class C~26k).
         shared: per-tile granted union width P (default 3*probes/2).
         kk: scan survivors per query fed to the exact re-rank
         (default 8*k, <= cls). engine: "pallas" (TPU hot path), "xla"
@@ -204,6 +206,8 @@ class RoutedSplitIndex:
         pattern; count in self.last_fallback."""
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if probes <= 0:
+            probes = _auto_probes(self.C)
         tile, shared = _auto_knobs(self.C, probes, tile, shared)
         probes = min(probes, self.C)
         if kk <= 0:
@@ -274,10 +278,13 @@ class RoutedSplitIndex:
                     out_d[need] = np.asarray(fb[0])[: len(need)]
         return out_i, out_d
 
-    def cost_counters(self, nq: int, k: int = 10, *, probes: int = 32,
+    def cost_counters(self, nq: int, k: int = 10, *, probes: int = 0,
                       shared: int = 0, tile: int = 0) -> dict:
         """Analytic per-run cost (statistics.hh:122-141 analogue);
-        tile/shared <= 0 resolve with the same auto rules as search."""
+        probes/tile/shared <= 0 resolve with the same auto rules as
+        search."""
+        if probes <= 0:
+            probes = _auto_probes(self.C)
         tile, shared = _auto_knobs(self.C, probes, tile, shared)
         groups = -(-nq // tile)
         row_bytes = self.comp.shape[1] * self.comp.dtype.itemsize + 12
@@ -288,6 +295,17 @@ class RoutedSplitIndex:
             "hbm_gather_bytes": groups * shared * self.cap * row_bytes,
             "ici_exchange_bytes": 0,
         }
+
+
+def _auto_probes(C: int) -> int:
+    """Measured >=0.95 probe frontier by coarse-cluster count (the
+    nearest-assignment ceiling deepens with C — TPU_NOTES "T=32 law" +
+    the r4a 100M deep-probe sweep, results/scale_capacity_routed.jsonl):
+    C~1.1k (4.19M rows) p=32 -> 0.9954; C~10.7k (41.9M) p=48 -> 0.9693
+    (p=32 sits at the 0.95 edge); C~25.8k (100.66M) p=96 -> 0.9584,
+    p=128 -> 0.9621. 16*ceil(C/4096) clamped to [32, 128] passes
+    through all three."""
+    return min(128, max(32, 16 * -(-C // 4096)))
 
 
 def _auto_knobs(C: int, probes: int, tile: int, shared: int):

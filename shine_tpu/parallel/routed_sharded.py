@@ -136,7 +136,7 @@ class ShardedRoutedSplitIndex:
         queries: np.ndarray,
         k: int = 10,
         *,
-        probes: int = 32,
+        probes: int = 0,
         shared: int = 0,
         shared_local: int = 0,
         tile: int = 0,
@@ -157,7 +157,10 @@ class ShardedRoutedSplitIndex:
         if engine == "auto":
             engine = "pallas" if jax.default_backend() == "tpu" else "xla"
         S = self.S
-        from shine_tpu.models.routed_split import _auto_knobs
+        from shine_tpu.models.routed_split import _auto_knobs, _auto_probes
+
+        if probes <= 0:
+            probes = _auto_probes(self.C)
 
         tile, shared = _auto_knobs(self.C, probes, tile, shared)
         probes = min(probes, self.C)
@@ -236,14 +239,17 @@ class ShardedRoutedSplitIndex:
                 out_d[need] = np.asarray(fb[0])[: len(need)]
         return out_i, out_d
 
-    def cost_counters(self, nq: int, k: int = 10, *, probes: int = 32,
+    def cost_counters(self, nq: int, k: int = 10, *, probes: int = 0,
                       shared: int = 0, shared_local: int = 0,
                       tile: int = 0) -> dict:
         """Analytic per-run cost (statistics.hh:122-141 analogue);
-        tile/shared <= 0 resolve with the same auto rules as search."""
-        from shine_tpu.models.routed_split import _auto_knobs
+        probes/tile/shared <= 0 resolve with the same auto rules as
+        search."""
+        from shine_tpu.models.routed_split import _auto_knobs, _auto_probes
 
         S = self.S
+        if probes <= 0:
+            probes = _auto_probes(self.C)
         tile, shared = _auto_knobs(self.C, probes, tile, shared)
         if shared_local <= 0:
             shared_local = min(shared, 2 * (-(-shared // S)) + 2)

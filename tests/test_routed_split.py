@@ -278,3 +278,22 @@ def test_assign_r_keeps_spilled_rows_reachable():
     # more choices help: R=8 strictly dominates R=2 on the far tail
     assert (rank8 >= 32).mean() <= (rank2 >= 32).mean()
     assert (rank8 >= 8).mean() < (rank2 >= 8).mean()
+
+
+def test_auto_probes_measured_frontier(small_base, small_idx):
+    """probes<=0 resolves via the measured >=0.95 frontier (r4a 100M
+    deep-probe sweep): 32 at small C, 48 at the 41.9M-class C~10.7k,
+    96-128 at the 100M-class C~25.8k, capped at 128."""
+    from shine_tpu.models.routed_split import _auto_probes
+
+    assert _auto_probes(1075) == 32      # 4.19M class: p=32 -> 0.9954
+    assert _auto_probes(10754) == 48     # 41.9M class: p=48 -> 0.9693
+    assert _auto_probes(25805) == 112    # 100.66M: between 96/128 points
+    assert _auto_probes(200_000) == 128  # 0.8B class: capped
+    # default search (probes=0) == explicit probes at this C (auto=32)
+    base, queries = small_base
+    idx = small_idx
+    ia, _ = idx.search(queries, 10, batch_size=128)
+    ie, _ = idx.search(queries, 10, probes=_auto_probes(idx.C),
+                       batch_size=128)
+    np.testing.assert_array_equal(ia, ie)
