@@ -53,16 +53,22 @@ def emit(rec: dict) -> None:
 
 def main() -> None:
     from shine_tpu.config import HNSWParams, SearchParams
-    from shine_tpu.io import recall_at_k
+    from shine_tpu.io import margin_mask, recall_at_k
     from shine_tpu.io.device_synth import device_synthetic_dataset
     from shine_tpu.models import HNSWIndex
     from shine_tpu.models.fastbuild import fast_build_graph
 
     t0 = time.time()
+    # gt_k=11: the 11th column feeds margin_mask below
     ds = device_synthetic_dataset(
-        n=N, dim=D, num_queries=NQ, seed=29, gt_k=10
+        n=N, dim=D, num_queries=NQ, seed=29, gt_k=11
     )
     emit({"stage": "gen+gt", "seconds": round(time.time() - t0, 1)})
+    # computed while the base is still resident; applied to the search
+    # ids after the base is freed (only GT + queries are needed)
+    mm = margin_mask(ds.queries, ds.base_dev, ds.ground_truth, 10,
+                     rtol=1e-4)
+    emit({"stage": "margin", "margin_frac": round(float(mm.mean()), 4)})
 
     os.environ["SHINE_FASTBUILD_TIMING"] = "1"
     params = HNSWParams(M=M, ef_construction=POOL or 200)
@@ -109,7 +115,9 @@ def main() -> None:
             ids, _ = idx.search(ds.queries, sp, batch_size=2048)
             best = min(best, time.time() - t1)
         emit({"stage": "hnsw", "ef": ef, "qps": round(NQ / best, 1),
-              "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4)})
+              "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4),
+              "recall10_margin": round(
+                  recall_at_k(ids[mm], ds.ground_truth[mm], 10), 4)})
 
 
 if __name__ == "__main__":

@@ -53,17 +53,31 @@ def emit(rec: dict) -> None:
 
 def main() -> None:
     from shine_tpu.config import HNSWParams, SearchParams
-    from shine_tpu.io import recall_at_k
+    from shine_tpu.io import margin_mask, recall_at_k
     from shine_tpu.io.device_synth import device_synthetic_dataset
     from shine_tpu.models import HNSWIndex
     from shine_tpu.models.fastbuild import fast_build_graph
     from shine_tpu.models.flat import FastFlatIndex
 
     t0 = time.time()
+    # gt_k=11: the 11th column feeds margin_mask (queries whose top-10
+    # boundary gap exceeds bf16 rtol — id-recall on those is the
+    # artifact-free number)
     ds = device_synthetic_dataset(
-        n=N, dim=D, num_queries=NQ, seed=23, gt_k=10
+        n=N, dim=D, num_queries=NQ, seed=23, gt_k=11
     )
     emit({"stage": "gen+gt", "seconds": round(time.time() - t0, 1)})
+    mm = margin_mask(ds.queries, ds.base_dev, ds.ground_truth, 10,
+                     rtol=1e-4)
+    emit({"stage": "margin", "margin_frac": round(float(mm.mean()), 4)})
+
+    def recalls(ids) -> dict:
+        return {
+            "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4),
+            "recall10_margin": round(
+                recall_at_k(ids[mm], ds.ground_truth[mm], 10), 4
+            ),
+        }
 
     # same-dataset fastflat row for the head-to-head
     t0 = time.time()
@@ -78,7 +92,7 @@ def main() -> None:
                            with_dists=False)
         best = min(best, time.time() - t1)
     emit({"stage": "fastflat", "qps": round(NQ / best, 1),
-          "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4),
+          **recalls(ids),
           "build_seconds": round(time.time() - t0 - 2 * best, 1)})
 
     # host copy for the graph build (fastbuild keeps the graph host-side)
@@ -113,7 +127,7 @@ def main() -> None:
             ids, _ = idx.search(ds.queries, sp, batch_size=2048)
             best = min(best, time.time() - t1)
         emit({"stage": "hnsw", "ef": ef, "qps": round(NQ / best, 1),
-              "recall10": round(recall_at_k(ids, ds.ground_truth, 10), 4)})
+              **recalls(ids)})
 
 
 if __name__ == "__main__":

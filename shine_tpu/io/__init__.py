@@ -10,6 +10,7 @@ from shine_tpu.io.recall import (  # noqa: F401
     recall_at_k,
     recall_at_k_eps,
     recall_at_k_eps_regen,
+    margin_mask,
 )
 from shine_tpu.io.checkpoint import (
     save_graph,
@@ -35,5 +36,6 @@ __all__ = [
     "recall_at_k",
     "recall_at_k_eps",
     "recall_at_k_eps_regen",
+    "margin_mask",
     "brute_force_knn",
 ]

@@ -181,3 +181,75 @@ def recall_at_k_eps_regen(
         thresh = np.sort(dg, axis=1)[:, k - 1] * (1.0 + rtol) + 1e-12
         ok += int((df <= thresh[:, None]).sum())
     return ok / (nq * k)
+
+
+def margin_mask(
+    queries,
+    base_dev,
+    gt_ids: np.ndarray,
+    k: int,
+    *,
+    rtol: float = 1e-4,
+    batch: int = 2048,
+    row_source=None,
+) -> np.ndarray:
+    """Bool (nq,): queries whose top-k boundary is REAL — the exact
+    (k+1)-th distance exceeds (1+rtol) x the k-th. gt_ids needs >= k+1
+    columns (ask the dataset for gt_k=k+1).
+
+    This turns the recurring near-tie caveat into a measurement: on
+    synthetic iid data at d=128 the 10th/11th neighbor gap concentrates
+    below bf16 scan precision, so id-recall is capped by physically
+    indistinguishable swaps. Restricting id-recall to margin queries
+    (`recall_at_k(found[m], gt[m], k)`) shows the search itself is
+    exact where the data has an answer; `1 - mask.mean()` is the
+    measured artifact rate. Distances are exact f32 on device, against
+    a resident base (base_dev) or a row-keyed source (row_source=(key,
+    centers), base_dev ignored). Because the mask only needs GT +
+    queries, it can be computed while the base is still resident and
+    applied to any later search's ids (scale_10m_hnsw frees the base
+    before serving)."""
+    import jax
+    import jax.numpy as jnp
+
+    gt = np.asarray(gt_ids)[:, : k + 1]
+    assert gt.shape[1] == k + 1, "margin_mask needs gt_k >= k+1"
+    nq = min(gt.shape[0], len(queries))
+    gt = gt[:nq]
+
+    if row_source is not None:
+        from shine_tpu.io.device_synth import regen_rows
+
+        rkey, centers = row_source
+
+        @jax.jit
+        def dists(q, ids):
+            flat = jnp.maximum(ids, 0).reshape(-1)
+            v = regen_rows(rkey, centers, flat).reshape(
+                ids.shape + (centers.shape[1],)
+            )
+            dd = jnp.sum((v - q.astype(jnp.float32)[:, None, :]) ** 2,
+                         axis=-1)
+            return jnp.where(ids >= 0, dd, jnp.inf)
+
+        dfn = dists
+    else:
+
+        @jax.jit
+        def dists(base, q, ids):
+            # base as argument, not closure (captured-constant hazard)
+            v = base[jnp.maximum(ids, 0)].astype(jnp.float32)
+            dd = jnp.sum((v - q.astype(jnp.float32)[:, None, :]) ** 2,
+                         axis=-1)
+            return jnp.where(ids >= 0, dd, jnp.inf)
+
+        def dfn(q, ids):
+            return dists(base_dev, q, ids)
+
+    out = np.empty(nq, bool)
+    for lo in range(0, nq, batch):
+        hi = min(lo + batch, nq)
+        q = jnp.asarray(np.asarray(queries[lo:hi], np.float32))
+        dg = np.sort(np.asarray(dfn(q, jnp.asarray(gt[lo:hi]))), axis=1)
+        out[lo:hi] = dg[:, k] > dg[:, k - 1] * (1.0 + rtol) + 1e-12
+    return out
