@@ -107,10 +107,13 @@ def main() -> None:
         gt = np.load(gt_path)
         print(f"# loaded checkpoint {ckpt}", flush=True)
     else:
+        # gt_k=11: the extra column feeds margin_mask (artifact-free
+        # id-recall on real-boundary queries); older 10-col GT caches
+        # still load, margin is just skipped for them
         idx, gt = build_routed_split(
             N, D, row_source=(k1, centers), cap_target=CAP, cls=CLS,
             cap_slack=SLACK, comp_dtype="int8", seed=SEED, queries=queries,
-            log=lambda m: print(m, flush=True),
+            gt_k=11, log=lambda m: print(m, flush=True),
         )
         np.save(gt_path, gt)
         # checkpoint AFTER the sweep: the 100M comp download is ~14 GB
@@ -139,6 +142,20 @@ def main() -> None:
             recall_at_k_eps_regen(ids, queries, idx.row_source, gt, 10), 4
         )
 
+    mm = None
+    if gt.shape[1] >= 11 and idx.row_source is not None:
+        from shine_tpu.io import margin_mask
+
+        mm = margin_mask(queries, None, gt, 10,
+                         row_source=idx.row_source)
+        emit({"stage": "margin",
+              "margin_frac": round(float(mm.mean()), 4)})
+
+    def margin(ids):
+        if mm is None:
+            return None
+        return round(recall_at_k(ids[mm], gt[mm], 10), 4)
+
     pre = idx.preload(queries, batch_size=2048)
     for p, P, T in SWEEP:
         # fallback=0: measure the raw routed pass; the spill guarantee
@@ -156,6 +173,7 @@ def main() -> None:
             "qps": round(NQ / best, 1),
             "recall10": round(recall_at_k(ids, gt, 10), 4),
             "recall10_eps": eps(ids),
+            "recall10_margin": margin(ids),
             "coverage": round(idx.last_coverage, 4),
         })
 
