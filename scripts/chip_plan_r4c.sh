@@ -46,3 +46,16 @@ SHINE_PROF_GRID=1 SHINE_PROF_N=1048576 timeout 5400 \
   || echo "[r4c] stage G failed (non-fatal)"
 
 echo "[r4c] $(date) DONE"
+
+echo "[r4c] cooling 120s"; sleep 120; wait_tunnel
+echo "[r4c] $(date) stage H: re-serve the 10M graph checkpoints with margin"
+# loads .bench_cache/hnsw10m_*.npz; the fresh dataset pass computes
+# margin_mask, so the r3 10M id-recall numbers get their artifact-free
+# reading without a rebuild
+SHINE_10MH_M=16 timeout 5400 python scripts/scale_10m_hnsw.py \
+  || echo "[r4c] stage H1 failed (non-fatal)"
+echo "[r4c] cooling 120s"; sleep 120; wait_tunnel
+SHINE_10MH_M=32 SHINE_10MH_ROWS=bf16 timeout 5400 \
+  python scripts/scale_10m_hnsw.py \
+  || echo "[r4c] stage H2 failed (non-fatal)"
+echo "[r4c] $(date) DONE (with H)"
