@@ -94,13 +94,29 @@ def main() -> None:
     from shine_tpu.models.flat import FastFlatIndex
 
     t0 = time.time()
+    # gt_k=11: the extra column feeds margin_mask (artifact-free
+    # id-recall on real-boundary queries; L2 only — margin skipped on
+    # other metrics, its distance model is squared-L2)
     ds = device_rowkeyed_ext_dataset(
-        n=N, dim=D, num_queries=NQ, seed=17, gt_k=10, rchunk=RCHUNK,
+        n=N, dim=D, num_queries=NQ, seed=17, gt_k=11, rchunk=RCHUNK,
         metric=METRIC,
     )
     np.asarray(ds.ext_dev[:1])  # force
     emit({"stage": "rowkeyed-ingest+gt", "seconds": round(time.time() - t0, 1),
           "ext_gb": round(ds.ext_dev.nbytes / 1e9, 2)})
+    mm = None
+    if METRIC == "l2":
+        from shine_tpu.io import margin_mask
+
+        mm = margin_mask(ds.queries, None, ds.ground_truth, 10,
+                         row_source=ds.row_source)
+        emit({"stage": "margin",
+              "margin_frac": round(float(mm.mean()), 4)})
+
+    def margin(ids):
+        if mm is None:
+            return None
+        return round(recall_at_k(ids[mm], ds.ground_truth[mm], 10), 4)
 
     # exact regen re-rank (the escape hatch)
     idx = FastFlatIndex.from_ext(
@@ -117,7 +133,8 @@ def main() -> None:
         emit({"stage": "regen-exact", "kb": kb,
               "keep2": "auto" if keep2 is None else keep2,
               "qps": round(qps, 1), "recall10": round(rec, 4),
-              "eps_recall10": round(eps, 4)})
+              "eps_recall10": round(eps, 4),
+              "recall10_margin": margin(ids)})
 
     if os.environ.get("SHINE_CAP_SKIP_BF16", "") != "1":
         # bf16 ext re-rank baseline on the same table (r2 behavior)
@@ -127,7 +144,8 @@ def main() -> None:
         rec = recall_at_k(ids, ds.ground_truth, 10)
         eps = streaming_eps_recall(ds, ids, 10, rtol=1e-4)
         emit({"stage": "bf16-rerank", "kb": 32, "qps": round(qps, 1),
-              "recall10": round(rec, 4), "eps_recall10": round(eps, 4)})
+              "recall10": round(rec, 4), "eps_recall10": round(eps, 4),
+              "recall10_margin": margin(ids)})
 
 
 if __name__ == "__main__":
