@@ -60,7 +60,10 @@ METRIC = os.environ.get("SHINE_CAP_METRIC", "l2")
 NQ = int(os.environ.get("SHINE_CAP_NQ", 2048))
 BATCH = int(os.environ.get("SHINE_CAP_B", 2048))
 RCHUNK = int(os.environ.get("SHINE_CAP_RCHUNK", 65_536))
-OUT = os.path.join(ROOT, "results", "scale_capacity.jsonl")
+OUT = os.path.join(
+    ROOT, "results",
+    "scale_capacity.smoke.jsonl" if _CPU_SMOKE else "scale_capacity.jsonl",
+)
 
 
 def emit(rec: dict) -> None:
