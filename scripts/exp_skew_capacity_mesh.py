@@ -105,6 +105,40 @@ def main() -> None:
             w.writerow({k: r[k] for k in w.fieldnames})
     print(f"# wrote {CSV}", flush=True)
 
+    # --- sharded fastflat leg: skew-INVARIANT by construction -------
+    # Every shard scans its whole row range for every query (queries
+    # all_gather'd, results psum'd), so the cost counters are a pure
+    # function of (nq, kb) — there is no hot-data concentration to
+    # exploit or to suffer. The grid demonstrates it: counters are
+    # identical across alpha, and recall holds at every alpha (the
+    # reference's cache-based CN, by contrast, needs the skew to win —
+    # exp_cache_size_and_skew.py).
+    from shine_tpu.io.device_synth import device_rowkeyed_ext_dataset
+    from shine_tpu.parallel.fastflat_sharded import ShardedFastFlatIndex
+
+    ds = device_rowkeyed_ext_dataset(
+        n=n, dim=d, num_queries=npool, seed=25, gt_k=10, mesh=mesh,
+    )
+    ff = ShardedFastFlatIndex.from_ext(
+        ds.ext_dev, n, mesh, dim=d, row_source=ds.row_source,
+        interpret=True,
+    )
+    fpool = np.asarray(ds.queries)  # this leg's query pool (own GT)
+    for alpha in ALPHAS:
+        perm = np.random.default_rng(31).permutation(npool)
+        sel = perm[zipf_ranks(npool, alpha, stream, seed=7)]
+        qs, gts = fpool[sel], ds.ground_truth[sel]
+        for kb in (16, 32, 64):
+            ids, _ = ff.search(qs, 10, kb=kb, batch_size=256)
+            cc = ff.cost_counters(len(qs), 10, kb=kb)
+            emit({
+                "family": "fastflat_sharded", "n": n, "alpha": alpha,
+                "kb": kb,
+                "ici_exchange_bytes": cc["ici_exchange_bytes"],
+                "scanned_rows": cc["scanned_rows"],
+                "recall10": round(recall_at_k(ids, gts, 10), 4),
+            })
+
 
 if __name__ == "__main__":
     main()
