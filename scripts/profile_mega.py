@@ -156,9 +156,14 @@ def main() -> None:
         from shine_tpu.ops.pallas_scan import pack_ext_query
         from shine_tpu.ops.pallas_scan3 import classmax_topk_scan
 
-        for tq_g in (256, 512, 1024):
+        # tq is the table-restream divisor: each grid step streams the
+        # WHOLE ext table, so a slab pays (B/tq) x table bytes of HBM
+        # (8 x 102 MB at tq=512/N=200k ~ 1.0 ms of the 2.19 ms scan
+        # marginal). tq=4096 = one stream; VMEM at kb<=16 keep1 is
+        # sm+sr (tq, cls) f32 = 64 MB + buffers, inside the 100 MB cap.
+        for tq_g in (256, 512, 1024, 2048, 4096):
             for tn_g in (2048, 4096, 8192):
-                if N % tn_g:
+                if N % tn_g or B % tq_g:
                     continue
 
                 @partial(jax.jit, static_argnames=("tq_", "tn_"))
