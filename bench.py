@@ -126,7 +126,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
     )
     os.makedirs(cache_dir, exist_ok=True)
-    ds_cache = os.path.join(cache_dir, f"ds_{n}x{d}_q{nq}.npz")
+    # gt_k=11 so margin_mask can measure the top-10 boundary (the near-tie
+    # artifact rate, io/recall.py); recall_at_k slices gt[:, :10] so every
+    # existing row is unchanged. Cache name is keyed on gt width.
+    ds_cache = os.path.join(cache_dir, f"ds_{n}x{d}_q{nq}_g11.npz")
     if os.path.exists(ds_cache):
         z = np.load(ds_cache)
         from shine_tpu.io import Dataset
@@ -134,20 +137,54 @@ def main() -> None:
         ds = Dataset(z["base"], z["queries"], z["gt"], name=f"synth-{n}x{d}")
         log("# dataset loaded from cache")
     else:
-        ds = synthetic_dataset(n=n, dim=d, num_queries=nq, seed=7, gt_k=10)
+        ds = synthetic_dataset(n=n, dim=d, num_queries=nq, seed=7, gt_k=11)
         np.savez(ds_cache, base=ds.base, queries=ds.queries, gt=ds.ground_truth)
     results = []  # (name, qps, recall)
     perf = {}  # name -> {tflops, hbm_gbs} achieved-rate attribution
 
     spreads = {}  # name -> {qps_reps, qps_spread} (median-of-3 stats)
+    margins = {}  # name -> margin-filtered recall@10
 
-    def add_result(name, qps, r):
-        """Record a row + its per-rep spread (time_search.last)."""
+    # margin mask: queries whose exact 11th distance exceeds (1+rtol) x
+    # the 10th have a REAL top-10 boundary; id-recall restricted to them
+    # cannot be dented by physically indistinguishable near-tie swaps
+    # (io/recall.py:margin_mask; measured artifact rate = 1 - margin_frac)
+    mmask = None
+    try:
+        if ds.ground_truth.shape[1] >= 11:
+            import jax.numpy as _jnpm
+
+            from shine_tpu.io.recall import margin_mask
+
+            _bd = _jnpm.asarray(np.asarray(ds.base, np.float32))
+            mmask = margin_mask(ds.queries, _bd, ds.ground_truth, 10)
+            log(f"# margin_frac={mmask.mean():.4f} "
+                f"(1-x = near-tie artifact rate)")
+            del _bd
+    except Exception as e:
+        log(f"# margin mask failed: {e!r}")
+
+    def add_result(name, qps, r, ids=None, gt=None, mask=None):
+        """Record a row + its per-rep spread (time_search.last).
+
+        When ids are passed and the margin mask exists, also score the
+        margin-filtered recall (rows whose top-10 boundary is real)."""
         results.append((name, qps, r))
         last = getattr(time_search, "last", None)
         if last:
             spreads[name] = dict(last)
             time_search.last = None
+        if ids is not None and mmask is not None:
+            g = ds.ground_truth if gt is None else gt
+            m = mmask if mask is None else mask
+            nr = min(len(ids), len(g), len(m))
+            mm = np.asarray(m[:nr], bool)
+            if mm.any():
+                rm = recall_at_k(
+                    np.asarray(ids)[:nr][mm], np.asarray(g)[:nr][mm], 10
+                )
+                margins[name] = round(rm, 4)
+                log(f"#   {name} recall10_margin={rm:.4f}")
 
     # --- flagship: fused block-max scan (pallas) ---
     try:
@@ -165,7 +202,7 @@ def main() -> None:
         )
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# fastflat: qps={qps:.0f} recall@10={r:.4f}")
-        add_result("fastflat", qps, r)
+        add_result("fastflat", qps, r, ids=ids)
         # achieved kernel rates (statistics.hh:122-141 analogue): the
         # scan computes 2*B*N_pad*dp flops and streams the bf16 ext
         # table once per batch; rates are N-dependent (chunk-count
@@ -190,7 +227,7 @@ def main() -> None:
         # keep2 now auto-fuses its select (flat.py measured rule — r3f:
         # 159k vs 116k at identical ids, recall 1.0000 on this dataset)
         log(f"# fastflat keep2: qps={qps:.0f} recall@10={r:.4f}")
-        add_result("fastflat_keep2", qps, r)
+        add_result("fastflat_keep2", qps, r, ids=ids)
 
         # padding-minimal batch: preload pads nq up to a batch multiple,
         # and at nq=10000/batch=4096 the scan burns 22.9% of its rows on
@@ -213,7 +250,7 @@ def main() -> None:
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# fastflat b{b2}: qps={qps:.0f} recall@10={r:.4f}")
-            add_result(f"fastflat_b{b2}", qps, r)
+            add_result(f"fastflat_b{b2}", qps, r, ids=ids)
             wall = nq / qps
             perf[f"fastflat_b{b2}"] = {
                 "tflops": round(2.0 * nq * n_pad * dp / wall / 1e12, 1),
@@ -249,6 +286,8 @@ def main() -> None:
             nq_s = max(batch_s, nq * reps_s // batch_s * batch_s)
             qs = np.tile(ds.queries, (reps_s, 1))[:nq_s]
             gts = np.tile(ds.ground_truth, (reps_s, 1))[:nq_s]
+            mask_s = (np.tile(mmask, reps_s)[:nq_s]
+                      if mmask is not None else None)
             pres = fast.preload(qs, batch_size=batch_s)
             qps, ids = time_search(
                 lambda: fast.search(
@@ -260,7 +299,7 @@ def main() -> None:
             r = recall_at_k(ids, gts, 10)
             log(f"# fastflat sustained x{reps_s}: qps={qps:.0f} "
                 f"recall@10={r:.4f}")
-            add_result("fastflat_sustained", qps, r)
+            add_result("fastflat_sustained", qps, r, ids=ids, gt=gts, mask=mask_s)
             wall = nq_s / qps
             perf["fastflat_sustained"] = {
                 "tflops": round(2.0 * nq_s * n_pad * dp / wall / 1e12, 1),
@@ -285,7 +324,7 @@ def main() -> None:
                 r = recall_at_k(ids, gts, 10)
                 log(f"# fastflat sustained fused x{reps_s}: qps={qps:.0f} "
                     f"recall@10={r:.4f}")
-                add_result("fastflat_sustained_fused", qps, r)
+                add_result("fastflat_sustained_fused", qps, r, ids=ids, gt=gts, mask=mask_s)
                 wall = nq_s / qps
                 perf["fastflat_sustained_fused"] = {
                     "tflops": round(
@@ -311,7 +350,7 @@ def main() -> None:
                 r = recall_at_k(ids, gts, 10)
                 log(f"# fastflat sustained mega x{reps_s}: qps={qps:.0f} "
                     f"recall@10={r:.4f}")
-                add_result("fastflat_sustained_mega", qps, r)
+                add_result("fastflat_sustained_mega", qps, r, ids=ids, gt=gts, mask=mask_s)
                 wall = nq_s / qps
                 perf["fastflat_sustained_mega"] = {
                     "tflops": round(
@@ -362,7 +401,7 @@ def main() -> None:
                 r = recall_at_k(ids, gts, 10)
                 log(f"# fastflat sustained mega dev x{reps_s}: "
                     f"qps={qps:.0f} recall@10={r:.4f}")
-                add_result("fastflat_sustained_mega_dev", qps, r)
+                add_result("fastflat_sustained_mega_dev", qps, r, ids=ids, gt=gts, mask=mask_s)
 
                 # the exactness-grade point: keep2 (per-class runner-up)
                 # through the same device-timed mega program — measured
@@ -388,7 +427,7 @@ def main() -> None:
                 r2 = recall_at_k(ids2, gts, 10)
                 log(f"# fastflat sustained mega dev keep2 x{reps_s}: "
                     f"qps={qps2:.0f} recall@10={r2:.4f}")
-                add_result("fastflat_sustained_mega_dev_keep2", qps2, r2)
+                add_result("fastflat_sustained_mega_dev_keep2", qps2, r2, ids=ids2, gt=gts, mask=mask_s)
                 wall = nq_s / qps
                 perf.setdefault("fastflat_sustained_mega_dev", {}).update({
                     "tflops": round(
@@ -422,7 +461,7 @@ def main() -> None:
         )
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# split: qps={qps:.0f} recall@10={r:.4f}")
-        add_result("split", qps, r)
+        add_result("split", qps, r, ids=ids)
         n_pad, dpc = spl.comp.shape
         wall = nq / qps
         batches = -(-nq // batch)
@@ -444,7 +483,7 @@ def main() -> None:
     )
     r = recall_at_k(ids, ds.ground_truth, 10)
     log(f"# flat: qps={qps:.0f} recall@10={r:.4f}")
-    add_result("flat", qps, r)
+    add_result("flat", qps, r, ids=ids)
 
     # --- IVF (clustered pruning) ---
     try:
@@ -459,7 +498,7 @@ def main() -> None:
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# ivf p={probes}: qps={qps:.0f} recall@10={r:.4f}")
-            add_result(f"ivf{probes}", qps, r)
+            add_result(f"ivf{probes}", qps, r, ids=ids)
         # routed: tile-shared probing (wins past ~1M rows where the flat
         # scan's O(N) per query bites; measured 27.3k @ 0.995 at 200k)
         ipre = ivf.preload(ds.queries, batch_size=batch)
@@ -472,7 +511,7 @@ def main() -> None:
         )
         r = recall_at_k(ids, ds.ground_truth, 10)
         log(f"# ivf routed p=16 P=128 T=64: qps={qps:.0f} recall@10={r:.4f}")
-        add_result("ivf_routed", qps, r)
+        add_result("ivf_routed", qps, r, ids=ids)
     except Exception as e:  # keep the bench robust
         log(f"# ivf failed: {e!r}")
 
@@ -493,7 +532,7 @@ def main() -> None:
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# hnsw ef={ef}: qps={qps:.0f} recall@10={r:.4f}")
-            add_result("hnsw", qps, r)
+            add_result("hnsw", qps, r, ids=ids)
             # bf16 traversal rows: halves the gather bytes of the
             # gather-bound path (at 10M this was ~1.5x; same graph,
             # quantized at upload — models/hnsw.py DeviceGraph)
@@ -504,7 +543,7 @@ def main() -> None:
             )
             r = recall_at_k(ids, ds.ground_truth, 10)
             log(f"# hnsw bf16 ef={ef}: qps={qps:.0f} recall@10={r:.4f}")
-            add_result("hnsw_bf16", qps, r)
+            add_result("hnsw_bf16", qps, r, ids=ids)
         except Exception as e:
             log(f"# hnsw failed: {e!r}")
 
@@ -580,6 +619,11 @@ def main() -> None:
     }
     doc.update(perf.get(name, {}))
     doc.update(spreads.get(name, {}))
+    if name in margins:
+        # id-recall over queries with a real top-10 boundary (near-tie
+        # artifact removed); margin_frac = fraction of such queries
+        doc["recall10_margin"] = margins[name]
+        doc["margin_frac"] = round(float(mmask.mean()), 4)
     if latency:
         doc["latency_ms"] = latency
     rc = 0
