@@ -94,6 +94,25 @@ def main() -> None:
         d_est[:, lo:hi] = -2.0 * (q16 @ b16.T) + bn[lo:hi]
     emit({"stage": "bf16-dists", "seconds": round(time.time() - t0, 1)})
 
+    # GT cross-check: ds.ground_truth comes from flat_search (the same
+    # jitted path the chip scripts use, models/flat.py:flat_search,
+    # use_bf16=True + f32 re-rank of rerank*k survivors). Compare with
+    # the exact numpy top-10 under (dist, id) ordering — disagreement
+    # here means the GT pipeline itself drops true neighbors.
+    t0 = time.time()
+    agree = 0
+    exact10 = np.empty((NQ, 10), np.int64)
+    for qi in range(NQ):
+        part = np.argpartition(d_exact[qi], 32)[:33]
+        order = np.lexsort((part, d_exact[qi][part]))
+        exact10[qi] = part[order][:10]
+        agree += len(np.intersect1d(exact10[qi], gt[qi, :10]))
+    emit({
+        "stage": "gt-crosscheck", "seconds": round(time.time() - t0, 1),
+        "gt_vs_exact_overlap": round(agree / (NQ * 10), 4),
+    })
+    gt10_exact = exact10
+
     # diagnostics: bf16 rank of true top-10 rows (class-free ceiling)
     t0 = time.time()
     gt10 = gt[:, :10]
@@ -141,21 +160,22 @@ def main() -> None:
             classes_kb = np.argpartition(-v0, kb - 1, axis=1)[:, :kb]
             for keep in (1, 2):
                 hits = 0
-                hits_exact_rerank = 0
+                hits_ex = 0
                 for qi in range(NQ):
                     cl = classes_kb[qi]
-                    rows = t2[qi, :keep, cl] * cls + cl[None, :].repeat(
-                        keep, axis=0
-                    ) if keep == 2 else (t2[qi, 0, cl] * cls + cl)[None, :]
+                    # t2[qi][:keep][:, cl]: (keep, kb) member indices
+                    rows = (t2[qi][:keep][:, cl] * cls + cl[None, :])
                     rows = rows.reshape(-1)
                     dd = exact_p[qi, rows]
                     order = np.argsort(dd, kind="stable")[:10]
                     found = perm[rows[order]]
                     hits += len(np.intersect1d(found, gt_set[qi]))
-                r = hits / (NQ * 10)
+                    hits_ex += len(np.intersect1d(found, gt10_exact[qi]))
                 emit({
                     "stage": "sim", "cls": cls, "kb": kb, "keep": keep,
-                    "recall10": round(r, 4), "prep_seconds": prep_s,
+                    "recall10": round(hits / (NQ * 10), 4),
+                    "recall10_vs_exact": round(hits_ex / (NQ * 10), 4),
+                    "prep_seconds": prep_s,
                 })
                 prep_s = 0.0
 
