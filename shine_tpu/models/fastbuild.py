@@ -217,7 +217,10 @@ def _knn_device_sweep(
     kb = max(k + 17, 48)
     out_i = np.empty((n, k + 1), np.int32)
     out_d = np.empty((n, k + 1), np.float32)
-    q_dev = idx.vectors
+    # self-sweep: q_dev=None tells the program to slice queries from the
+    # vectors parameter itself — passing the base twice doubles the AOT
+    # compile's argument accounting and OOM'd the 16.78M sweep (r4b B)
+    q_dev = None
     buf: list = []
 
     def flush():

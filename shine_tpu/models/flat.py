@@ -857,8 +857,16 @@ def split_flat_search_at(
     approx_sel=False, prerank=0, fused_sel=False,
 ):
     """One fused program on the split layout: slice queries, pad to the
-    component lanes, class-max scan, select, re-rank."""
-    qj = jax.lax.dynamic_slice_in_dim(q_dev, lo, batch, 0)
+    component lanes, class-max scan, select, re-rank.
+
+    q_dev=None means self-sweep (the queries ARE the base rows, layer-0
+    kNN of the graph build): the slice comes from `vectors` so the 8.6 GB
+    base isn't passed twice — the axon AOT compile accounts each program
+    parameter separately and the duplicate blew the 16.78M sweep past
+    HBM (chip_plan_r4b stage B: arguments 20.19G of 15.75G)."""
+    qj = jax.lax.dynamic_slice_in_dim(
+        vectors if q_dev is None else q_dev, lo, batch, 0
+    )
     return _split_flat_batch(
         comp, aux, vectors, sqnorms, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
         metric=metric, interpret=interpret, keep2=keep2, n=n,
@@ -992,10 +1000,15 @@ def fast_flat_search_at(
     prerank=0, fused_sel=False,
 ):
     """One fused program: slice the preloaded queries, pack the extended
-    query, scan, select, re-rank — a single dispatch per batch."""
+    query, scan, select, re-rank — a single dispatch per batch.
+
+    q_dev=None: self-sweep — slice from `vectors` (see
+    split_flat_search_at; avoids passing the base as two parameters)."""
     from shine_tpu.ops.pallas_scan import pack_ext_query
 
-    qj = jax.lax.dynamic_slice_in_dim(q_dev, lo, batch, 0)
+    qj = jax.lax.dynamic_slice_in_dim(
+        vectors if q_dev is None else q_dev, lo, batch, 0
+    )
     q_ext = pack_ext_query(qj, ext.shape[1]).astype(jnp.bfloat16)
     return fast_flat_search(
         ext, vectors, sqnorms, q_ext, qj, k=k, kb=kb, tq=tq, tn=tn, cls=cls,
