@@ -153,9 +153,52 @@ def main() -> None:
         return
 
     # ---- chip leg: public search() config ablation ----
-    from shine_tpu.models.flat import FastFlatIndex
+    from shine_tpu.models.flat import FastFlatIndex, FlatIndex
+
+    # 0. pure-XLA scan paths (no Pallas): discriminate MXU bf16 numerics
+    # from kernel codegen. f32 should be ~1.0 by construction; bf16 tells
+    # us what the MXU's bf16 rounding really costs at 1M (the CPU sim
+    # says the selection itself only costs ~4e-4).
+    fidx = FlatIndex.from_device(ds.base_dev)
+    for tag, bf in (("xla flat f32", False), ("xla flat bf16+rerank", True)):
+        t0 = time.time()
+        ii, _ = fidx.search(queries, 10, batch_size=2048, use_bf16=bf)
+        score(tag, ii, {"seconds": round(time.time() - t0, 1)})
 
     idx = FastFlatIndex.from_device(ds.base_dev)
+
+    # 0b. the REAL Pallas kernel in interpret mode ON the TPU backend
+    # (same shapes/logic, executed as XLA ops instead of Mosaic codegen):
+    # a clean score here + a dirty compiled score pins Mosaic lowering.
+    try:
+        from shine_tpu.ops.pallas_scan import pack_ext_query
+        from shine_tpu.ops.pallas_scan3 import classmax2_topk_scan
+        from shine_tpu.ops.distance import rerank_topk
+
+        nq_k = 512
+        qj = jnp.asarray(queries[:nq_k])
+        q_ext = pack_ext_query(qj, idx.ext.shape[1]).astype(jnp.bfloat16)
+        t0 = time.time()
+        v1, c1, v2, c2 = classmax2_topk_scan(
+            idx.ext, q_ext, kb=32, tq=512, tn=1024, cls=1024,
+            interpret=True,
+        )
+        cand2 = jnp.where(v2 > -3e38, c2, -1)
+        cand = jnp.concatenate([c1, cand2], axis=1)
+        cand = jnp.where(cand < N, cand, -1)
+        _, ii = rerank_topk(idx.vectors, idx.sqnorms, qj, cand, 10,
+                            idx.metric)
+        ids = np.asarray(ii)
+        emit({"stage": "config", "config": "interpret-on-tpu keep2 kb32",
+              "recall10_vs_device_gt":
+                  round(recall_at_k(ids, gt_dev[:nq_k], 10), 4),
+              "recall10_vs_numpy_gt":
+                  round(recall_at_k(ids[:ne], gt_np[:min(ne, nq_k)], 10), 4),
+              "seconds": round(time.time() - t0, 1)})
+    except Exception as e:  # pragma: no cover - diagnostic resilience
+        emit({"stage": "config", "config": "interpret-on-tpu keep2 kb32",
+              "error": repr(e)[:300]})
+
     pre = idx.preload(queries, batch_size=2048)
 
     def run(name, **kw):
