@@ -242,6 +242,25 @@ def test_measured_defaults_keep2_auto():
     assert keep2_auto(500 * 1024, 1024)
 
 
+def test_resolve_knobs_at_headline_shapes():
+    """Lock the full auto-knob tuple at the two published operating
+    shapes: 200k x 128 (bench headline: keep1/cls2048/unfused at kb=32)
+    and 1M x 128 (the shape under the r4 on-chip recall investigation:
+    keep2/cls1024/fused at kb=32 — results/diag_1m_recall.jsonl). An
+    auto-rule change that silently moves either config should fail here
+    first, not on the chip."""
+    from shine_tpu.models.flat import FastFlatIndex
+
+    def resolved(n_pad):
+        idx = FastFlatIndex.__new__(FastFlatIndex)
+        idx.ext = np.zeros((n_pad, 8), np.int8)  # only .shape[0] is read
+        idx.dim = 128
+        return idx._resolve_knobs(0, 0, None, None, False)
+
+    assert resolved(200_704) == (32, 2048, False, False)
+    assert resolved(1_048_576) == (32, 1024, True, True)
+
+
 def test_ivf_search_exact_full_probes_large_c():
     """p == num_clusters must scan everything EXACTLY even above the 4096-
     cluster threshold where stage 1 used to switch to approx_max_k
