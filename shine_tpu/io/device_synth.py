@@ -409,7 +409,12 @@ def streaming_eps_recall(
         v = x[local]  # (Q, K, d)
         if ds.metric != "ip":
             return jnp.sum((qd[:, None, :] - v) ** 2, axis=-1)
-        return 1.0 - jnp.einsum("qd,qkd->qk", qd, v)
+        # HIGHEST: TPU DEFAULT truncates f32 operands to bf16 — this is
+        # an exactness oracle (see models/flat.py:flat_search).
+        return 1.0 - jnp.einsum(
+            "qd,qkd->qk", qd, v, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
 
     def exact(ids):
         out = np.full(ids.shape, np.inf, np.float32)

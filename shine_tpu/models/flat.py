@@ -84,8 +84,18 @@ def flat_search(
         bd, bi = carry
         blk = jax.lax.dynamic_slice_in_dim(base, off, width, 0)
         bsq = jax.lax.dynamic_slice_in_dim(data.sqnorms, off, width, 0)
+        # With f32 inputs (use_bf16=False — the exact path every device
+        # ground truth rides) the precision arg is load-bearing: TPU
+        # DEFAULT matmul precision truncates f32 operands to bf16, which
+        # silently degraded device GT to bf16-grade at >=1M rows where
+        # top-k gaps sit below bf16 noise (the r4 "1M x 128 recall
+        # 0.9296" anomaly: every exact search scored ~0.93 against the
+        # perturbed GT while CPU/interpret read 1.0). bf16 inputs hit
+        # the MXU natively; precision only matters for the f32 leg.
         dots = jax.lax.dot_general(
-            qc, blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            qc, blk, (((1,), (1,)), ((), ())),
+            precision=None if use_bf16 else jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )
         if metric == METRIC_L2:
             dd = qn[:, None] - 2.0 * dots + bsq[None, :]

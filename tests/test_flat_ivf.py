@@ -261,6 +261,48 @@ def test_resolve_knobs_at_headline_shapes():
     assert resolved(1_048_576) == (32, 1024, True, True)
 
 
+def test_flat_search_f32_leg_requests_highest_precision():
+    """Regression for the r4 device-GT corruption (TPU_NOTES 'ROOT
+    CAUSE'): TPU DEFAULT matmul precision truncates f32 operands to
+    bf16, so the exact scan (use_bf16=False — the path every device
+    ground truth rides) MUST request HIGHEST explicitly. CPU execution
+    can't observe the truncation, so assert it structurally: every f32
+    dot_general in the traced program carries HIGHEST."""
+    import jax
+    from shine_tpu.models.flat import flat_search
+
+    idx = FlatIndex(np.zeros((4096, 16), np.float32))
+
+    def collect(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                in_dtypes = tuple(v.aval.dtype for v in eqn.invars)
+                out.append((in_dtypes, eqn.params.get("precision")))
+            for v in eqn.params.values():
+                sub = getattr(v, "jaxpr", None)
+                if sub is not None:
+                    collect(sub, out)
+                if isinstance(v, (list, tuple)):
+                    for w in v:
+                        sub = getattr(w, "jaxpr", None)
+                        if sub is not None:
+                            collect(sub, out)
+        return out
+
+    q = np.zeros((8, 16), np.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda qq: flat_search(idx.data, qq, k=5, use_bf16=False)
+    )(q).jaxpr
+    dots = collect(jaxpr, [])
+    f32_dots = [
+        p for dts, p in dots
+        if all(dt == np.float32 for dt in dts)
+    ]
+    assert f32_dots, "expected at least one f32 dot_general in the scan"
+    H = jax.lax.Precision.HIGHEST
+    assert all(p == (H, H) for p in f32_dots), f32_dots
+
+
 def test_ivf_search_exact_full_probes_large_c():
     """p == num_clusters must scan everything EXACTLY even above the 4096-
     cluster threshold where stage 1 used to switch to approx_max_k
