@@ -78,7 +78,9 @@ class DynamicHNSWIndex:
             raise ValueError("capacity exceeded")
         lo = self.count
         vdev = jnp.asarray(vectors)
-        sq = jnp.sum(vdev * vdev, axis=-1)
+        from shine_tpu.ops.distance import squared_norms
+
+        sq = squared_norms(vdev)  # ranking norms: HIGHEST precision
         if self.params.metric_id != METRIC_L2:
             sq = jnp.zeros(b, jnp.float32)
         self.st = self.st._replace(

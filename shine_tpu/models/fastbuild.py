@@ -482,6 +482,7 @@ def fast_build_graph(
             levels[rep] = max(levels[rep], 1)
 
         if stage_path:
+            os.makedirs(os.path.dirname(stage_path) or ".", exist_ok=True)
             tmp = stage_path + ".tmp.npz"  # np.savez appends .npz itself
             np.savez(
                 tmp, n=n, d=d, M=M, M0=M0, metric=metric, pool=pool,

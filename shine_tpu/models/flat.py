@@ -46,8 +46,12 @@ def _row_sq(v: jnp.ndarray) -> jnp.ndarray:
     """Fused row squared-norms. MUST stay jitted: called eagerly,
     `v * v` materializes a second base-sized buffer — at 16.78M x 128
     f32 that is +8.6 GB and the 16 GB chip OOMs (chip_plan_r4a stage
-    B); under jit XLA fuses the square into the row reduction."""
-    return jnp.sum(v * v, axis=-1)
+    B); under jit XLA fuses the contraction into the row reduction.
+    Rides squared_norms: these norms rank rows (re-rank term), so they
+    must carry HIGHEST precision (ops/distance.py docstring)."""
+    from shine_tpu.ops.distance import squared_norms
+
+    return squared_norms(v)
 
 
 @partial(
@@ -261,8 +265,11 @@ def _pack_ext_device(v: jnp.ndarray, *, metric: int, dp: int,
         if metric == METRIC_L2:
             e = e.at[:, :d].set((2.0 * x).astype(jnp.bfloat16))
             # residual-encoded norm (see pack_ext_table): c0 + c1 carry
-            # ~16 mantissa bits of -||v||^2
-            t = -jnp.sum(x * x, -1)
+            # ~16 mantissa bits of -||v||^2 — worthless unless t itself
+            # is exact f32, hence squared_norms (HIGHEST precision)
+            from shine_tpu.ops.distance import squared_norms
+
+            t = -squared_norms(x)
             c0 = t.astype(jnp.bfloat16)
             e = e.at[:, d].set(c0)
             e = e.at[:, d + 1].set(

@@ -198,7 +198,7 @@ def _dist_ext(
         if l2:
             dots = dots + g.row_nrm[safe]
     elif l2:
-        dots = dots + jnp.sum(ve * ve, axis=-1)
+        dots = dots + squared_norms(ve)  # ranks rows: HIGHEST precision
     return jnp.where(ids >= 0, bias[:, None] + dots, jnp.inf)
 
 

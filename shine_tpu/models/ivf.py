@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from shine_tpu.config import METRIC_L2, metric_id
-from shine_tpu.ops.distance import pairwise_distance, rerank_topk
+from shine_tpu.ops.distance import pairwise_distance, rerank_topk, squared_norms
 
 
 class IVFData(NamedTuple):
@@ -235,7 +235,7 @@ def _lloyd_chunked(points: jnp.ndarray, *, k: int, iters: int, seed: int,
     xs = points.reshape(n // chunk, chunk, d).astype(jnp.float32)
 
     def iter_body(_, cents):
-        csq = jnp.sum(cents * cents, axis=-1)
+        csq = squared_norms(cents)
 
         def scan_body(carry, x):
             sums, counts = carry
@@ -275,7 +275,7 @@ def _lloyd_balance_refine(points: jnp.ndarray, cents: jnp.ndarray, *,
     # compile hazard, docs/TPU_NOTES.md)
     @jax.jit
     def choices(xs_arg, cents_dev):
-        csq = jnp.sum(cents_dev * cents_dev, axis=-1)
+        csq = squared_norms(cents_dev)
 
         def body(_, x):
             ii, dd = _nearest_r_chunk(x, cents_dev, csq, R=Rr)
@@ -387,7 +387,7 @@ def build_ivf_layout_device(
         train, k=num_clusters, iters=iters, seed=seed, chunk=lchunk
     )
     cents = cents[jnp.asarray(_spatial_order_centroids(np.asarray(cents), seed))]
-    csq = jnp.sum(cents * cents, axis=-1)
+    csq = squared_norms(cents)
 
     # 8 assignment choices: R=2-4 let capacity overflow fall through to
     # far clusters (the measured routed-split spill, docs/TPU_NOTES.md

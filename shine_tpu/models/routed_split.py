@@ -569,7 +569,9 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
     # B: stream assignment choices
     while n % achunk or achunk > n:
         achunk //= 2
-    csq = jnp.sum(cents_dev * cents_dev, axis=-1)
+    from shine_tpu.ops.distance import squared_norms
+
+    csq = squared_norms(cents_dev)  # ranks centroids: HIGHEST precision
 
     R = max(2, min(assign_r, C))
     # sub-chunk INSIDE the jit: the (achunk, C) distance tile is 27 GB

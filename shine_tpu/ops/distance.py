@@ -23,7 +23,19 @@ DIST_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def squared_norms(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
+    """Exact f32 squared norms via an explicit HIGHEST-precision
+    self-contraction. `jnp.sum(x * x)` is algebraically identical, but
+    XLA:TPU may rewrite a reduce-of-multiply as an MXU self-dot at
+    DEFAULT precision (bf16-truncated f32 operands) — the silent-
+    downcast class behind the r4 device-GT corruption (TPU_NOTES "ROOT
+    CAUSE"). Every norm that participates in a RANKING across rows must
+    ride this helper; per-query norms are rank-invariant offsets and
+    may use plain sums."""
+    x = x.astype(jnp.float32)
+    return jnp.einsum(
+        "...d,...d->...", x, x,
+        precision=DIST_PRECISION, preferred_element_type=jnp.float32,
+    )
 
 
 def pairwise_distance(
@@ -261,7 +273,7 @@ def candidate_distance(
     )
     if metric == METRIC_IP:
         return 1.0 - dots
-    cn = cand_sqnorm if cand_sqnorm is not None else jnp.sum(c * c, axis=-1)
+    cn = cand_sqnorm if cand_sqnorm is not None else squared_norms(c)
     qn = squared_norms(q)
     return qn[:, None] - 2.0 * dots + cn
 
@@ -295,8 +307,8 @@ def regen_rerank_topk(
     if metric == METRIC_IP:
         d = 1.0 - dots
     else:
-        qn = jnp.sum(q * q, axis=-1)
-        rn = jnp.sum(rows * rows, axis=-1)
+        qn = jnp.sum(q * q, axis=-1)  # per-query: rank-invariant offset
+        rn = squared_norms(rows)  # per-row: ranks across candidates
         d = qn[..., None] - 2.0 * dots + rn
     d = jnp.where(cand_ids >= 0, d, jnp.inf)
     key_i = jnp.where(cand_ids < 0, jnp.int32(2**31 - 1), cand_ids)

@@ -43,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from shine_tpu.config import METRIC_L2
+from shine_tpu.ops.distance import squared_norms
 
 NEG = -3e38
 
@@ -386,7 +387,10 @@ def pack_split_device(v: jnp.ndarray, *, metric: int, dpc: int,
             vq = qv * (s[:, None] / 127.0)
             if metric == METRIC_L2:
                 scl = 2.0 * s / 127.0
-                nrm = -jnp.sum(vq * vq, axis=1)
+                # ranking norms: exact f32 contraction (ops/distance.py
+                # squared_norms docstring — the XLA:TPU reduce-of-
+                # multiply downcast hazard)
+                nrm = -squared_norms(vq)
             else:
                 scl = s / 127.0
                 nrm = jnp.zeros_like(s)
@@ -394,7 +398,7 @@ def pack_split_device(v: jnp.ndarray, *, metric: int, dpc: int,
         xb = x.astype(jnp.bfloat16).astype(jnp.float32)
         c = c.at[:, :d].set(xb)
         if metric == METRIC_L2:
-            nrm = -jnp.sum(xb * xb, axis=1)
+            nrm = -squared_norms(xb)
             scl = jnp.full((rchunk,), 2.0, jnp.float32)
         else:
             nrm = jnp.zeros((rchunk,), jnp.float32)

@@ -107,6 +107,42 @@ def test_distance_module_default_precision_is_highest():
     assert DIST_PRECISION == jax.lax.Precision.HIGHEST
 
 
+def test_squared_norms_is_explicit_highest_dot():
+    """squared_norms must lower to an explicit HIGHEST dot_general (not
+    a bare reduce XLA:TPU could rewrite into a DEFAULT-precision MXU
+    self-dot) and match numpy f64 to f32 accuracy."""
+    x = np.random.default_rng(0).standard_normal((64, 128)).astype(np.float32)
+    from shine_tpu.ops.distance import squared_norms
+
+    jaxpr = jax.make_jaxpr(squared_norms)(jnp.asarray(x))
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "squared_norms must be an explicit contraction"
+    assert not _f32_dots_without_highest(jaxpr)
+    got = np.asarray(squared_norms(jnp.asarray(x)))
+    want = (x.astype(np.float64) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
+def test_device_pack_ext_norm_residual_is_exact():
+    """_pack_ext_device's c0+c1 norm pair must reconstruct -||v||^2 to
+    ~2^-16 relative — the whole point of the residual encoding; a
+    DEFAULT-precision norm would leave c1 as noise (the r4 from_device
+    0.9914-vs-0.9999 scan-stage gap)."""
+    from shine_tpu.models.flat import _pack_ext_device
+    from shine_tpu.config import METRIC_L2
+
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((4096, 128)).astype(np.float32)
+    ext = np.asarray(
+        _pack_ext_device(jnp.asarray(v), metric=METRIC_L2, dp=256,
+                         rchunk=1024)
+    ).astype(np.float32)
+    recon = ext[:, 128] + ext[:, 129]
+    want = -(v.astype(np.float64) ** 2).sum(-1)
+    err = np.abs(recon - want) / np.abs(want)
+    assert err.max() < 2e-4, f"residual pair err {err.max():.2e}"
+
+
 def test_device_synth_gt_matches_numpy_exactly():
     """device_synthetic_dataset's GT must agree with a pure-numpy f64
     brute force on every id (CPU run; the chip leg is r4f stage I)."""
