@@ -113,7 +113,8 @@ def main() -> None:
         from shine_tpu.models.flat import FastFlatIndex
         from shine_tpu.ops.distance import rerank_topk
 
-        idx = FastFlatIndex.from_device(jnp.asarray(base))
+        # shuffle=False: this leg scores RAW kernel ids against GT
+        idx = FastFlatIndex.from_device(jnp.asarray(base), shuffle=False)
         vecs, sq = idx.vectors, idx.sqnorms
         nq_k = 512  # one tq=512 grid step
         qj = jnp.asarray(queries[:nq_k])
@@ -165,7 +166,11 @@ def main() -> None:
         ii, _ = fidx.search(queries, 10, batch_size=2048, use_bf16=bf)
         score(tag, ii, {"seconds": round(time.time() - t0, 1)})
 
-    idx = FastFlatIndex.from_device(ds.base_dev)
+    # shuffle=False: section 0b scores raw kernel ids, and the search()
+    # config ablation below deliberately measures the UNSHUFFLED ingest
+    # (the historical from_device behavior); the shuffled default gets
+    # its own row at the end
+    idx = FastFlatIndex.from_device(ds.base_dev, shuffle=False)
 
     # 0b. the REAL Pallas kernel in interpret mode ON the TPU backend
     # (same shapes/logic, executed as XLA ops instead of Mosaic codegen):
@@ -224,6 +229,17 @@ def main() -> None:
     ids, _ = hidx.search(queries, 10, batch_size=2048, preloaded=hpre,
                          with_dists=False)
     score("host-constructor auto", ids,
+          {"seconds": round(time.time() - t0, 1)})
+
+    # the r4 production default: from_device WITH the on-device ingest
+    # permutation (auto below SHUFFLE_MAX_BYTES) — should match the
+    # host-constructor row (both break same-class decoy correlation)
+    t0 = time.time()
+    sidx = FastFlatIndex.from_device(ds.base_dev, shuffle=True)
+    spre = sidx.preload(queries, batch_size=2048)
+    ids, _ = sidx.search(queries, 10, batch_size=2048, preloaded=spre,
+                         with_dists=False)
+    score("from_device shuffled auto", ids,
           {"seconds": round(time.time() - t0, 1)})
 
 

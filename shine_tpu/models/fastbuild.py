@@ -210,7 +210,11 @@ def _knn_device_sweep(
     if use_split:
         idx = SplitFlatIndex.from_device(base_dev, metric=metric)
     else:
-        idx = FastFlatIndex.from_device(base_dev, metric=metric)
+        # shuffle=False: the self-sweep below slices queries from the
+        # index's own vectors at row offsets and reads raw (unremapped)
+        # ids — both require the original row order
+        idx = FastFlatIndex.from_device(base_dev, metric=metric,
+                                        shuffle=False)
     idx.interpret = interpret
     n = int(idx.n)
     assert n % batch == 0, "device sweep wants batch | n"

@@ -20,6 +20,7 @@ ordering.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -39,6 +40,13 @@ class FlatData(NamedTuple):
 
 
 CHUNK_QUANTUM = 1024
+
+# from_device auto-shuffle ceiling: the on-device permutation costs one
+# extra f32 base copy in HBM during the gather; above this it is skipped
+# (the 10M+ paths were measured without it — see from_device docstring).
+SHUFFLE_MAX_BYTES = int(
+    os.environ.get("SHINE_SHUFFLE_MAX_BYTES", 3 << 30)
+)
 
 
 @jax.jit
@@ -283,6 +291,18 @@ def _pack_ext_device(v: jnp.ndarray, *, metric: int, dp: int,
     return ext.reshape(n, dp)
 
 
+def kb_auto(n_rows: int, dim: int) -> int:
+    """Measured kb default (r4f chip ablation against exact GT,
+    results/diag_1m_recall.jsonl): kb=32 holds >=0.992 below ~1M rows at
+    d<512, but at 1M x 128 the candidate margin thins — keep2 kb32 scores
+    0.9914 vs kb64 = 1.0000 for ~6% QPS — so kb rises to 64 once the row
+    count crosses 1M. bf16 score near-ties widen with dimension: d>=512
+    keeps the kb=128 margin (measured: d=960 needs 128 for 0.988)."""
+    if dim >= 512:
+        return 128
+    return 64 if n_rows >= 1_000_000 else 32
+
+
 def keep2_auto(n_rows: int, cls: int) -> bool:
     """Measured keep2 default (TPU_NOTES '1M x 64 keep2 refresh'): the
     per-class runner-up slot pays for itself once rows-per-class reaches
@@ -382,7 +402,7 @@ class FastFlatIndex:
         v_dev,
         metric: str | int = "l2",
         *,
-        shuffle: bool = False,
+        shuffle: bool | None = None,
         seed: int = 0,
     ) -> "FastFlatIndex":
         """Build from a device-resident base; the packed score table is
@@ -390,7 +410,14 @@ class FastFlatIndex:
         table + one chunk — a host round trip of a 10M x 128 base would
         take minutes on the ~20 MB/s dev tunnel). Requires n % 4096 == 0
         (generate padded bases; host constructor handles ragged n).
-        shuffle defaults off: device-generated bases are iid-ordered."""
+
+        shuffle=None auto-enables the on-device row permutation when the
+        gather transient (one extra f32 base copy) fits SHUFFLE_MAX_BYTES:
+        'device bases are iid-ordered' turned out to be wrong — keeping
+        generator order correlates same-class decoys and costs ~0.008
+        recall vs the (shuffling) host constructor at 1M x 128 (r4f chip
+        ablation: from_device auto 0.9914 vs host auto 0.9999,
+        results/diag_1m_recall.jsonl)."""
         import jax
 
         self = cls.__new__(cls)
@@ -400,6 +427,8 @@ class FastFlatIndex:
         if n % quantum:
             raise ValueError("from_device requires n % 4096 == 0")
         v = v_dev.astype(jnp.float32)
+        if shuffle is None:
+            shuffle = n * d * 4 <= SHUFFLE_MAX_BYTES
         self.perm = None
         if shuffle:
             perm = jax.random.permutation(jax.random.PRNGKey(seed), n)
@@ -485,7 +514,7 @@ class FastFlatIndex:
 
     def _resolve_knobs(self, kb, cls, keep2, fused_sel, approx_sel):
         if kb <= 0:
-            kb = 32 if self.dim < 512 else 128
+            kb = kb_auto(int(self.ext.shape[0]), self.dim)
         if cls <= 0:
             cls = 1024 if keep2_auto(int(self.ext.shape[0]), 2048) else 2048
         if keep2 is None:
@@ -552,7 +581,7 @@ class FastFlatIndex:
         """Analytic cost: each batch streams the packed bf16 ext table once
         through the fused scan; kb survivors per query are re-ranked in f32."""
         if kb <= 0:
-            kb = 32 if self.dim < 512 else 128
+            kb = kb_auto(int(self.ext.shape[0]), self.dim)
         n_pad = int(self.ext.shape[0])
         batches = -(-nq // max(batch_size, 1))
         return {

@@ -558,7 +558,7 @@ class ShardedFastFlatIndex:
         queries: np.ndarray,
         k: int = 10,
         *,
-        kb: int = 32,
+        kb: int = 0,
         batch_size: int = 4096,
         tq: int = 512,
         cls: int = 0,
@@ -566,8 +566,12 @@ class ShardedFastFlatIndex:
         prerank: int = 0,
         fused_sel: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        from shine_tpu.models.flat import keep2_auto
+        from shine_tpu.models.flat import kb_auto, keep2_auto
 
+        if kb <= 0:
+            # per-shard row count: the scan (and its kb candidate margin)
+            # is shard-local; the r4f kb rule applies at the shard scale
+            kb = kb_auto(self.rows, self.dim)
         if cls <= 0:
             # same measured auto-cls rule as FastFlatIndex.search, on the
             # per-shard row count (the scan is shard-local)

@@ -76,6 +76,27 @@ def test_fastflat_from_device_shuffle_perm(dds):
     )
 
 
+def test_fastflat_from_device_auto_shuffle(dds):
+    """shuffle=None (the default) auto-enables the on-device ingest
+    permutation below SHUFFLE_MAX_BYTES (r4f: unshuffled ingest loses
+    ~0.008 recall at 1M via same-class decoy correlation), stays off
+    above it, and search() remaps ids back to original space."""
+    from shine_tpu.models import flat as flat_mod
+
+    idx = FastFlatIndex.from_device(dds.base_dev)
+    assert idx.perm is not None  # 8192*32*4 bytes << SHUFFLE_MAX_BYTES
+    ids, _ = idx.search(dds.queries, 10, kb=32)
+    assert recall_at_k(ids, dds.ground_truth, 10) > 0.97
+
+    old = flat_mod.SHUFFLE_MAX_BYTES
+    flat_mod.SHUFFLE_MAX_BYTES = 1
+    try:
+        idx2 = FastFlatIndex.from_device(dds.base_dev)
+    finally:
+        flat_mod.SHUFFLE_MAX_BYTES = old
+    assert idx2.perm is None
+
+
 def test_ivf_from_device_recall(dds):
     idx = IVFIndex.from_device(
         dds.base_dev, num_clusters=64, train_size=8192, iters=15, seed=7,

@@ -245,11 +245,13 @@ def test_measured_defaults_keep2_auto():
 def test_resolve_knobs_at_headline_shapes():
     """Lock the full auto-knob tuple at the two published operating
     shapes: 200k x 128 (bench headline: keep1/cls2048/unfused at kb=32)
-    and 1M x 128 (the shape under the r4 on-chip recall investigation:
-    keep2/cls1024/fused at kb=32 — results/diag_1m_recall.jsonl). An
-    auto-rule change that silently moves either config should fail here
-    first, not on the chip."""
-    from shine_tpu.models.flat import FastFlatIndex
+    and 1M x 128 (keep2/cls1024 at kb=64 UNFUSED — the r4f chip ablation
+    against exact GT, results/diag_1m_recall.jsonl: kb32 scores 0.9914,
+    kb64 recovers 1.0000 for ~6% QPS; the keep2 fusion is register-spill
+    capped at kb<=32 so kb=64 takes the unfused select). An auto-rule
+    change that silently moves either config should fail here first,
+    not on the chip."""
+    from shine_tpu.models.flat import FastFlatIndex, kb_auto
 
     def resolved(n_pad):
         idx = FastFlatIndex.__new__(FastFlatIndex)
@@ -258,7 +260,11 @@ def test_resolve_knobs_at_headline_shapes():
         return idx._resolve_knobs(0, 0, None, None, False)
 
     assert resolved(200_704) == (32, 2048, False, False)
-    assert resolved(1_048_576) == (32, 1024, True, True)
+    assert resolved(1_048_576) == (64, 1024, True, False)
+    assert kb_auto(200_704, 128) == 32
+    assert kb_auto(999_999, 128) == 32
+    assert kb_auto(1_000_000, 128) == 64
+    assert kb_auto(1_048_576, 960) == 128
 
 
 def test_flat_search_f32_leg_requests_highest_precision():
