@@ -9,6 +9,13 @@ LOG=results/chip_plan_r4i.log
 exec >>"$LOG" 2>&1
 
 echo "[r4i] $(date) waiting for r4h (pid $(cat /tmp/r4h.pid 2>/dev/null))"
+# wait for the pid file to EXIST first: kill -0 "" fails, and an early
+# exit here would start this big-HBM run concurrently with r4h — the
+# documented back-to-back pattern that wedges the TPU tunnel
+for _ in $(seq 1 120); do
+  [ -s /tmp/r4h.pid ] && break
+  sleep 60
+done
 while kill -0 "$(cat /tmp/r4h.pid 2>/dev/null)" 2>/dev/null; do
   sleep 300
 done

@@ -393,7 +393,7 @@ class FastFlatIndex:
             dim = dp - 2 if self.metric == METRIC_L2 else dp
         self.n, self.dim, self.tn = n, dim, 1024
         self.dp = dp
-        self.interpret = False
+        self.interpret = jax.default_backend() == "cpu"
         return self
 
     @classmethod
@@ -445,7 +445,10 @@ class FastFlatIndex:
         self.sqnorms = sq.astype(jnp.float32)
         self.n, self.dim, self.tn = n, d, 1024
         self.dp = dp
-        self.interpret = False
+        # CPU backend can only run the kernel in interpret mode (same
+        # auto-rule as ShardedFastFlatIndex) — the CPU suite exercises
+        # from_device paths directly
+        self.interpret = jax.default_backend() == "cpu"
         self.row_source = None
         return self
 
@@ -707,7 +710,7 @@ class SplitFlatIndex:
             self.sqnorms = None
         self.n, self.dim = n, d
         self.comp_dtype = comp_dtype
-        self.interpret = False
+        self.interpret = jax.default_backend() == "cpu"
         self.row_source = None
         return self
 
@@ -739,7 +742,7 @@ class SplitFlatIndex:
         self.n = n
         self.dim = dim if dim is not None else dpc
         self.comp_dtype = "int8" if comp_dev.dtype == jnp.int8 else "bf16"
-        self.interpret = False
+        self.interpret = jax.default_backend() == "cpu"
         return self
 
     preload = FastFlatIndex.preload

@@ -633,11 +633,17 @@ class ShardedFastFlatIndex:
             out_i = np.where(out_i >= 0, self.perm[np.maximum(out_i, 0)], -1)
         return out_i, out_d
 
-    def cost_counters(self, nq: int, k: int = 10, *, kb: int = 32,
+    def cost_counters(self, nq: int, k: int = 10, *, kb: int = 0,
                       batch_size: int = 4096) -> dict:
         """Cluster-total analytic cost: each batch streams the full (row-
         sharded) ext table once; each shard re-ranks kb local survivors;
-        the merge all_gathers (B, kb) (dist, id) lanes."""
+        the merge all_gathers (B, kb) (dist, id) lanes. kb=0 resolves via
+        the same kb_auto rule search() uses, so the counters report the
+        actual auto serving config."""
+        if kb <= 0:
+            from shine_tpu.models.flat import kb_auto
+
+            kb = kb_auto(self.rows, self.dim)
         S = self.mesh.devices.size
         n_pad = int(self.ext.shape[0])
         batches = -(-nq // max(batch_size, 1))
