@@ -85,6 +85,19 @@ def main() -> None:
         emit({"stage": "base-download",
               "seconds": round(time.time() - t0, 1),
               "gb": round(base.nbytes / 1e9, 2)})
+        # scorer self-certification (VERDICT r4 #6): exact numpy GT on a
+        # query subset vs the device GT — the independent witness the r4
+        # precision incident proved the margin/eps instruments can't be
+        t0 = time.time()
+        from shine_tpu.io import gt_crosscheck
+
+        ov = gt_crosscheck(
+            np.asarray(ds.queries), base, np.asarray(ds.ground_truth),
+            10, n_eval=int(os.environ.get("SHINE_GT_NEVAL", 256)),
+        )
+        emit({"stage": "gt-crosscheck", "gt_overlap": round(float(ov), 4),
+              "seconds": round(time.time() - t0, 1)})
+        assert ov > 0.995, f"device GT corrupt (overlap {ov})"
         # crash-resume checkpoint for layer 0 (~80% of the ~30 min wall on
         # a tunnel that can die mid-run). A leftover stage file would make
         # the reported build seconds a lie, so unless the caller asks to

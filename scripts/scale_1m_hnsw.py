@@ -100,6 +100,17 @@ def main() -> None:
     base = np.asarray(ds.base_dev)
     emit({"stage": "base-download", "seconds": round(time.time() - t0, 1),
           "gb": round(base.nbytes / 1e9, 2)})
+    # scorer self-certification (VERDICT r4 #6): numpy-exact GT subset
+    t0 = time.time()
+    from shine_tpu.io import gt_crosscheck
+
+    ov = gt_crosscheck(
+        np.asarray(ds.queries), base, np.asarray(ds.ground_truth), 10,
+        n_eval=int(os.environ.get("SHINE_GT_NEVAL", 256)),
+    )
+    emit({"stage": "gt-crosscheck", "gt_overlap": round(float(ov), 4),
+          "seconds": round(time.time() - t0, 1)})
+    assert ov > 0.995, f"device GT corrupt (overlap {ov})"
 
     os.environ["SHINE_FASTBUILD_TIMING"] = "1"
     params = HNSWParams(M=M, ef_construction=POOL or 200)

@@ -107,6 +107,19 @@ def main() -> None:
     np.asarray(ds.ext_dev[:1])  # force
     emit({"stage": "rowkeyed-ingest+gt", "seconds": round(time.time() - t0, 1),
           "ext_gb": round(ds.ext_dev.nbytes / 1e9, 2)})
+    if os.environ.get("SHINE_GT_CROSSCHECK", "1") == "1":
+        # scorer self-certification (VERDICT r4 #6): device exact scorer
+        # vs numpy oracle on a regenerated row subset
+        from shine_tpu.io.device_synth import rowkeyed_scorer_crosscheck
+
+        t0 = time.time()
+        ov = rowkeyed_scorer_crosscheck(
+            ds.row_source, np.asarray(ds.queries), metric=METRIC,
+            n_sub=int(os.environ.get("SHINE_GT_NSUB", 524_288)),
+        )
+        emit({"stage": "gt-crosscheck", "gt_overlap": round(float(ov), 4),
+              "seconds": round(time.time() - t0, 1)})
+        assert ov > 0.995, f"device scorer corrupt (overlap {ov})"
     mm = None
     if METRIC == "l2":
         from shine_tpu.io import margin_mask

@@ -115,12 +115,26 @@ def main() -> None:
             cap_slack=SLACK, comp_dtype="int8", seed=SEED, queries=queries,
             gt_k=11, log=lambda m: print(m, flush=True),
         )
+        os.makedirs(os.path.dirname(gt_path), exist_ok=True)
         np.save(gt_path, gt)
         # checkpoint AFTER the sweep: the 100M comp download is ~14 GB
         # through the tunnel (an hour-class transfer when it degrades,
         # r3g) — measure first so a timeout still records the sweep.
         # SHINE_CR_SAVE=0 skips it entirely.
         save_after = os.environ.get("SHINE_CR_SAVE", "1") == "1"
+    if os.environ.get("SHINE_GT_CROSSCHECK", "1") == "1":
+        # scorer self-certification (VERDICT r4 #6): device exact scorer
+        # vs numpy oracle on a regenerated row subset
+        from shine_tpu.io.device_synth import rowkeyed_scorer_crosscheck
+
+        t1 = time.time()
+        ov = rowkeyed_scorer_crosscheck(
+            (k1, centers), queries,
+            n_sub=int(os.environ.get("SHINE_GT_NSUB", 524_288)),
+        )
+        emit({"stage": "gt-crosscheck", "gt_overlap": round(float(ov), 4),
+              "seconds": round(time.time() - t1, 1)})
+        assert ov > 0.995, f"device scorer corrupt (overlap {ov})"
     table_gb = (idx.comp.nbytes + idx.aux_r.nbytes + idx.gid.nbytes) / 1e9
     emit({
         "stage": "ingest", "seconds": round(time.time() - t0, 1),

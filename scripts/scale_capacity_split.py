@@ -86,6 +86,19 @@ def main() -> None:
     gb = (ds.comp_dev.nbytes + ds.aux_dev.nbytes) / 1e9
     emit({"stage": "ingest", "seconds": round(time.time() - t0, 1),
           "table_gb": round(gb, 2)})
+    if os.environ.get("SHINE_GT_CROSSCHECK", "1") == "1":
+        # scorer self-certification (VERDICT r4 #6): device exact scorer
+        # vs numpy oracle on a regenerated row subset
+        from shine_tpu.io.device_synth import rowkeyed_scorer_crosscheck
+
+        t0 = time.time()
+        ov = rowkeyed_scorer_crosscheck(
+            ds.row_source, np.asarray(ds.queries),
+            n_sub=int(os.environ.get("SHINE_GT_NSUB", 524_288)),
+        )
+        emit({"stage": "gt-crosscheck", "gt_overlap": round(float(ov), 4),
+              "seconds": round(time.time() - t0, 1)})
+        assert ov > 0.995, f"device scorer corrupt (overlap {ov})"
 
     idx = SplitFlatIndex.from_parts(
         ds.comp_dev, ds.aux_dev, ds.n, dim=D, row_source=ds.row_source

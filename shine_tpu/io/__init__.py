@@ -7,6 +7,8 @@ from shine_tpu.io.datasets import (
 )
 from shine_tpu.io.recall import (  # noqa: F401
     brute_force_knn,
+    gt_crosscheck,
+    numpy_subset_gt,
     recall_at_k,
     recall_at_k_eps,
     recall_at_k_eps_regen,
@@ -33,6 +35,8 @@ __all__ = [
     "synthetic_dataset",
     "load_dataset",
     "save_dataset",
+    "gt_crosscheck",
+    "numpy_subset_gt",
     "recall_at_k",
     "recall_at_k_eps",
     "recall_at_k_eps_regen",

@@ -611,3 +611,37 @@ def device_rowkeyed_ext_dataset(
         rchunk=rchunk,
         row_source=(k1, centers),
     )
+
+
+def rowkeyed_scorer_crosscheck(
+    row_source, queries, *, n_sub: int = 524_288, n_eval: int = 128,
+    metric: str | int = "l2", rchunk: int = 65_536,
+) -> float:
+    """Scorer self-certification for capacity-scale runs whose base never
+    exists on host: regenerate the first n_sub rows on device (exact,
+    row-keyed), download them, and compare the DEVICE exact scorer
+    (flat_search use_bf16=False, the GT pipeline's own path) against the
+    pure-numpy oracle on that subset. Returns top-10 overlap — 1.0
+    certifies the device scorer's precision configuration; the r4
+    incident (DEFAULT matmul truncating the f32 GT leg to bf16) scores
+    ~0.93 here. The subset shares the full run's (d, metric, density),
+    which is what the bug class keys on."""
+    from shine_tpu.config import METRIC_L2, metric_id
+    from shine_tpu.io.recall import numpy_subset_gt, recall_at_k
+    from shine_tpu.models.flat import FlatIndex
+
+    m = metric_id(metric)
+    key, centers = row_source
+    normalize = m != METRIC_L2
+    parts = []
+    for lo in range(0, n_sub, rchunk):
+        ids = jnp.arange(lo, min(lo + rchunk, n_sub), dtype=jnp.int32)
+        parts.append(np.asarray(
+            regen_rows(key, centers, ids, normalize=normalize)
+        ))
+    sub = np.concatenate(parts, axis=0)
+    q = np.asarray(queries)[:n_eval].astype(np.float32)
+    idx = FlatIndex(sub, metric=m)
+    dev_ids, _ = idx.search(q, 10, use_bf16=False)
+    gt_np = numpy_subset_gt(q, sub, 10, metric=m)
+    return float(recall_at_k(dev_ids, gt_np, 10))

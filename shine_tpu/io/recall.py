@@ -253,3 +253,61 @@ def margin_mask(
         dg = np.sort(np.asarray(dfn(q, jnp.asarray(gt[lo:hi]))), axis=1)
         out[lo:hi] = dg[:, k] > dg[:, k - 1] * (1.0 + rtol) + 1e-12
     return out
+
+
+def numpy_subset_gt(
+    queries: np.ndarray, base: np.ndarray, k: int = 10, *,
+    chunk: int = 131072, metric: str | int = "l2",
+) -> np.ndarray:
+    """Exact ground truth in pure numpy — the platform-independent
+    scorer oracle. Chunked running top-32 with (dist, id) tie-break
+    (identical to every device path's ordering). Slow (~2 GFLOP/s host
+    BLAS) — size the query subset accordingly.
+
+    Reference role: recall is the reference's correctness oracle
+    (compute_node.cc:578-600) — which is only an oracle if the GT is
+    right. The r4 incident (TPU DEFAULT matmul truncating the f32 GT
+    leg to bf16-grade) proved device-side GT can corrupt while every
+    device-side instrument (margin/eps) consumes the same distances and
+    stays blind; this numpy twin is the independent witness."""
+    m = metric_id(metric)
+    q = queries.astype(np.float32)
+    ne = len(q)
+    keep = max(32, k)
+    bn = (base.astype(np.float32) ** 2).sum(axis=1)
+    best_d = np.full((ne, keep), np.inf, np.float32)
+    best_i = np.full((ne, keep), -1, np.int64)
+    for lo in range(0, len(base), chunk):
+        hi = min(lo + chunk, len(base))
+        dots = q @ base[lo:hi].astype(np.float32).T
+        if m == METRIC_IP:
+            dd = 1.0 - dots
+        else:
+            dd = -2.0 * dots + bn[lo:hi]
+        ids = np.arange(lo, hi, dtype=np.int64)[None, :].repeat(ne, axis=0)
+        ad = np.concatenate([best_d, dd], axis=1)
+        ai = np.concatenate([best_i, ids], axis=1)
+        part = np.argpartition(ad, keep - 1, axis=1)[:, :keep]
+        pd = np.take_along_axis(ad, part, axis=1)
+        pi = np.take_along_axis(ai, part, axis=1)
+        order = np.lexsort((pi, pd), axis=1)
+        best_d = np.take_along_axis(pd, order, axis=1)
+        best_i = np.take_along_axis(pi, order, axis=1)
+    return best_i[:, :k]
+
+
+def gt_crosscheck(
+    queries: np.ndarray, base: np.ndarray, gt_dev: np.ndarray,
+    k: int = 10, *, n_eval: int = 256, chunk: int = 131072,
+    metric: str | int = "l2",
+) -> float:
+    """Overlap of the device-computed ground truth with the exact numpy
+    oracle on a query subset. 1.0 certifies the scorer; anything below
+    ~0.999 on synthetic data means the GT pipeline itself is corrupt
+    (see numpy_subset_gt docstring — the r4 precision incident). Every
+    scale script emits this as a gt_overlap column so a scorer-class
+    bug caps one run, not a round of readings."""
+    ne = min(n_eval, len(queries), len(gt_dev))
+    gt_np = numpy_subset_gt(queries[:ne], base, k, chunk=chunk,
+                            metric=metric)
+    return recall_at_k(np.asarray(gt_dev)[:ne], gt_np, k)

@@ -176,22 +176,120 @@ def _knn_candidates(
     return gi.astype(np.int32), dd.astype(np.float32)
 
 
-def _knn_device_sweep(
-    base_dev, k: int, metric: int, *, batch: int = 4096,
-    interpret: bool = False, flush_every: int = 64,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Self-kNN of a DEVICE-resident base via the fused class-max scan —
-    the layer-0 stage of the 10M-scale graph build. The base is both
-    table and query set, so nothing crosses the tunnel except the
-    (n, k+1) results, downloaded in bounded flushes. Returns global-id
-    (cand (n, k), dists) with self-matches removed.
+@partial(jax.jit, static_argnames=("k",))
+def _drop_self_dev(ii, dd, lo, *, k: int):
+    """Device twin of _drop_self_sorted for one sweep batch: the batch's
+    row b has self id lo + b. Bit-identical shift-left semantics (the
+    self hit becomes the (-1, inf) pad at the tail); keeps k columns."""
+    B, w = ii.shape
+    local = lo + jnp.arange(B, dtype=ii.dtype)[:, None]
+    self_hit = ii == local
+    has = self_hit.any(axis=1)[:, None]
+    h = jnp.argmax(self_hit, axis=1)[:, None]
+    j = jnp.arange(w, dtype=jnp.int32)[None, :]
+    src = jnp.where(has & (j >= h), jnp.minimum(j + 1, w - 1), j)
+    out_i = jnp.take_along_axis(ii, src, axis=1)
+    out_d = jnp.take_along_axis(dd, src, axis=1)
+    tail = has & (j == w - 1)
+    out_i = jnp.where(tail, -1, out_i)
+    out_d = jnp.where(tail, jnp.inf, out_d)
+    return out_i[:, :k], out_d[:, :k]
 
-    Above ~12M x 128 rows the packed ext table (dp = next128(d+2), 2x
-    the raw bf16 bytes at d%128==0) no longer coexists with the f32 base
-    in 16 GB HBM; the sweep switches to the SPLIT layout (lane-exact
-    bf16 components + f32 aux — half the table bytes, same bf16 scan
-    precision, ops/pallas_scan_split.py), which carries the 16.78M M=32
-    build (the 100M-class per-shard unit: 8 x 16.78M = 134M)."""
+
+def _hbm_budget() -> float:
+    import os as _os
+
+    # default sits ~1.7 GB under the 15.75 GB chip: the r4h bf16-split
+    # 16.78M config planned ~15.1 GB by this model and still died
+    # RESOURCE_EXHAUSTED — XLA scratch/fragmentation eats the difference
+    return float(_os.environ.get("SHINE_HBM_BYTES", 14.0e9))
+
+
+def _sweep_plan(
+    n: int, d: int, k: int, kb: int, batch: int, cls: int,
+    layout: str, keep2: bool, sel_batch: int = 0, sel_width: int = 0,
+    fused: bool = False,
+) -> dict:
+    """Host-side HBM plan for the level-0 device sweep: itemized resident
+    + transient bytes, computed BEFORE any device allocation so a
+    build that cannot fit errors instantly with the breakdown instead of
+    dying RESOURCE_EXHAUSTED an hour in (chip_plan_r4h stage J). Sizes
+    are upper-bound estimates of the dominant buffers; XLA overhead and
+    small tiles ride the headroom between this total and the 15.75 GB
+    physical chip.
+
+    fused: the sweep+select pipeline consumes each batch's (k+1) results
+    on device (a few in-flight batches + tiny (sb, M) flush buffers)
+    instead of staging 64 batches for a host download."""
+    dp = -(-(d + 2) // 128) * 128
+    classes = -(-n // cls)
+    width = kb * (2 if keep2 else 1)
+    if fused and not sel_batch:
+        # the fused pipeline's on-device select: sub-batch under the
+        # same ~2.5 GB pairwise-tile rule _sweep_select_level0 applies
+        sel_batch, sel_width = batch, k
+        while sel_batch > 256 and sel_batch * k * (k + d) * 4 > 2_500_000_000:
+            sel_batch //= 2
+    items = {
+        "base_f32": n * d * 4,
+        "sqnorms": n * 4,
+        "table": (
+            n * dp * 2 if layout == "ext"
+            else n * d * (1 if layout == "int8" else 2) + 2 * n * 4
+        ),
+        # class-max scan output (m1/a1 [+ m2/a2]) + XLA TopK scratch (~2x)
+        "scan_classtable": batch * classes * 8 * (2 if keep2 else 1) * 3,
+        "rerank_gather": batch * width * (d * 4 + 8) + batch * (k + 1) * 8,
+        # pairwise select tile (batch, C, C) f32 + (batch, C, d) gather
+        "select_tile": sel_batch * sel_width * (sel_width + d) * 4,
+        "result_flush": (
+            4 * batch * (k + 1) * 8 if fused
+            else 64 * batch * (k + 1) * 8
+        ),
+    }
+    items["total"] = sum(items.values())
+    return items
+
+
+def _check_sweep_plan(plan: dict, stage: str) -> None:
+    budget = _hbm_budget()
+    if plan["total"] > budget:
+        lines = ", ".join(
+            f"{k}={v/1e9:.2f}GB" for k, v in plan.items() if k != "total"
+        )
+        raise RuntimeError(
+            f"fastbuild {stage}: planned HBM {plan['total']/1e9:.2f} GB "
+            f"exceeds budget {budget/1e9:.2f} GB ({lines}); shrink batch/"
+            f"kb or set SHINE_HBM_BYTES if the chip is larger"
+        )
+
+
+def _sweep_index(
+    base_dev, k: int, metric: int, interpret: bool, fused: bool = False,
+):
+    """Pick the scan layout + candidate knobs for a device self-sweep.
+
+    Returns (idx, search_at(lo) -> (dd, ii) device, plan dict).
+
+    PLAN-DRIVEN: candidate (layout, batch) configs are tried in
+    preference order and the first whose host-computed HBM plan fits the
+    budget wins (no more discovering OOMs one chip-run at a time —
+    chip_plan_r4a/r4b/r4h each died on a different one).
+
+    Layout ladder (all re-rank exact f32 against the resident base):
+      ext    — packed bf16 table, dp = next128(d+2) (2x raw bf16 bytes at
+               d%128==0); the small/mid-scale default (1M builds were
+               certified on it).
+      bf16   — split layout: lane-exact bf16 components + f32 aux (half
+               the ext table AND half the MXU work at d%128==0).
+      int8   — int8 split components (quarter the ext table): the 16.78M
+               M=32 class, where even bf16 split + f32 base + scan
+               transients exceeded the chip (chip_plan_r4h stage J OOM).
+               kb widens (quantization-grade scan scores need a larger
+               margin before the exact re-rank).
+    keep2 auto-enables when (k+1)^2 > #classes — the one-winner-per-class
+    scan loses ~k^2/(2*classes) true candidates to class collisions,
+    material for wide efc-parity pools (k=501)."""
     from shine_tpu.models.flat import (
         FastFlatIndex,
         SplitFlatIndex,
@@ -202,29 +300,103 @@ def _knn_device_sweep(
     import os as _os
 
     n, d = base_dev.shape
-    dp = -(-(d + 2) // 128) * 128
-    use_split = (
-        _os.environ.get("SHINE_SWEEP_SPLIT") == "1"  # test/smoke override
-        or (not interpret and n * (dp * 2 + d * 4 + 8) > 13.5e9)
-    )
-    if use_split:
-        idx = SplitFlatIndex.from_device(base_dev, metric=metric)
+    force_split = _os.environ.get("SHINE_SWEEP_SPLIT") == "1"
+    force_int8 = _os.environ.get("SHINE_SWEEP_INT8") == "1"
+    cls = 1024
+    keep2 = (k + 1) * (k + 1) > -(-n // cls)
+
+    def kb_of(layout):
+        return max(k + 64, 96) if layout == "int8" else max(k + 17, 48)
+
+    configs = [
+        ("ext", 4096), ("bf16", 4096), ("bf16", 2048),
+        ("int8", 4096), ("int8", 2048), ("int8", 1024),
+    ]
+    if force_split or force_int8:
+        configs = [c for c in configs if c[0] != "ext"]
+    if force_int8:
+        configs = [c for c in configs if c[0] == "int8"]
+    plan = None
+    layout, batch = configs[-1]
+    if interpret:
+        layout, batch = configs[0][0], min(4096, n)
+        plan = _sweep_plan(n, d, k, kb_of(layout), batch, cls, layout,
+                           keep2, fused=fused)
     else:
-        # shuffle=False: the self-sweep below slices queries from the
-        # index's own vectors at row offsets and reads raw (unremapped)
-        # ids — both require the original row order
+        budget = _hbm_budget()
+        for lay, b in configs:
+            if n % b:
+                continue
+            p = _sweep_plan(n, d, k, kb_of(lay), b, cls, lay, keep2,
+                            fused=fused)
+            if p["total"] <= budget:
+                layout, batch, plan = lay, b, p
+                break
+        else:
+            plan = _sweep_plan(n, d, k, kb_of(layout), batch, cls, layout,
+                               keep2, fused=fused)
+            _check_sweep_plan(
+                plan, f"level-0 sweep (n={n}, layout={layout})"
+            )
+    kb = kb_of(layout)
+    tq = 128 if interpret else 512
+    use_split = layout != "ext"
+    if use_split:
+        idx = SplitFlatIndex.from_device(
+            base_dev, metric=metric,
+            comp_dtype="int8" if layout == "int8" else "bf16",
+        )
+    else:
+        # shuffle=False: the self-sweep slices queries from the index's
+        # own vectors at row offsets and reads raw (unremapped) ids —
+        # both require the original row order
         idx = FastFlatIndex.from_device(base_dev, metric=metric,
                                         shuffle=False)
     idx.interpret = interpret
+
+    def search_at(lo: int):
+        # self-sweep: q_dev=None tells the program to slice queries from
+        # the vectors parameter itself — passing the base twice doubles
+        # the AOT compile's argument accounting and OOM'd the 16.78M
+        # sweep (r4b B)
+        if use_split:
+            # split aux slicing needs tn/cls % 8 == 0 (Mosaic sublanes)
+            return split_flat_search_at(
+                idx.comp, idx.aux, idx.vectors, idx.sqnorms, None, lo,
+                k=k + 1, kb=kb, tq=tq, tn=8192, cls=cls, metric=metric,
+                batch=batch, interpret=interpret, keep2=keep2, n=n,
+            )
+        return fast_flat_search_at(
+            idx.ext, idx.vectors, idx.sqnorms, None, lo,
+            k=k + 1, kb=kb, tq=tq, tn=1024, cls=cls, metric=metric,
+            batch=batch, interpret=interpret, keep2=keep2, n=n,
+        )
+
+    plan.update(layout=layout, kb=kb, keep2=keep2, batch=batch, cls=cls)
+    return idx, search_at, plan
+
+
+def _knn_device_sweep(
+    base_dev, k: int, metric: int, *, batch: int = 4096,
+    interpret: bool = False, flush_every: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Self-kNN of a DEVICE-resident base via the fused class-max scan.
+    The base is both table and query set, so nothing crosses the tunnel
+    except the (n, k+1) results, downloaded in bounded flushes. Returns
+    global-id (cand (n, k), dists) with self-matches removed.
+
+    NOTE: at 10M+ this (n, k+1) download is the build's tunnel tax (8.7
+    GB at 16.78M x 65; 42 GB at 10.5M x pool=500 — host-RAM infeasible).
+    The production layer-0 path is _sweep_select_level0, which keeps the
+    kNN table on device and downloads only the (n, M) selection; this
+    host-table variant remains for diagnostics and as the reference for
+    its identity test."""
+    idx, search_at, plan = _sweep_index(base_dev, k, metric, interpret)
+    batch = plan["batch"]  # plan-driven (may shrink below the default)
     n = int(idx.n)
     assert n % batch == 0, "device sweep wants batch | n"
-    kb = max(k + 17, 48)
     out_i = np.empty((n, k + 1), np.int32)
     out_d = np.empty((n, k + 1), np.float32)
-    # self-sweep: q_dev=None tells the program to slice queries from the
-    # vectors parameter itself — passing the base twice doubles the AOT
-    # compile's argument accounting and OOM'd the 16.78M sweep (r4b B)
-    q_dev = None
     buf: list = []
 
     def flush():
@@ -233,27 +405,64 @@ def _knn_device_sweep(
             out_i[lo_: lo_ + batch] = np.asarray(ii_)
         buf.clear()
 
-    tq = 128 if interpret else 512
     for lo in range(0, n, batch):
-        if use_split:
-            # split aux slicing needs tn/cls % 8 == 0 (Mosaic sublanes)
-            dd, ii = split_flat_search_at(
-                idx.comp, idx.aux, idx.vectors, idx.sqnorms, q_dev, lo,
-                k=k + 1, kb=kb, tq=tq, tn=8192, cls=1024, metric=metric,
-                batch=batch, interpret=interpret, n=n,
-            )
-        else:
-            dd, ii = fast_flat_search_at(
-                idx.ext, idx.vectors, idx.sqnorms, q_dev, lo,
-                k=k + 1, kb=kb, tq=tq, tn=1024, cls=1024, metric=metric,
-                batch=batch, interpret=interpret, n=n,
-            )
-        buf.append((lo, (dd, ii)))
+        buf.append((lo, search_at(lo)))
         if len(buf) >= flush_every:
             flush()
     flush()
     # drop self matches (rows arrive sorted by (dist, id)), keep k
     return _drop_self_sorted(out_i, out_d, k)
+
+
+def _sweep_select_level0(
+    base_dev, vsel, ssel, k: int, m_out: int, metric: int, *,
+    interpret: bool = False, flush_every: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fused layer-0 kNN + diversity selection, all on device: per batch,
+    scan+exact-rerank the top (k+1), drop the self hit, run
+    select_heuristic(m_out) — only the (n, m_out) selection (ids +
+    dists) ever crosses the tunnel.
+
+    This is what retires the efc-parity host-table tax (VERDICT r4 #2):
+    at pool=500/10.5M the old path downloaded a 42 GB (n, 501) table for
+    the host merge; here the merge's input is the 2.7 GB (n, M)
+    selection, and the native reverse merge + batched select2 upload
+    stay exactly as before (bit-identical results to the host-table
+    route — tests/test_build.py sweep-select identity)."""
+    idx, search_at, plan = _sweep_index(base_dev, k, metric, interpret,
+                                        fused=True)
+    n, d = int(idx.n), int(idx.dim)
+    batch = plan["batch"]
+    assert n % batch == 0, "device sweep wants batch | n"
+    # select sub-batch under the pairwise tile budget (same rule as
+    # _device_select and the fused _sweep_plan: (sb, C, C) f32 +
+    # (sb, C, d) gather <= ~2.5 GB)
+    sb = batch
+    while sb > 256 and sb * k * (k + d) * 4 > 2_500_000_000:
+        sb //= 2
+    out_i = np.empty((n, m_out), np.int32)
+    out_d = np.empty((n, m_out), np.float32)
+    buf: list = []
+
+    def flush():
+        for lo_, (si_, sd_) in buf:
+            out_i[lo_: lo_ + sb] = np.asarray(si_)
+            out_d[lo_: lo_ + sb] = np.asarray(sd_)
+        buf.clear()
+
+    for lo in range(0, n, batch):
+        dd, ii = search_at(lo)
+        ci, cd = _drop_self_dev(ii, dd, jnp.int32(lo), k=k)
+        for slo in range(0, batch, sb):
+            sel, _, sd = _select_batch(
+                vsel, ssel, ci[slo: slo + sb], cd[slo: slo + sb],
+                M_out=m_out, metric=metric, with_dists=True,
+            )
+            buf.append((lo + slo, (sel, sd)))
+            if len(buf) >= flush_every:
+                flush()
+    flush()
+    return out_i, out_d
 
 
 def _reverse_merge(
@@ -397,26 +606,41 @@ def fast_build_graph(
         if k <= 0:
             return np.full((len(ids), cap), -1, np.int32)
         t0 = _time.perf_counter()
-        if base_dev is not None and len(ids) == n:
-            cand, cd = _knn_device_sweep(
-                base_dev, k, metric, interpret=interpret
+        if (
+            base_dev is not None and len(ids) == n
+            and os.environ.get("SHINE_FASTBUILD_HOSTSEL") != "1"
+        ):
+            # fused device sweep + select: the (n, k+1) kNN table never
+            # crosses the tunnel (only the (n, M) selection does) — the
+            # path that carries pool=500 at 10M+ (a 42 GB host table
+            # otherwise) and the 16.78M M=32 unit
+            t1 = t0
+            sel, sel_d = _sweep_select_level0(
+                base_dev, vsel, ssel, k, m_out, metric,
+                interpret=interpret,
             )
         else:
-            cand, cd = _knn_candidates(vectors, ids, k, metric, interpret,
-                                       mesh)
-        width = max(2 * m_out, pool)
-        if cand.shape[1] < width:
-            # fixed candidate width across levels -> shared select compiles
-            pad = width - cand.shape[1]
-            cand = np.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
-            cd = np.pad(cd, ((0, 0), (0, pad)), constant_values=np.inf)
-        t1 = _time.perf_counter()
-        # selection returns its own query distances (no O(n*C*M) host
-        # id-matching pass — that was minutes at 1M rows on this 1-core
-        # host); reverse capping consumes them directly
-        sel, _, sel_d = _device_select(
-            vsel, ssel, ids, cand, cd, m_out, metric, with_dists=True
-        )
+            if base_dev is not None and len(ids) == n:
+                cand, cd = _knn_device_sweep(
+                    base_dev, k, metric, interpret=interpret
+                )
+            else:
+                cand, cd = _knn_candidates(vectors, ids, k, metric,
+                                           interpret, mesh)
+            width = max(2 * m_out, pool)
+            if cand.shape[1] < width:
+                # fixed candidate width across levels -> shared select
+                # compiles
+                pad = width - cand.shape[1]
+                cand = np.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+                cd = np.pad(cd, ((0, 0), (0, pad)), constant_values=np.inf)
+            t1 = _time.perf_counter()
+            # selection returns its own query distances (no O(n*C*M) host
+            # id-matching pass — that was minutes at 1M rows on this
+            # 1-core host); reverse capping consumes them directly
+            sel, _, sel_d = _device_select(
+                vsel, ssel, ids, cand, cd, m_out, metric, with_dists=True
+            )
         t2 = _time.perf_counter()
         merged, md = _reverse_merge(sel, sel_d, ids, cap_c=cap + m_out)
         t3 = _time.perf_counter()

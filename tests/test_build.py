@@ -389,3 +389,70 @@ def test_drop_self_sorted_matches_lexsort():
     got_i, got_d = _drop_self_sorted(ii, dd, k)
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_array_equal(got_d, want_d)
+
+
+def test_sweep_select_level0_identity():
+    """The fused device sweep+select (production layer-0 path) must be
+    ARRAY-EQUAL to its reference composition — host-table sweep
+    (_knn_device_sweep) -> pad -> _device_select — since it is exactly
+    that pipeline with the (n, k+1) table kept on device."""
+    import jax.numpy as jnp
+
+    import shine_tpu.models.fastbuild as fb
+    from shine_tpu.io import synthetic_dataset
+
+    ds = synthetic_dataset(n=8192, dim=16, num_queries=1, seed=31)
+    base_dev = jnp.asarray(ds.base)
+    sqn = jnp.asarray((ds.base * ds.base).sum(-1).astype(np.float32))
+    k, m_out, metric = 16, 8, 0
+    cand, cd = fb._knn_device_sweep(base_dev, k, metric, interpret=True)
+    ids = np.arange(len(ds.base), dtype=np.int32)
+    sel_ref, _, seld_ref = fb._device_select(
+        base_dev, sqn, ids, cand, cd, m_out, metric, with_dists=True
+    )
+    sel, sel_d = fb._sweep_select_level0(
+        base_dev, base_dev, sqn, k, m_out, metric, interpret=True
+    )
+    np.testing.assert_array_equal(sel, sel_ref)
+    np.testing.assert_array_equal(sel_d, seld_ref)
+
+
+def test_sweep_int8_layout_recall(monkeypatch):
+    """The int8 split sweep (the 16.78M HBM regime) re-ranks exact f32,
+    so its kNN must stay distance-exact vs the brute-force oracle (id
+    flips allowed only between equal distances)."""
+    import jax.numpy as jnp
+
+    import shine_tpu.models.fastbuild as fb
+    from shine_tpu.io import synthetic_dataset
+    from shine_tpu.io.recall import brute_force_knn
+
+    monkeypatch.setenv("SHINE_SWEEP_SPLIT", "1")
+    monkeypatch.setenv("SHINE_SWEEP_INT8", "1")
+    ds = synthetic_dataset(n=4096, dim=16, num_queries=1, seed=33)
+    base_dev = jnp.asarray(ds.base)
+    cand, cd = fb._knn_device_sweep(base_dev, 8, 0, interpret=True)
+    gt_i, gt_d = brute_force_knn(ds.base, ds.base, 9)
+    # drop the self column from the oracle. Tolerance covers kernel-vs-
+    # numpy f32 summation-order noise (~4e-5 relative measured); a
+    # genuinely MISSED neighbor (int8 scan margin too thin) shows up as
+    # a whole-gap distance jump, orders of magnitude above this.
+    np.testing.assert_allclose(cd, gt_d[:, 1:], rtol=1e-3, atol=1e-3)
+
+
+def test_sweep_hbm_precheck(monkeypatch):
+    """A build whose planned HBM exceeds the budget must fail instantly
+    host-side with the itemized plan, not RESOURCE_EXHAUSTED an hour in
+    (chip_plan_r4h stage J)."""
+    import shine_tpu.models.fastbuild as fb
+
+    plan = fb._sweep_plan(
+        16777216, 128, 64, 128, 4096, 1024, "int8", False,
+    )
+    assert plan["total"] < 15.2e9  # the fixed 16.78M M=32 config fits
+    plan_bf16 = fb._sweep_plan(
+        16777216, 128, 64, 81, 4096, 1024, "bf16", False,
+    )
+    monkeypatch.setenv("SHINE_HBM_BYTES", str(int(12e9)))
+    with pytest.raises(RuntimeError, match="base_f32"):
+        fb._check_sweep_plan(plan_bf16, "test")
