@@ -605,6 +605,41 @@ def main() -> None:
         except Exception as e:
             log(f"# hnsw failed: {e!r}")
 
+    # --- capacity-class smoke row (VERDICT r4 #8: the 100M serving path
+    # classes — int8 split tables + exact regen re-rank — had no gate;
+    # a 1M-row build of the same code path is minutes, and a regression
+    # in pack/scan/regen now trips a floor instead of only surfacing in
+    # an hours-long scale run). SHINE_BENCH_CAPACITY=0 skips. ---
+    if os.environ.get("SHINE_BENCH_CAPACITY", "1") == "1":
+        try:
+            from shine_tpu.io.device_synth import (
+                device_rowkeyed_split_dataset,
+            )
+            from shine_tpu.models.flat import SplitFlatIndex
+
+            cds = device_rowkeyed_split_dataset(
+                n=1_048_576, dim=128, num_queries=2048, seed=17, gt_k=10,
+                comp_dtype="int8",
+            )
+            cidx = SplitFlatIndex.from_parts(
+                cds.comp_dev, cds.aux_dev, cds.n, dim=128,
+                row_source=cds.row_source,
+            )
+            cq = np.asarray(cds.queries)
+            cgt = np.asarray(cds.ground_truth)
+            cpre = cidx.preload(cq, batch_size=2048)
+            qps, ids = time_search(
+                lambda: cidx.search(cq, 10, kb=64, batch_size=2048,
+                                    preloaded=cpre), len(cq)
+            )
+            r = recall_at_k(ids, cgt, 10)
+            log(f"# capacity split int8 1M kb=64: qps={qps:.0f} "
+                f"recall@10={r:.4f}")
+            add_result("capacity_split_1m", qps, r, ids=None)
+            del cidx, cds, cpre
+        except Exception as e:
+            log(f"# capacity smoke failed: {e!r}")
+
     # --- low-batch serving latency (reference serves per-query through
     # coroutines, scheduler.hh:64-77; the TPU analog is small pinned
     # batches through pre-compiled programs). p50/p99 per dispatch at
