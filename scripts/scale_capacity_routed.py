@@ -216,6 +216,32 @@ def main() -> None:
         save_routed_split(idx, ckpt)
         emit({"stage": "checkpoint", "seconds": round(time.time() - t1, 1)})
 
+    if os.environ.get("SHINE_CR_RECENTER") == "1":
+        # A/B leg: routing centroids -> assigned-member means (the
+        # displacement hypothesis behind the 100M p=128 recall plateau
+        # at coverage 1.0; see RoutedSplitIndex.recenter_routing), then
+        # re-run the same sweep for a direct comparison in one artifact
+        t1 = time.time()
+        idx.recenter_routing()
+        emit({"stage": "recenter", "seconds": round(time.time() - t1, 1)})
+        for p, P, T in SWEEP:
+            kw = dict(probes=p, shared=P, tile=T, batch_size=2048,
+                      preloaded=pre, with_dists=False, fallback=0)
+            ids, _ = idx.search(queries, 10, **kw)
+            best = float("inf")
+            for _ in range(2):
+                t1 = time.time()
+                ids, _ = idx.search(queries, 10, **kw)
+                best = min(best, time.time() - t1)
+            emit({
+                "stage": "search_recentered", "p": p, "P": P, "T": T,
+                "qps": round(NQ / best, 1),
+                "recall10": round(recall_at_k(ids, gt, 10), 4),
+                "recall10_eps": eps(ids),
+                "recall10_margin": margin(ids),
+                "coverage": round(idx.last_coverage, 4),
+            })
+
 
 if __name__ == "__main__":
     main()

@@ -37,6 +37,7 @@ during the ingest stream exactly as device_rowkeyed_split_dataset does.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -164,6 +165,54 @@ class RoutedSplitIndex:
         self.last_coverage = None
         self.last_fallback = 0
 
+    def recenter_routing(self, *, chunk: int = 262_144) -> None:
+        """Replace each ROUTING centroid with the mean of the cluster's
+        assigned members (regenerated exactly by gid — works on loaded
+        checkpoints, no re-ingest).
+
+        Rationale: query probes rank clusters by d(q, centroid), but
+        capacity assignment displaces rows off their Lloyd-nearest
+        cluster (fill 0.95 at 100M), so the Lloyd centroid no longer
+        describes what the cluster HOLDS. Serving re-ranks exactly, so
+        this only moves probe targets; recall effect must be measured
+        per scale (a small-scale A/B at fill 0.8 / assignment-rank
+        r0=1.0 was a wash — the hypothesis lives in the 100M
+        displacement regime, scale_capacity_routed.jsonl p=128 plateau
+        at coverage 1.0)."""
+        rowfn = _make_rowfn(self.row_source, self.base_dev, self.metric)
+        C, cap, d = self.C, self.cap, int(self.centroids.shape[1])
+        total = (C + 1) * cap
+        while chunk > cap and total % chunk:
+            chunk //= 2
+        sub = math.gcd(min(8192, chunk), chunk)
+        gid_dev = self.gid
+
+        @jax.jit
+        def fold(lo, sums, counts):
+            def body(carry, s):
+                sm, ct = carry
+                ids = jax.lax.dynamic_slice_in_dim(gid_dev, s, sub, 0)
+                valid = (ids >= 0).astype(jnp.float32)
+                x = rowfn(jnp.maximum(ids, 0)).astype(jnp.float32)
+                cl = (s + jnp.arange(sub, dtype=jnp.int32)) // cap
+                cl = jnp.minimum(cl, C)  # pad cluster folds to slot C
+                sm = sm.at[cl].add(x * valid[:, None])
+                ct = ct.at[cl].add(valid)
+                return (sm, ct), None
+
+            starts = lo + jnp.arange(chunk // sub, dtype=jnp.int32) * sub
+            (sums, counts), _ = jax.lax.scan(body, (sums, counts), starts)
+            return sums, counts
+
+        sums = jnp.zeros((C + 1, d), jnp.float32)
+        counts = jnp.zeros((C + 1,), jnp.float32)
+        for lo in range(0, total, chunk):
+            sums, counts = fold(jnp.int32(lo), sums, counts)
+        self.centroids = jnp.where(
+            counts[:C, None] > 0,
+            sums[:C] / jnp.maximum(counts[:C, None], 1.0),
+            self.centroids,
+        )
     # --- search -----------------------------------------------------
 
     def preload(self, queries: np.ndarray, *, batch_size: int = 2048):
@@ -680,6 +729,7 @@ def _plan_routed(n, dim, *, rowfn, cap_target, cls, cap_slack, shards,
     order[sa * cap + slot] = sort_idx.astype(np.int32)
     say(f"# routed_split: capacity assign done (cap={cap}, "
         f"fill={n / (C * cap):.3f})")
+
     return cents_dev, order, C, cap, rchunk
 
 

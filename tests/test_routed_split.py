@@ -297,3 +297,47 @@ def test_auto_probes_measured_frontier(small_base, small_idx):
     ie, _ = idx.search(queries, 10, probes=_auto_probes(idx.C),
                        batch_size=128)
     np.testing.assert_array_equal(ia, ie)
+
+
+def test_recenter_routing_member_means():
+    """recenter_routing must set each routing centroid to the exact mean
+    of its assigned members' (regenerated) rows, leave search recall in
+    family, and be checkpoint-compatible (operates on gid only)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from shine_tpu.io.device_synth import regen_rows
+    from shine_tpu.io.recall import recall_at_k
+    from shine_tpu.models.routed_split import build_routed_split
+
+    k1 = jr.PRNGKey(7)
+    centers = jr.normal(jr.PRNGKey(8), (64, 32)) * 4.0
+    N = 16384
+    qidx = jnp.arange(0, N, N // 128)[:128].astype(jnp.int32)
+    anchors = regen_rows(k1, centers, qidx)
+    queries = np.asarray(
+        anchors + 0.3 * jr.normal(jr.PRNGKey(9), anchors.shape)
+    )
+    idx, gt = build_routed_split(
+        N, 32, row_source=(k1, centers), cap_target=256, cls=128,
+        comp_dtype="int8", seed=17, queries=queries, gt_k=10,
+        log=lambda m: None,
+    )
+    idx.recenter_routing(chunk=1024)
+    # pick a non-empty cluster; its centroid == mean of member rows
+    gid = np.asarray(idx.gid)
+    for c in range(idx.C):
+        members = gid[c * idx.cap: (c + 1) * idx.cap]
+        members = members[members >= 0]
+        if len(members) > 4:
+            break
+    rows = np.asarray(
+        regen_rows(k1, centers, jnp.asarray(members.astype(np.int32)))
+    )
+    np.testing.assert_allclose(
+        np.asarray(idx.centroids)[c], rows.mean(axis=0), rtol=1e-4,
+        atol=1e-4,
+    )
+    ids, _ = idx.search(queries, 10, probes=8, batch_size=128,
+                        engine="xla", fallback=0, with_dists=False)
+    assert recall_at_k(ids, gt, 10) > 0.9
