@@ -63,13 +63,18 @@ def main():
     ds = synthetic_dataset(n=N, dim=D, num_queries=256, seed=11)
     p = HNSWParams(M=M, ef_construction=max(2 * M, 32))
 
+    # interpret=True: on the CPU platform the kNN stages take the exact
+    # XLA paths (FlatIndex f32 single-chip / ShardedFlatIndex on the
+    # mesh — the documented bit-identical pairing); without it any
+    # n > 32768 instantiates the real Pallas kernel and CPU refuses
+    # (this script silently only ever ran at toy n before r5)
     t0 = time.time()
-    g1 = fb.fast_build_graph(ds.base, p)
+    g1 = fb.fast_build_graph(ds.base, p, interpret=True)
     emit({"stage": "build-single", "seconds": round(time.time() - t0, 1)})
 
     mesh = shard_mesh(8)
     t0 = time.time()
-    g2 = fb.fast_build_graph(ds.base, p, mesh=mesh)
+    g2 = fb.fast_build_graph(ds.base, p, mesh=mesh, interpret=True)
     emit({"stage": "build-mesh8", "seconds": round(time.time() - t0, 1)})
 
     ident = {}
