@@ -17,14 +17,23 @@ LOG=results/chip_plan_r5a.log
 exec >>"$LOG" 2>&1
 
 probe() {
-  timeout 300 python - <<'PY'
-import time, jax, numpy as np, jax.numpy as jnp
+  # 900s: a fresh VM's FIRST axon matmul pays a cold compile that can
+  # exceed the old 300s cap under compile-service load (this leg's 09:59
+  # launch burned 5 probe rounds on it); the persistent cache makes
+  # every later probe instant
+  timeout 900 python - <<'PY'
+import sys, time
+sys.path.insert(0, ".")
+from shine_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+import jax, numpy as np, jax.numpy as jnp
 t0 = time.time()
 d = jax.devices()
 print(f"[r5a] devices after {time.time()-t0:.0f}s: {d}", flush=True)
 x = jnp.ones((512, 512), jnp.bfloat16)
 y = np.asarray(x @ x)
-print("[r5a] matmul sanity ok", float(y[0, 0]), flush=True)
+print(f"[r5a] matmul sanity ok {float(y[0,0])} after {time.time()-t0:.0f}s",
+      flush=True)
 PY
 }
 

@@ -47,6 +47,14 @@ NPOOL = 1024 if _CPU else 2048
 STREAM = int(os.environ.get("SHINE_SKC_STREAM", 2048 if _CPU else 8192))
 ALPHAS = [0.0, 0.75, 1.25]
 PROBES = [16, 32, 64]
+# shared-tile budget axis (VERDICT r4 #9: the reference's cache-size
+# sweep, exp_cache_size_and_skew.py:8-13, 2-25% of index): P = mult*p is
+# the per-tile granted-union width — the serving-memory budget that,
+# like the reference's cache ratio, trades resident working set for hot
+# coverage. P/C is the resident-cluster fraction per tile batch.
+SHARED_MULTS = [
+    int(x) for x in os.environ.get("SHINE_SKC_SHARED", "12").split(",")
+]
 OUT = os.path.join(
     ROOT, "results",
     "skew_capacity.smoke.jsonl" if _CPU else "skew_capacity.jsonl",
@@ -99,26 +107,31 @@ def main() -> None:
         gts = gt[sel]
         pre = idx.preload(qs, batch_size=2048)
         for p in PROBES:
-            kw = dict(probes=p, shared=12 * p, tile=32, batch_size=2048,
-                      preloaded=pre, with_dists=False, fallback=0)
-            ids, _ = idx.search(qs, 10, **kw)  # compile + warm
-            best = float("inf")
-            for _ in range(2):
-                t1 = time.time()
-                ids, _ = idx.search(qs, 10, **kw)
-                best = min(best, time.time() - t1)
-            rec = {
-                "stage": "cell", "alpha": alpha, "p": p,
-                "qps": round(STREAM / best, 1),
-                "recall10": round(recall_at_k(ids, gts, 10), 4),
-                "coverage": round(idx.last_coverage, 4),
-            }
-            emit(rec)
-            rows.append(rec)
+            for mult in SHARED_MULTS:
+                kw = dict(probes=p, shared=mult * p, tile=32,
+                          batch_size=2048, preloaded=pre,
+                          with_dists=False, fallback=0)
+                ids, _ = idx.search(qs, 10, **kw)  # compile + warm
+                best = float("inf")
+                for _ in range(2):
+                    t1 = time.time()
+                    ids, _ = idx.search(qs, 10, **kw)
+                    best = min(best, time.time() - t1)
+                rec = {
+                    "stage": "cell", "alpha": alpha, "p": p,
+                    "P": mult * p,
+                    "budget_frac": round(mult * p / idx.C, 4),
+                    "qps": round(STREAM / best, 1),
+                    "recall10": round(recall_at_k(ids, gts, 10), 4),
+                    "coverage": round(idx.last_coverage, 4),
+                }
+                emit(rec)
+                rows.append(rec)
 
     with open(CSV, "w", newline="") as f:
         w = csv.DictWriter(
-            f, fieldnames=["alpha", "p", "qps", "recall10", "coverage"]
+            f, fieldnames=["alpha", "p", "P", "budget_frac", "qps",
+                           "recall10", "coverage"]
         )
         w.writeheader()
         for r in rows:

@@ -51,8 +51,12 @@ SLACK = float(os.environ.get("SHINE_CR_SLACK", 1.05))
 # clusters (T>=64 tiles want more distinct clusters than any grant);
 # at 41.9M geometry p16/P192/T32 routes at coverage 0.997,
 # p16/P128/T32 at 0.965, p32/P192/T32 at 0.980
+# sweep cells p:P:T[:kk] — kk (exact-re-rank survivor width, default
+# 8*k) is the 4th axis of the 100M >=0.99 hunt: at p=128 coverage is
+# already 1.0, so if recall moves with kk the plateau is int8 scan-score
+# ordering, not probe reach (VERDICT r4 #5)
 SWEEP = [
-    tuple(int(v) for v in s.split(":"))
+    (lambda v: (v + [0])[:4])([int(x) for x in s.split(":")])
     for s in os.environ.get(
         "SHINE_CR_SWEEP", "16:96:32,16:128:32,16:192:32,32:192:32,32:256:32"
     ).split(",")
@@ -171,10 +175,10 @@ def main() -> None:
         return round(recall_at_k(ids[mm], gt[mm], 10), 4)
 
     pre = idx.preload(queries, batch_size=2048)
-    for p, P, T in SWEEP:
+    for p, P, T, kk in SWEEP:
         # fallback=0: measure the raw routed pass; the spill guarantee
         # is timed separately below at the best knob set
-        kw = dict(probes=p, shared=P, tile=T, batch_size=2048,
+        kw = dict(probes=p, shared=P, tile=T, kk=kk, batch_size=2048,
                   preloaded=pre, with_dists=False, fallback=0)
         ids, _ = idx.search(queries, 10, **kw)  # compile + warm
         best = float("inf")
@@ -183,7 +187,7 @@ def main() -> None:
             ids, _ = idx.search(queries, 10, **kw)
             best = min(best, time.time() - t1)
         emit({
-            "stage": "search", "p": p, "P": P, "T": T,
+            "stage": "search", "p": p, "P": P, "T": T, "kk": kk,
             "qps": round(NQ / best, 1),
             "recall10": round(recall_at_k(ids, gt, 10), 4),
             "recall10_eps": eps(ids),
@@ -193,8 +197,8 @@ def main() -> None:
 
     # the guaranteed-floor configuration (default fallback=0.5) at the
     # first sweep point: spill count + its QPS cost
-    p, P, T = SWEEP[0]
-    kw = dict(probes=p, shared=P, tile=T, batch_size=2048,
+    p, P, T, kk = SWEEP[0]
+    kw = dict(probes=p, shared=P, tile=T, kk=kk, batch_size=2048,
               preloaded=pre, with_dists=False)
     ids, _ = idx.search(queries, 10, **kw)
     best = float("inf")
@@ -224,8 +228,8 @@ def main() -> None:
         t1 = time.time()
         idx.recenter_routing()
         emit({"stage": "recenter", "seconds": round(time.time() - t1, 1)})
-        for p, P, T in SWEEP:
-            kw = dict(probes=p, shared=P, tile=T, batch_size=2048,
+        for p, P, T, kk in SWEEP:
+            kw = dict(probes=p, shared=P, tile=T, kk=kk, batch_size=2048,
                       preloaded=pre, with_dists=False, fallback=0)
             ids, _ = idx.search(queries, 10, **kw)
             best = float("inf")
@@ -235,6 +239,7 @@ def main() -> None:
                 best = min(best, time.time() - t1)
             emit({
                 "stage": "search_recentered", "p": p, "P": P, "T": T,
+                "kk": kk,
                 "qps": round(NQ / best, 1),
                 "recall10": round(recall_at_k(ids, gt, 10), 4),
                 "recall10_eps": eps(ids),
