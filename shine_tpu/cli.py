@@ -432,8 +432,14 @@ def _build(args, ds, params, mesh, timing):
         stage = (
             args.store_index + ".stage0.npz" if args.store_index else None
         )
+        # CPU (tests / CPU-mesh sweeps): the exact interpret-mode kNN
+        # paths — the real Pallas kernel refuses the CPU backend at
+        # n > 32768 (same rule as ShardedFastFlatIndex)
+        import jax as _jax
+
         graph = fast_build_graph(ds.base, params, mesh=mesh,
-                                 stage_path=stage)
+                                 stage_path=stage,
+                                 interpret=_jax.default_backend() == "cpu")
     else:
         graph = build_graph(ds.base, params)
     if args.store_index:
