@@ -154,18 +154,21 @@ def main() -> None:
                   "hops_per_q": round(idx.last_hops / NQ, 1),
                   "recall10": round(recall_at_k(ids_out, gt, 10), 4)})
 
-        # --- config grid ---
+        # --- config grid (term="k" = query-adaptive early exit) ---
         for ef in (64, 96, 128):
             for E2 in (4, 8, 16):
-                sp = SearchParams(k=10, ef=ef, frontier=E2)
-                idx.search(queries[:B], sp, batch_size=B)  # compile
-                t0 = time.perf_counter()
-                ids_out, _ = idx.search(queries, sp, batch_size=B)
-                wall = time.perf_counter() - t0
-                emit({"stage": "config", "rows": rows, "ef": ef,
-                      "frontier": E2, "qps": round(NQ / wall, 1),
-                      "hops_per_q": round(idx.last_hops / NQ, 1),
-                      "recall10": round(recall_at_k(ids_out, gt, 10), 4)})
+                for term in ("ef", "k"):
+                    sp = SearchParams(k=10, ef=ef, frontier=E2, term=term)
+                    idx.search(queries[:B], sp, batch_size=B)  # compile
+                    t0 = time.perf_counter()
+                    ids_out, _ = idx.search(queries, sp, batch_size=B)
+                    wall = time.perf_counter() - t0
+                    emit({"stage": "config", "rows": rows, "ef": ef,
+                          "frontier": E2, "term": term,
+                          "qps": round(NQ / wall, 1),
+                          "hops_per_q": round(idx.last_hops / NQ, 1),
+                          "recall10": round(recall_at_k(ids_out, gt, 10),
+                                            4)})
         del idx, g
 
 

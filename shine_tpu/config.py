@@ -120,6 +120,12 @@ class SearchParams:
     # entries (strictly better than greedy descent, no descent loops);
     # "descent": the reference's greedy per-level walk (hnsw.hh:331-393)
     entry_seeds: int = 2  # beam seeds taken from the dense entry stage
+    term: str = "ef"  # layer-0 termination rule: "ef" = the reference's
+    # stop (every beam entry expanded, hnsw.hh:424-426); "k" = stop once
+    # each query's top-k beam prefix is expanded — query-adaptive early
+    # exit for the lockstep batch (the while_loop otherwise runs to the
+    # LAGGARD query's ef-convergence; profile_hnsw step-ladder). Trades
+    # a little tail recall for fewer sequential steps.
     exchange: str = "dense"  # sharded-search ICI pattern: "dense" =
     # all_gather + psum_scatter owner-compute (O(S*B*K) lanes/step);
     # "compact" = bucketed all_to_all owner RPC (O(B*K) lanes/step, exact
@@ -138,6 +144,8 @@ class SearchParams:
             raise ValueError("frontier must be >= 1")
         if self.entry_mode not in ("dense", "descent"):
             raise ValueError("entry_mode must be 'dense' or 'descent'")
+        if self.term not in ("ef", "k"):
+            raise ValueError("term must be 'ef' or 'k'")
         if self.exchange not in ("dense", "compact"):
             raise ValueError("exchange must be 'dense' or 'compact'")
         ms = self.max_steps or (2 * ((self.ef + 31) // self.frontier) + 8)

@@ -287,7 +287,16 @@ def _beam_search_l0_seeded(
     beam = beam_merge(beam, seed_d, seed_ids)
 
     def cond(s: _BeamState):
-        return (~jnp.all(s.beam.expanded)) & (s.step < sp.max_steps)
+        if sp.term == "k":
+            # the beam is (dist, id)-sorted, so an expanded top-k prefix
+            # means no unexpanded entry is nearer than the k-th result —
+            # the query's top-k is settled (queries whose ef tail is
+            # still unexpanded keep improving others in lockstep until
+            # every query settles)
+            done = jnp.all(s.beam.expanded[:, : sp.k], axis=1)
+        else:
+            done = jnp.all(s.beam.expanded, axis=1)
+        return (~jnp.all(done)) & (s.step < sp.max_steps)
 
     def body(s: _BeamState):
         slots, fids, active = beam_frontier_multi(s.beam, E)

@@ -210,3 +210,23 @@ def test_quantized_row_serving(ds, graph):
         np.testing.assert_allclose(
             dd[same], base_d[same], rtol=0.05, atol=0.5
         )
+
+
+def test_term_k_early_exit(ds, graph):
+    """term="k" (top-k-settled early exit) must cut expansion work
+    substantially while staying within a hair of the reference ef
+    termination rule's recall (the lockstep while_loop otherwise runs to
+    the laggard query's full-ef convergence)."""
+    from shine_tpu.io import recall_at_k
+
+    idx = HNSWIndex(graph)
+    sp_ef = SearchParams(k=10, ef=96, term="ef")
+    sp_k = SearchParams(k=10, ef=96, term="k")
+    ids_ef, _ = idx.search(ds.queries, sp_ef, batch_size=100)
+    hops_ef = idx.last_hops
+    ids_k, _ = idx.search(ds.queries, sp_k, batch_size=100)
+    hops_k = idx.last_hops
+    r_ef = recall_at_k(ids_ef, ds.ground_truth, 10)
+    r_k = recall_at_k(ids_k, ds.ground_truth, 10)
+    assert hops_k < 0.7 * hops_ef, (hops_k, hops_ef)
+    assert r_k >= r_ef - 0.02, (r_k, r_ef)
