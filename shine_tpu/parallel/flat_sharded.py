@@ -79,11 +79,17 @@ class ShardedFlatIndex:
         n_pad = rows * S
         if n_pad != n:
             v = np.concatenate([v, np.zeros((n_pad - n, dim), np.float32)])
-        sq = (
-            (v * v).sum(-1)
-            if self.metric == METRIC_L2
-            else np.zeros(n_pad, np.float32)
-        )
+        if self.metric == METRIC_L2:
+            # MUST be the same device reduction FlatIndex uses (_row_sq):
+            # host numpy (v*v).sum(-1) rounds differently at the last ulp
+            # (~72% of rows at 64k), which flipped (dist, id) ties at the
+            # k-cutoff and broke single-vs-sharded fastbuild neighbor
+            # identity at 262k (docs/TPU_NOTES.md round 5)
+            from shine_tpu.models.flat import _row_sq
+
+            sq = np.asarray(_row_sq(jnp.asarray(v)))
+        else:
+            sq = np.zeros(n_pad, np.float32)
         sq = np.where(np.arange(n_pad) < n, sq, np.inf).astype(np.float32)
         row_sh = NamedSharding(mesh, P(SHARD_AXIS))
         rep = NamedSharding(mesh, P())
