@@ -32,6 +32,26 @@ def test_sharded_matches_single(ds):
     np.testing.assert_array_equal(a, b)
 
 
+def test_sharded_sqnorms_bitwise_match_single(ds):
+    """Values that rank rows must come from ONE reduction implementation:
+    host-numpy (v*v).sum(-1) rounds differently from the XLA row reduce
+    at the last ulp (~72% of rows at 64k x 64), which flipped (dist, id)
+    ties at the k-cutoff and broke single-vs-sharded fastbuild neighbor
+    identity at 262k (docs/TPU_NOTES.md round 5). Both constructors must
+    use _row_sq, and the f32 searches must agree exactly."""
+    mesh = shard_mesh(8)
+    sh = ShardedFlatIndex(ds.base, mesh)
+    si = FlatIndex(ds.base)
+    n = len(ds.base)
+    np.testing.assert_array_equal(
+        np.asarray(sh.data.sqnorms)[:n], np.asarray(si.data.sqnorms)[:n]
+    )
+    a_i, a_d = sh.search(ds.base[:512], 17, chunk=1024, use_bf16=False)
+    b_i, b_d = si.search(ds.base[:512], 17, chunk=4096, use_bf16=False)
+    np.testing.assert_array_equal(a_i, b_i)
+    np.testing.assert_array_equal(a_d, b_d)
+
+
 def test_sharded_flat_ip():
     ds = synthetic_dataset(n=3000, dim=16, num_queries=50, seed=9, metric="ip")
     mesh = shard_mesh(8)
