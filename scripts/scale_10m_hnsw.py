@@ -81,10 +81,24 @@ def main() -> None:
         emit({"stage": "fastbuild", "seconds": 0.0, "loaded": ckpt})
     else:
         t0 = time.time()
-        base = np.asarray(ds.base_dev)  # host copy for the graph + selects
-        emit({"stage": "base-download",
-              "seconds": round(time.time() - t0, 1),
-              "gb": round(base.nbytes / 1e9, 2)})
+        # row-keyed generation is deterministic in (n, d, seed), so the
+        # host copy is cacheable: the 8.6 GB tunnel download at 16.78M
+        # costs ~42 min and the r5c stage-B OOM forced a full re-run —
+        # pay it once per geometry, then load from disk (~1 min)
+        base_cache = os.path.join(ROOT, ".bench_cache",
+                                  f"base_{N}x{D}_s29.npy")
+        if os.path.exists(base_cache):
+            base = np.load(base_cache)
+            emit({"stage": "base-download",
+                  "seconds": round(time.time() - t0, 1),
+                  "gb": round(base.nbytes / 1e9, 2), "cached": True})
+        else:
+            base = np.asarray(ds.base_dev)  # host copy (graph + selects)
+            emit({"stage": "base-download",
+                  "seconds": round(time.time() - t0, 1),
+                  "gb": round(base.nbytes / 1e9, 2)})
+            os.makedirs(os.path.dirname(base_cache), exist_ok=True)
+            np.save(base_cache, base)
         # scorer self-certification (VERDICT r4 #6): exact numpy GT on a
         # query subset vs the device GT — the independent witness the r4
         # precision incident proved the margin/eps instruments can't be

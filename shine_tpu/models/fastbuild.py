@@ -84,27 +84,57 @@ def _device_select(
     while batch > 256 and batch * C * (C + d_) * 4 > 2_500_000_000:
         batch //= 2
 
-    parts = []
+    # stream results to host in ~512 MB groups: the old accumulate-all +
+    # one concatenate held 2x the full (B, M_out) output on device —
+    # 8.6 GB at 16.78M rows / M0=64 — which, on top of the 8.6 GB f32
+    # base, OOM'd the 16.78M select2 (chip_plan_r5c stage B, the 4th
+    # 16.78M RESOURCE_EXHAUSTED). A group concat keeps the per-flush
+    # download big (few tunnel round trips) while bounding device
+    # residency of staged outputs to ~1 GB.
+    import os as _os
+
+    out_bytes = batch * (M_out + 1) * 4 * (2 if with_dists else 1)
+    flush_mb = float(_os.environ.get("SHINE_SELECT_FLUSH_MB", 512))
+    group = max(1, int(flush_mb * 1e6) // max(out_bytes, 1))
+    pending: list = []
+    host_parts: list = []
+
+    def _flush():
+        if not pending:
+            return
+        if len(pending) == 1:
+            grp = pending[0]
+        else:
+            grp = tuple(
+                jnp.concatenate([p[j] for p in pending], axis=0)
+                for j in range(len(pending[0]))
+            )
+        host_parts.append(tuple(np.asarray(o) for o in grp))
+        pending.clear()
+
     for lo in range(0, B, batch):
         hi = min(lo + batch, B)
         ci = np.full((batch, C), -1, np.int32)
         ci[: hi - lo] = cand[lo:hi]
         cdp = np.full((batch, C), np.inf, np.float32)
         cdp[: hi - lo] = cand_d[lo:hi]
-        parts.append(
+        pending.append(
             _select_batch(
                 vdev, sdev, jnp.asarray(ci), jnp.asarray(cdp),
                 M_out=M_out, metric=metric, with_dists=with_dists,
             )
         )
-    if len(parts) == 1:
-        outs = parts[0]
+        if len(pending) >= group:
+            _flush()
+    _flush()
+    if len(host_parts) == 1:
+        outs = host_parts[0]
     else:
         outs = tuple(
-            jnp.concatenate([p[j] for p in parts], axis=0)
-            for j in range(len(parts[0]))
+            np.concatenate([p[j] for p in host_parts], axis=0)
+            for j in range(len(host_parts[0]))
         )
-    return tuple(np.asarray(o)[:B] for o in outs)
+    return tuple(o[:B] for o in outs)
 
 
 def _drop_self_sorted(

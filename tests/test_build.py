@@ -456,3 +456,32 @@ def test_sweep_hbm_precheck(monkeypatch):
     monkeypatch.setenv("SHINE_HBM_BYTES", str(int(12e9)))
     with pytest.raises(RuntimeError, match="base_f32"):
         fb._check_sweep_plan(plan_bf16, "test")
+
+
+def test_device_select_streaming_flush_identical(monkeypatch):
+    """_device_select streams results to host in bounded groups (the old
+    accumulate-all + device concatenate held 2x the full (B, M_out)
+    output on device and OOM'd the 16.78M select2 — chip_plan_r5c stage
+    B). Group size must not change values: force many tiny flushes and
+    compare against one big group."""
+    import shine_tpu.models.fastbuild as fb
+
+    rng = np.random.default_rng(3)
+    n, d, C, M_out = 3000, 16, 24, 8
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    sq = (v * v).sum(-1).astype(np.float32)
+    ids = np.arange(n, dtype=np.int32)
+    cand = rng.integers(0, n, (n, C)).astype(np.int32)
+    cd = rng.random((n, C)).astype(np.float32)
+    o = np.argsort(cd, axis=1)
+    cd = np.take_along_axis(cd, o, 1)
+    cand = np.take_along_axis(cand, o, 1)
+
+    monkeypatch.setenv("SHINE_SELECT_FLUSH_MB", "512")
+    a = fb._device_select(v, sq, ids, cand, cd, M_out, 0, batch=512,
+                          with_dists=True)
+    monkeypatch.setenv("SHINE_SELECT_FLUSH_MB", "0.01")
+    b = fb._device_select(v, sq, ids, cand, cd, M_out, 0, batch=512,
+                          with_dists=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
