@@ -100,6 +100,29 @@ def _extend_query(
     return q_ext, bias
 
 
+def _pack_neighbors(nbr: np.ndarray) -> np.ndarray:
+    """Pack 128//W neighbor lists per row when the list width W divides
+    128. A (N, W<128) int32 table gathers through an XLA relayout that
+    pads W up to the 128-lane tile AND copies: at 16.78M x 64 that is an
+    8 GB HLO temp on top of the 4 GB argument — the stage-B serving OOM
+    (chip_plan_r5g, 'copy.51 = copy(g_neighbors0)', 2.0x expansion).
+    (N/p, 128) IS the natural (8, 128) tile: no pad, no copy, and the
+    per-row gather reads the same one tile it always did. The beam step
+    selects the W-slice by id % p with static slices + where
+    (_beam_search_l0_seeded), keyed by the static nbr_width."""
+    W = nbr.shape[1]
+    p = 128 // W if (W < 128 and 128 % W == 0) else 1
+    if p == 1:
+        return nbr
+    nbr = np.asarray(nbr)
+    rows = -(-nbr.shape[0] // p)
+    if rows * p != nbr.shape[0]:
+        nbr = np.concatenate(
+            [nbr, np.full((rows * p - nbr.shape[0], W), -1, nbr.dtype)]
+        )
+    return nbr.reshape(rows, p * W)
+
+
 def device_graph(
     graph: GraphSoA, *, lane_pad: bool = False, rows: str = "f32"
 ) -> tuple[DeviceGraph, int]:
@@ -158,7 +181,7 @@ def device_graph(
     return (
         DeviceGraph(
             vectors_ext=vectors_ext,
-            neighbors0=jnp.asarray(graph.neighbors0),
+            neighbors0=jnp.asarray(_pack_neighbors(graph.neighbors0)),
             upper_row=jnp.asarray(graph.upper_row),
             upper_neighbors=jnp.asarray(graph.upper_neighbors),
             entry_point=jnp.asarray(graph.entry_point, dtype=jnp.int32),
@@ -266,9 +289,11 @@ def _beam_search_l0(
     ep_dist: jnp.ndarray,  # (B,)
     sp: SearchParams,
     l2: bool = True,
+    nbr_width: int = 0,
 ):
     return _beam_search_l0_seeded(
-        g, q_ext, bias, ep_id[:, None], ep_dist[:, None], sp, l2=l2
+        g, q_ext, bias, ep_id[:, None], ep_dist[:, None], sp, l2=l2,
+        nbr_width=nbr_width,
     )
 
 
@@ -280,6 +305,7 @@ def _beam_search_l0_seeded(
     seed_d: jnp.ndarray,  # (B, m)
     sp: SearchParams,
     l2: bool = True,
+    nbr_width: int = 0,  # true list width W when neighbors0 is packed
 ) -> tuple[Beam, jnp.ndarray]:
     B = q_ext.shape[0]
     E = sp.frontier
@@ -301,7 +327,23 @@ def _beam_search_l0_seeded(
     def body(s: _BeamState):
         slots, fids, active = beam_frontier_multi(s.beam, E)
         beam = beam_mark_expanded(s.beam, slots, active)
-        nbrs = g.neighbors0[jnp.maximum(fids, 0)]  # (B, E, 2M)
+        safe = jnp.maximum(fids, 0)
+        Wp = g.neighbors0.shape[1]
+        if nbr_width and nbr_width < Wp:
+            # packed table (_pack_neighbors): one (8,128)-tile row holds
+            # p = Wp/W lists; gather the tile row, pick the W-slice by
+            # id % p (static slices + where — fused, no extra gather)
+            p = Wp // nbr_width
+            block = g.neighbors0[safe // p]  # (B, E, p*W)
+            nbrs = block[..., :nbr_width]
+            for i in range(1, p):
+                nbrs = jnp.where(
+                    (safe % p == i)[:, :, None],
+                    block[..., i * nbr_width:(i + 1) * nbr_width],
+                    nbrs,
+                )
+        else:
+            nbrs = g.neighbors0[safe]  # (B, E, 2M)
         nbrs = jnp.where(active[:, :, None], nbrs, -1).reshape(B, -1)
         d = _dist_ext(g, q_ext, bias, nbrs, use_pallas=sp.pallas_gather,
                       l2=l2)
@@ -320,7 +362,9 @@ def _beam_search_l0_seeded(
 
 @partial(
     jax.jit,
-    static_argnames=("top_level", "search_params", "metric", "with_stats"),
+    static_argnames=(
+        "top_level", "search_params", "metric", "with_stats", "nbr_width"
+    ),
 )
 def batched_search(
     g: DeviceGraph,
@@ -330,6 +374,8 @@ def batched_search(
     search_params: SearchParams,
     metric: int = METRIC_L2,
     with_stats: bool = False,
+    nbr_width: int = 0,  # true layer-0 list width when packed (HNSWIndex
+    # passes it; 0 = unpacked legacy table)
 ):
     """k-NN for a batch of queries. Returns (ids (B,k), dists (B,k)[, hops])."""
     sp = search_params.resolved()
@@ -406,7 +452,8 @@ def batched_search(
             nd = -nd
         seed_d = -nd
         beam, hops, dc = _beam_search_l0_seeded(
-            g, q_ext, bias, seed_ids, seed_d, sp, l2=l2
+            g, q_ext, bias, seed_ids, seed_d, sp, l2=l2,
+            nbr_width=nbr_width,
         )
         # the dense entry tile scores every upper vertex per query
         dc = dc + jnp.int32(g.upper_ids.shape[0])
@@ -420,7 +467,7 @@ def batched_search(
             )
             dc = dc + d_lvl
         beam, hops, d_l0 = _beam_search_l0(
-            g, q_ext, bias, ep, ep_dist, sp, l2=l2
+            g, q_ext, bias, ep, ep_dist, sp, l2=l2, nbr_width=nbr_width
         )
         dc = dc + d_l0
     ids = beam.ids[:, : sp.k]
@@ -445,6 +492,8 @@ class HNSWIndex:
             graph, lane_pad=pallas, rows=rows
         )
         self.metric = graph.params.metric_id
+        # true layer-0 list width (neighbors0 may be packed on device)
+        self.nbr_width = int(graph.neighbors0.shape[1])
 
     @classmethod
     def build(
@@ -487,6 +536,7 @@ class HNSWIndex:
                 search_params=sp,
                 metric=self.metric,
                 with_stats=True,
+                nbr_width=self.nbr_width,
             )
             out_i[lo:hi] = np.asarray(ids)[: hi - lo]
             out_d[lo:hi] = np.asarray(dd)[: hi - lo]

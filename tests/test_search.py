@@ -230,3 +230,30 @@ def test_term_k_early_exit(ds, graph):
     r_k = recall_at_k(ids_k, ds.ground_truth, 10)
     assert hops_k < 0.7 * hops_ef, (hops_k, hops_ef)
     assert r_k >= r_ef - 0.02, (r_k, r_ef)
+
+
+def test_packed_neighbor_table_matches_unpacked(ds, graph):
+    """device_graph packs p=128/W layer-0 lists per (8,128)-tile row (the
+    16.78M serving OOM was XLA's pad-to-128 relayout copy of the (N, 64)
+    table — hnsw._pack_neighbors). The packed gather + parity select must
+    be result-identical to the legacy unpacked gather."""
+    import jax.numpy as jnp
+
+    from shine_tpu.models.hnsw import batched_search, device_graph
+
+    dev, top = device_graph(graph)
+    W = graph.neighbors0.shape[1]
+    assert W < 128 and dev.neighbors0.shape[1] == 128  # packed
+    unpacked = dev._replace(neighbors0=jnp.asarray(graph.neighbors0))
+    sp = SearchParams(k=10, ef=48).resolved()
+    q = jnp.asarray(ds.queries[:64].astype(np.float32))
+    a_i, a_d = batched_search(
+        dev, q, top_level=top, search_params=sp,
+        metric=graph.params.metric_id, nbr_width=W,
+    )
+    b_i, b_d = batched_search(
+        unpacked, q, top_level=top, search_params=sp,
+        metric=graph.params.metric_id, nbr_width=0,
+    )
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+    np.testing.assert_array_equal(np.asarray(a_d), np.asarray(b_d))
