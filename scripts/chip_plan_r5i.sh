@@ -40,6 +40,13 @@ wait_tunnel() {
 }
 
 wait_tunnel
+echo "[r5i] $(date) stage B4: 16.78M deep-ef serve (192,256)"
+SHINE_10MH_N=16777216 SHINE_10MH_M=32 SHINE_10MH_ROWS=bf16 \
+  SHINE_GT_NEVAL=128 SHINE_10MH_EFS=192,256 \
+  timeout 7200 python scripts/scale_10m_hnsw.py \
+  || echo "[r5i] stage B4 failed (non-fatal)"
+echo "[r5i] cooling 300s"; sleep 300; wait_tunnel
+
 echo "[r5i] $(date) stage C2: 10.5M M=32 pool=500 retry"
 SHINE_10MH_N=10485760 SHINE_10MH_M=32 SHINE_10MH_EFC=500 \
   SHINE_10MH_ROWS=bf16 SHINE_GT_NEVAL=128 \

@@ -133,7 +133,10 @@ def main() -> None:
 
     del ds.base_dev  # free 5-10 GB HBM before the search graph uploads
     idx = HNSWIndex(graph, rows=ROWS)
-    for ef in (64, 96, 128):
+    efs = tuple(
+        int(x) for x in os.environ.get("SHINE_10MH_EFS", "64,96,128").split(",")
+    )
+    for ef in efs:
         sp = SearchParams(k=10, ef=ef, frontier=8)
         ids, _ = idx.search(ds.queries, sp, batch_size=2048)
         best = float("inf")
