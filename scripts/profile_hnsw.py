@@ -120,12 +120,16 @@ def main() -> None:
         rng = np.random.default_rng(0)
         ids = jnp.asarray(rng.integers(0, N, (B, K), dtype=np.int32))
 
+        # device tables MUST be jit ARGUMENTS: a closure capture inlines
+        # the (N, d) table into the HLO as a constant and the compile
+        # request blows the service's body limit (HTTP 413 at 1M x 128,
+        # chip_plan_r5final stage E; the r2 captured-constant hazard)
         @jax.jit
-        def gather_only(ids):
-            rows_ = g.vectors_ext[ids]  # (B, K, dp)
+        def gather_only(vecs, ids):
+            rows_ = vecs[ids]  # (B, K, dp)
             return rows_.astype(jnp.float32).sum(axis=(1, 2))
 
-        s = timed(lambda: gather_only(ids))
+        s = timed(lambda: gather_only(g.vectors_ext, ids))
         bytes_ = B * K * g.vectors_ext.shape[1] * g.vectors_ext.dtype.itemsize
         emit({"stage": "gather-floor", "rows": rows, "K": K,
               "ms": round(s * 1e3, 2), "gbs": round(bytes_ / s / 1e9, 1)})
@@ -134,8 +138,10 @@ def main() -> None:
         q_ext, bias = _extend_query(
             jnp.asarray(queries[:B]), idx.metric, g.vectors_ext.shape[1]
         )
-        dist_fn = jax.jit(lambda ids: _dist_ext(g, q_ext, bias, ids))
-        s = timed(lambda: dist_fn(ids))
+        dist_fn = jax.jit(
+            lambda gg, q, b, ii: _dist_ext(gg, q, b, ii)
+        )
+        s = timed(lambda: dist_fn(g, q_ext, bias, ids))
         emit({"stage": "dist-floor", "rows": rows, "K": K,
               "ms": round(s * 1e3, 2), "gbs": round(bytes_ / s / 1e9, 1)})
 
